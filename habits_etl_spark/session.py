@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB design point and degrades gracefully on a laptop:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy) so plans self-correct at any scale factor.
+- ``spark.sql.shuffle.partitions`` defaults to a small local value; on a
+  real cluster AQE's coalescing makes the initial number mostly a ceiling.
+- UTC session timezone so timestamp semantics match the reference's
+  UTC-normalized fact table (reference sql/001_schema.sql:16) and the
+  DuckDB oracle.
+- Arrow enabled for any pandas-UDF extension path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "habits_etl_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_scale(spark: SparkSession) -> None:
+    """Apply session-level conf we rely on when the driver hands us an
+    externally built session (the harness owns SparkSession creation)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # immutable at runtime on some builds; fine, default is true
