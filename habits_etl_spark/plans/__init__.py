@@ -1,0 +1,12 @@
+"""The declared query surface: every operator id from SURVEY.md §2 that is
+implemented gets a (spark, sf_dir) -> DataFrame callable here, plus a
+DuckDB-oracle SQL string where the semantics are SQL-expressible.
+
+Submodules register into QUERIES / ORACLES via the ``query`` decorator in
+``plans.common``.
+"""
+
+from habits_etl_spark.plans.common import QUERIES, ORACLES  # noqa: F401
+
+# Importing the submodules populates the registries.
+from habits_etl_spark.plans import habits, star, windows, ext_text, ext_vectors  # noqa: F401,E402

@@ -1,0 +1,104 @@
+"""Shared helpers for the query surface + the query/oracle registries.
+
+Cross-engine determinism rules (Spark result must value-hash-equal the
+DuckDB oracle at sf0.01):
+
+1. **No float summation.** ``sum``/``avg`` over doubles is summation-order
+   dependent, so Spark (partial aggregates over 32 partitions) and DuckDB
+   (single-threaded or vectorized) would differ in final ulps. Every
+   aggregated measure is cast to DECIMAL first — decimal arithmetic is
+   exact, so both engines produce bit-identical sums — then cast back to
+   double and rounded for output.
+2. **No raw timestamps in output.** Spark timestamps are session-tz-aware
+   (Arrow ``timestamp[us, tz=UTC]``), DuckDB's are naive — a schema-level
+   mismatch. Day/week grains are output as DATE (arrow date32 in both);
+   instant-grain outputs are formatted strings with explicit microsecond
+   patterns.
+3. **Stable column names**: every computed column is aliased identically in
+   the DataFrame plan and the oracle SQL.
+4. **Deterministic top-k**: every LIMIT carries a total order (unique key
+   tie-break).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from habits_etl_spark.sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# Microsecond-explicit timestamp formatting (rule 2).
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query callable (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def fmt_ts(c: Column) -> Column:
+    """Timestamp -> canonical string (pairs with strftime(%f) in DuckDB)."""
+    return F.date_format(c, TS_FMT_SPARK)
+
+
+def dec(c: Column | str, prec: int = 18, scale: int = 6) -> Column:
+    """Exact-arithmetic cast for aggregation inputs (rule 1)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def dsum(c: Column | str, ndigits: int = 4) -> Column:
+    """Order-independent exact sum of a double column, output as rounded double."""
+    return F.round(F.sum(dec(c)).cast("double"), ndigits)
+
+
+def davg(c: Column | str, ndigits: int = 6) -> Column:
+    """avg as exact-sum / count — deterministic double division."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(
+        F.sum(dec(col)).cast("double") / F.count(F.when(col.isNotNull(), 1)),
+        ndigits,
+    )
+
+
+# The matching DuckDB SQL fragments (keep in sync with dec/dsum/davg).
+def sql_dsum(expr: str, ndigits: int = 4) -> str:
+    return f"round(CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE), {ndigits})"
+
+
+def sql_davg(expr: str, ndigits: int = 6) -> str:
+    return (
+        f"round(CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / count({expr}), {ndigits})"
+    )
+
+
+def day_of(c: Column) -> Column:
+    """timestamp -> DATE at day grain (oracle: CAST(date_trunc('day', x) AS DATE))."""
+    return F.date_trunc("DAY", c).cast("date")
+
+
+def day_str(c: Column) -> Column:
+    """timestamp -> 'yyyy-MM-dd' string at day grain. Calendar grains are
+    output as ISO strings (rule 2): Spark DateType reaches pandas as
+    datetime.date while DuckDB DATE arrives as datetime64 — strings are
+    identical in every comparison channel. Oracle pair:
+    strftime(date_trunc('day', x), '%Y-%m-%d')."""
+    return F.date_format(F.date_trunc("DAY", c), "yyyy-MM-dd")

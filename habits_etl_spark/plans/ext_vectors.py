@@ -1,0 +1,189 @@
+"""Embedding similarity operators over ``embeddings(vec_id, embedding
+float[64], label)`` (SURVEY §2.12 ext_topk_sim_search; BASELINE
+north-star 'similarity search').
+
+The kernels are pure SQL expressions — ``zip_with`` + ``aggregate`` fold
+for the dot product — so they run JVM-side in codegen, no Python. Math is
+done in float64 after casting the float32 arrays up, and scores are
+rounded to 4 decimals before any ordering so the Spark and DuckDB top-k
+cuts agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import query, t
+
+_TOP_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_COS_THRESHOLD = 0.4
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sum_i a[i]*b[i] in float64 (left-to-right fold)."""
+    prod = F.zip_with(
+        F.transform(a, lambda x: x.cast("double")),
+        F.transform(b, lambda x: x.cast("double")),
+        lambda x, y: x * y,
+    )
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+_SQL_COS = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@query(
+    "ext_topk_sim_search",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             round({_SQL_COS}, 4) AS cos
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos, rk FROM ranked WHERE rk <= {_TOP_K}
+    """,
+)
+def ext_topk_sim_search(spark, sf_dir):
+    """Brute-force cosine top-k (the exact baseline; SURVEY §2.12): the
+    {_N_QUERIES} query vectors are broadcast against the corpus, scored
+    JVM-side, and cut with a per-query row_number.
+
+    Scale: the broadcast-queries × corpus-scan shape is the right 100 TB
+    baseline (queries are small; the corpus never shuffles — only
+    (query × corpus) partial top-k results do, via WindowGroupLimit /
+    TakeOrdered). The sub-linear path is ext_ann_lsh_bucketed below."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _TOP_K)
+    )
+
+
+@query(
+    "ext_embedding_cosine_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round({_SQL_COS}, 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= {_COS_THRESHOLD}
+    """,
+)
+def ext_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (BASELINE north-star
+    'embedding-cosine near-dup'): all pairs above a cosine threshold.
+    Exact quadratic baseline at test scale; at 100 TB the LSH-bucketed
+    variant below prunes the pair space first."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", "label_a", "label_b", F.round(cos, 4).alias("cos"))
+    )
+
+
+@query("ext_ann_lsh_bucketed")  # rows-only check: approximate by design
+def ext_ann_lsh_bucketed(spark, sf_dir):
+    """Sub-linear ANN path (SURVEY §2.12 'IVF or LSH-bucketed variant'):
+    sign-random-projection LSH. Each vector gets a b-bit signature from
+    deterministic pseudo-hyperplanes (hash-derived ±1 components, so the
+    planes need no driver-side state and the whole thing is one
+    expression); candidates = same-bucket pairs vs the query set, then
+    exact cosine re-rank inside buckets.
+
+    Scale: corpus scan emits (bucket, vec) once; only bucket-collision
+    pairs are scored — at 1000 executors the bucket join replaces the
+    full cross product. Approximate (bucket misses are possible), hence
+    rows-only driver check; recall is asserted against the exact top-k in
+    tests/test_vectors.py."""
+    n_bits = 12
+    e = t(spark, sf_dir, "embeddings")
+
+    def signature(emb: Column) -> Column:
+        # bit j = sign of dot(v, h_j) where h_j[i] = +1/-1 from a hash of (j, i)
+        bits = []
+        for j in range(n_bits):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.transform(emb, lambda x: x.cast("double")),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(63)),
+                        lambda i: F.when(
+                            F.crc32(F.concat_ws(":", F.lit(str(j)), i.cast("string"))) % 2 == 0,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
+        return sum(bits[1:], bits[0])
+
+    sig = e.select("vec_id", "label", "embedding", signature(F.col("embedding")).alias("bucket"))
+    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = sig.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= _TOP_K
+    )

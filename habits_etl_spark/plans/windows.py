@@ -1,0 +1,116 @@
+"""Window-function surface (SURVEY §2.8): streaks (the reference's declared
+motivation, README.md:5), ranking, and rolling analytics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import day_of, day_str, query, sql_dsum, dsum, t
+
+
+@query(
+    "win_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE event_type = 'click' AND value >= 1
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    s AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def win_streaks(spark, sf_dir):
+    """Longest consecutive-day streak per user — gaps-and-islands
+    (SURVEY §2.8 win_streaks, [D] from reference README.md:5 'streaks').
+
+    day - row_number(day) is constant within a consecutive run; grouping on
+    that anchor yields streak lengths. Scale: one shuffle on user_id for
+    the window, then an agg on (user_id, anchor) that AQE keeps local."""
+    e = t(spark, sf_dir, "events")
+    days = (
+        e.filter((F.col("event_type") == "click") & (F.col("value") >= 1))
+        .select("user_id", day_of(F.col("ts")).alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    streaks = islands.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"), F.count(F.lit(1)).alias("n_streaks"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "win_ranking",
+    """
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn <= 3
+    """,
+)
+def win_ranking(spark, sf_dir):
+    """Top-k per group via row_number (SURVEY §2.8 win_ranking [E] — also
+    the internal building block of the upsert fallback). Scale: Spark
+    pushes a per-partition rank filter below the final window when the
+    predicate allows (WindowGroupLimit)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_analytic",
+    f"""
+    WITH daily AS (
+      SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+             {sql_dsum('value')} AS sum_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, day, sum_value,
+           round(avg(sum_value) OVER (PARTITION BY user_id ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d,
+           round(sum_value - lag(sum_value) OVER (PARTITION BY user_id ORDER BY day_idx), 4) AS delta_prev
+    FROM daily
+    """,
+)
+def win_analytic(spark, sf_dir):
+    """7-day rolling average + day-over-day delta per user (SURVEY §2.8
+    win_analytic [E]): range frame over a day index so gaps count as
+    missing days, plus lag. One shuffle on user_id serves both windows."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        day_str(F.col("ts")).alias("day"),
+        F.datediff(day_of(F.col("ts")), F.lit("2024-01-01").cast("date")).alias("day_idx"),
+    ).agg(dsum("value").alias("sum_value"))
+    w_range = (
+        Window.partitionBy("user_id").orderBy("day_idx").rangeBetween(-6, 0)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("day_idx")
+    return daily.select(
+        "user_id",
+        "day",
+        "sum_value",
+        F.round(F.avg("sum_value").over(w_range), 4).alias("avg_7d"),
+        F.round(F.col("sum_value") - F.lag("sum_value").over(w_lag), 4).alias("delta_prev"),
+    )

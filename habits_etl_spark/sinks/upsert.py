@@ -1,0 +1,74 @@
+"""Keyed upsert with partial-merge semantics (reference etl/etl_habits.py:31-38):
+
+    ON CONFLICT (user_email, habit, ts) DO UPDATE
+      SET value = EXCLUDED.value,
+          notes = COALESCE(EXCLUDED.notes, habit_events.notes)
+
+i.e. ``set_cols`` are overwritten by the incoming row (even with NULL),
+``coalesce_cols`` keep the old value when the incoming one is NULL.
+
+Without Delta's MERGE (plain Parquet storage), the merge is a grouped
+aggregation over the union of target and source — one shuffle on the key,
+fully distributed, no driver involvement. At 100 TB the shuffle is bounded
+by the *changed partitions* when callers pre-filter the target to the
+incoming keys' date range (see ``write_events`` partition layout in
+landing.py).
+
+Determinism note (SURVEY §7.3.4): Postgres applies conflicting rows in
+statement order; a set-oriented merge must instead pre-deduplicate the
+incoming batch with an explicit winner. ``dedup_batch`` picks the row with
+the highest ``order_col`` per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_batch(incoming: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep one deterministic winner per key (last-writer-wins on order_col)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_keyed(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    set_cols: list[str],
+    coalesce_cols: list[str],
+) -> DataFrame:
+    """Merge ``incoming`` into ``existing`` on ``keys``.
+
+    Assumes both sides are unique on ``keys`` (use ``dedup_batch`` on the
+    incoming side first if not — the reference's UNIQUE constraint
+    guarantees it for the target).
+    """
+    cols = keys + set_cols + coalesce_cols
+    tagged = existing.select(*cols).withColumn("__seq", F.lit(0)).unionByName(
+        incoming.select(*cols).withColumn("__seq", F.lit(1))
+    )
+    has_new = (F.max("__seq") == 1).alias("__has_new")
+    aggs = [has_new]
+    for c in set_cols + coalesce_cols:
+        aggs.append(F.max(F.when(F.col("__seq") == 1, F.col(c))).alias(f"__new_{c}"))
+        aggs.append(F.max(F.when(F.col("__seq") == 0, F.col(c))).alias(f"__old_{c}"))
+    grouped = tagged.groupBy(*keys).agg(*aggs)
+
+    out_cols = [F.col(k) for k in keys]
+    for c in set_cols:
+        # overwrite: incoming value wins whenever an incoming row exists,
+        # even if its value is NULL (EXCLUDED.value semantics)
+        out_cols.append(
+            F.when(F.col("__has_new"), F.col(f"__new_{c}"))
+            .otherwise(F.col(f"__old_{c}"))
+            .alias(c)
+        )
+    for c in coalesce_cols:
+        out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c))
+    return grouped.select(*out_cols)

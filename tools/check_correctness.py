@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+For every query in __spark_entry__.queries(): run it on Spark at sf0.01,
+run the matching oracle_sql() in DuckDB over the same parquet files, and
+compare (row count, schema, order-insensitive value hash).
+
+Usage:
+    python tools/check_correctness.py            # all queries
+    python tools/check_correctness.py q1 q2 ...  # subset
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/check_correctness.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize_type(t: str) -> str:
+    t = str(t).lower()
+    aliases = {
+        "int64": "bigint", "long": "bigint", "int32": "int", "integer": "int",
+        "float64": "double", "varchar": "string", "object": "string",
+        "date32[day]": "date", "bool": "boolean",
+    }
+    return aliases.get(t, t)
+
+
+def frame_fingerprint(df) -> tuple[int, dict, str]:
+    """(row_count, {col: type}, order-insensitive value hash) of a pandas DataFrame."""
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    df = df[cols]
+    schema = {c: normalize_type(df[c].dtype) for c in cols}
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "\x00"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    rows = sorted(
+        "\x1f".join(cell(v) for v in rec) for rec in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256("\n".join(rows).encode("utf-8", "surrogatepass")).hexdigest()
+    return len(df), schema, h
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    import __spark_entry__ as entry_mod
+    from habits_etl_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in qs:
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as exc:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        sn, ss, sh = frame_fingerprint(sdf)
+        on, os_, oh = frame_fingerprint(odf)
+        if sn == on and sh == oh:
+            schema_note = "" if ss == os_ else f"  [schema diff: {ss} vs {os_}]"
+            n_pass += 1
+            print(f"PASS  {name}: {sn} rows{schema_note} [{time.time()-t0:.1f}s]")
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: rows {sn} vs {on}, hash {'ok' if sh == oh else 'MISMATCH'}")
+            if sn and on:
+                print("  spark:", sdf.sort_values(sorted(sdf.columns)[0]).head(3).to_dict("records"))
+                print("  duck :", odf.sort_values(sorted(odf.columns)[0]).head(3).to_dict("records"))
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if failures:
+        print("failures:", " ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
