@@ -25,8 +25,10 @@ _LANG_PROFILES = {
     "es": ("el", "la", "los", "y", "es", "un"),
 }
 
-_N_BANDS = 8  # MinHash LSH bands (1 row per band)
-_JACCARD_THRESHOLD = 0.5
+_N_BANDS = 8  # MinHash LSH bands
+_BAND_ROWS = 2  # hashes per band (b=8, r=2 -> s-curve threshold ~0.35)
+_JACCARD_THRESHOLD = 0.7
+_SHINGLE_N = 3  # word n-gram shingle width
 
 
 @query(
@@ -249,26 +251,45 @@ def ext_fingerprint(spark, sf_dir):
     )
 
 
+_N_HASHES = _N_BANDS * _BAND_ROWS
+
+# word n-gram shingles, both engines (1-based element access in each)
+_SHINGLE_DUCK = (
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    " for i in range(1, len(w) - 1)])"
+)
+
+
 def _minhash_sql_aggs():
     return ",\n             ".join(
-        f"min(md5('{b}:' || tok)) AS m{b}" for b in range(_N_BANDS)
+        f"min(md5('{h}:' || shingle)) AS m{h}" for h in range(_N_HASHES)
+    )
+
+
+def _band_sql(alias: str = "sig"):
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS v FROM {alias}"
+        for b in range(_N_BANDS)
     )
 
 
 @query(
     "ext_near_dedup_minhash",
     f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct({_TOK_DUCK})) AS tok FROM documents
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM words WHERE len(w) >= {_SHINGLE_N}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     sig AS (
       SELECT doc_id,
              {_minhash_sql_aggs()}
-      FROM toks GROUP BY doc_id
+      FROM sh GROUP BY doc_id
     ),
     bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, m{b} AS v FROM sig" for b in range(_N_BANDS))}
+      {_band_sql()}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -277,8 +298,8 @@ def _minhash_sql_aggs():
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
-      JOIN toks ta ON ta.doc_id = c.doc_a
-      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      JOIN sh ta ON ta.doc_id = c.doc_a
+      JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
@@ -294,36 +315,73 @@ def ext_near_dedup_minhash(spark, sf_dir):
     'MinHash+LSH'; SURVEY §2.12 ext_near_dedup), fully relational and
     engine-portable:
 
-    1. distinct-token explode (shingle stage);
-    2. {_N_BANDS} md5 'permutations' -> per-doc signature (one groupBy);
-    3. LSH banding: docs sharing any band value become candidate pairs
-       (self-equi-join on (band, value) — the quadratic pair space is never
-       materialized, only hash-bucket collisions);
-    4. exact Jaccard verification on candidates via a token equi-join.
+    1. word {_SHINGLE_N}-gram shingling (sequence-sensitive, so shuffled
+       same-vocabulary docs do NOT collide — only true edited copies do);
+    2. {_N_HASHES} md5 'permutations' -> per-doc signature (one groupBy);
+    3. LSH banding, b={_N_BANDS} bands x r={_BAND_ROWS} rows: the band key
+       is the hash of {_BAND_ROWS} concatenated minima, giving the classic
+       s-curve with ~(1/b)^(1/r) = 0.35 threshold — docs sharing any band
+       value become candidate pairs via a self-equi-join on (band, value);
+       the quadratic pair space is never materialized, only collisions;
+    4. exact Jaccard verification on candidates via a shingle equi-join,
+       keep pairs >= {_JACCARD_THRESHOLD}.
 
-    Scale: candidates ~ collisions only; the verify join ships only
-    candidate docs' token sets. This is the textbook 100 TB near-dedup
-    layout (cf. the MinHashLSH design in Spark MLlib — reimplemented here
-    relationally so the oracle can verify it)."""
+    Scale: r=2 banding makes random-overlap candidates ~j^2 — at 12.5M
+    potential pairs per 5k docs the expected spurious candidate count is
+    <1, so the verify join is linear in true duplicates. This is the
+    standard web-scale near-dedup layout (GPT-3/CCNet-style MinHash over
+    n-gram shingles)."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(_TOK_SPARK(F.col("text")))).alias("tok")
+    # Materialize the word array once per doc BEFORE indexing into it:
+    # element_at() inside the transform lambda would otherwise re-evaluate
+    # split() per shingle position (O(doc_len^2) per document).
+    # One small parquet file arrives as a single partition; fan the docs out
+    # so shingling + 16 md5 minhashes use every core (at cluster scale the
+    # input already has many splits and this repartition coalesces to them).
+    n_part = spark.sparkContext.defaultParallelism
+    words = d.repartition(n_part, "doc_id").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sig = toks.groupBy("doc_id").agg(
+    wcol = F.col("w")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(wcol) - (_SHINGLE_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(wcol, i),
+                F.element_at(wcol, i + 1),
+                F.element_at(wcol, i + 2),
+            ),
+        )
+    )
+    # Cached: the shingle relation feeds three consumers (sizes, signatures,
+    # verify join) — without it each self-join arm recomputes the scan.
+    sh = (
+        words.filter(F.size(wcol) >= _SHINGLE_N)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("tok")))).alias(f"m{b}")
-            for b in range(_N_BANDS)
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"m{h}")
+            for h in range(_N_HASHES)
         ]
     )
-    bands = sig.unpivot(
-        ["doc_id"], [f"m{b}" for b in range(_N_BANDS)], "band_name", "v"
-    ).select("doc_id", "v", F.substring("band_name", 2, 2).cast("int").alias("band"))
+    bands = None
+    for b in range(_N_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias("v"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    bands = bands.cache()  # tiny: n_docs x n_bands rows; joined against itself
     a = bands.alias("a")
-    b = bands.alias("b")
+    bb = bands.alias("b")
     cand = (
         a.join(
-            b,
+            bb,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -331,11 +389,15 @@ def ext_near_dedup_minhash(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = toks.alias("ta")
-    tb = toks.alias("tb")
+    ta = sh.alias("ta")
+    tb = sh.alias("tb")
     inter = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(tb, (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("tb.tok") == F.col("ta.tok")))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.shingle") == F.col("ta.shingle")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -23,11 +23,12 @@ from habits_etl_spark.plans.common import (
     t,
 )
 
-# price * (1 - discount), exact (Spark side)
-_REVENUE = (
-    F.col("l_extendedprice").cast("decimal(18,6)")
-    * (F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)"))
-)
+# price * (1 - discount), exact (Spark side; lazy — Column exprs need a live
+# SparkContext in classic mode, so don't build them at import time)
+def _revenue():
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)")
+    )
 # the same expression in DuckDB SQL
 _SQL_REVENUE = (
     "CAST(l_extendedprice AS DECIMAL(18,6))"
@@ -60,7 +61,7 @@ def agg_q1_pricing(spark, sf_dir):
     2-key group (cardinality ~6) -> final agg; all codegen."""
     li = t(spark, sf_dir, "lineitem")
     charge = (
-        _REVENUE.cast("decimal(24,8)")
+        _revenue().cast("decimal(24,8)")
         * (F.lit(1).cast("decimal(12,6)") + F.col("l_tax").cast("decimal(12,6)"))
     ).cast("decimal(30,10)")
     return (
@@ -69,7 +70,7 @@ def agg_q1_pricing(spark, sf_dir):
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(_REVENUE).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue()).cast("double"), 2).alias("sum_disc_price"),
             F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
@@ -127,7 +128,7 @@ def join_star_schema(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(_REVENUE).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.col("revenue").desc(), "n_name")
