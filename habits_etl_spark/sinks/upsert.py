@@ -42,28 +42,34 @@ def upsert_keyed(
     keys: list[str],
     set_cols: list[str],
     coalesce_cols: list[str],
+    keep_old_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge ``incoming`` into ``existing`` on ``keys``.
+
+    - ``set_cols``: incoming wins whenever an incoming row exists, even
+      with NULL (EXCLUDED.value semantics).
+    - ``coalesce_cols``: incoming wins unless NULL (COALESCE(new, old)).
+    - ``keep_old_cols``: existing wins when present (columns the
+      reference's DO UPDATE clause does not touch, e.g. ``source``).
 
     Assumes both sides are unique on ``keys`` (use ``dedup_batch`` on the
     incoming side first if not — the reference's UNIQUE constraint
     guarantees it for the target).
     """
-    cols = keys + set_cols + coalesce_cols
+    keep_old_cols = keep_old_cols or []
+    cols = keys + set_cols + coalesce_cols + keep_old_cols
     tagged = existing.select(*cols).withColumn("__seq", F.lit(0)).unionByName(
         incoming.select(*cols).withColumn("__seq", F.lit(1))
     )
     has_new = (F.max("__seq") == 1).alias("__has_new")
     aggs = [has_new]
-    for c in set_cols + coalesce_cols:
+    for c in set_cols + coalesce_cols + keep_old_cols:
         aggs.append(F.max(F.when(F.col("__seq") == 1, F.col(c))).alias(f"__new_{c}"))
         aggs.append(F.max(F.when(F.col("__seq") == 0, F.col(c))).alias(f"__old_{c}"))
     grouped = tagged.groupBy(*keys).agg(*aggs)
 
     out_cols = [F.col(k) for k in keys]
     for c in set_cols:
-        # overwrite: incoming value wins whenever an incoming row exists,
-        # even if its value is NULL (EXCLUDED.value semantics)
         out_cols.append(
             F.when(F.col("__has_new"), F.col(f"__new_{c}"))
             .otherwise(F.col(f"__old_{c}"))
@@ -71,4 +77,6 @@ def upsert_keyed(
         )
     for c in coalesce_cols:
         out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c))
+    for c in keep_old_cols:
+        out_cols.append(F.coalesce(F.col(f"__old_{c}"), F.col(f"__new_{c}")).alias(c))
     return grouped.select(*out_cols)

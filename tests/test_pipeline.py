@@ -1,0 +1,104 @@
+"""End-to-end ingest tests: idempotency (reference README.md:106 'safe
+re-runs') and upsert semantics (reference etl/etl_habits.py:31-38)."""
+
+from __future__ import annotations
+
+import pytest
+
+from habits_etl_spark.config import PipelineConfig
+from habits_etl_spark.pipeline import read_events_table, run_ingest
+
+CFG = PipelineConfig.from_dict(
+    {
+        "date_column": "Report Date",
+        "email_column": "Email Address",
+        "timezone": "America/Chicago",
+        "habits": {
+            "Workout": {"id": "workout", "type": "bool"},
+            "Mood": {"id": "mood_score", "type": "number"},
+        },
+        "notes_columns": ["Notes"],
+    }
+)
+
+SCHEMA = "`Report Date` string, `Email Address` string, Workout string, Mood string, Notes string"
+
+
+def wide(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def snapshot(spark, wh):
+    df = read_events_table(spark, wh)
+    return sorted(
+        (r.user_email, r.habit, str(r.ts), r.value, r.notes, r.source) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+def test_ingest_idempotent(spark, wh):
+    batch = wide(
+        spark,
+        [
+            ("08/20/2025", "A@x.com", "Yes", "8", "good day"),
+            ("08/21/2025", "a@x.com", "no", "5", None),
+        ],
+    )
+    run_ingest(spark, batch, CFG, wh)
+    s1 = snapshot(spark, wh)
+    assert len(s1) == 4  # 2 rows x 2 habits
+    run_ingest(spark, batch, CFG, wh)  # re-run: must be a no-op
+    assert snapshot(spark, wh) == s1
+
+
+def test_upsert_overwrites_value_keeps_notes(spark, wh):
+    run_ingest(
+        spark, wide(spark, [("08/20/2025", "a@x.com", "Yes", "8", "original note")]), CFG, wh
+    )
+    # resubmission: new value, no notes -> value updated, old notes survive
+    run_ingest(spark, wide(spark, [("08/20/2025", "a@x.com", "No", "3", None)]), CFG, wh)
+    s = {(r[1]): r for r in snapshot(spark, wh)}
+    assert s["workout"][3] == 0.0
+    assert s["mood_score"][3] == 3.0
+    assert s["workout"][4] == "Notes: original note"  # COALESCE(new, old)
+
+
+def test_intra_batch_last_writer_wins(spark, wh):
+    batch = wide(
+        spark,
+        [
+            ("08/20/2025", "a@x.com", "Yes", "8", None),
+            ("08/20/2025", "a@x.com", "No", "2", "later row"),
+        ],
+    )
+    run_ingest(spark, batch, CFG, wh)
+    s = {r[1]: r for r in snapshot(spark, wh)}
+    assert s["workout"][3] == 0.0  # last row in file order won
+    assert s["mood_score"][3] == 2.0
+
+
+def test_partition_scoped_merge_preserves_other_days(spark, wh):
+    run_ingest(spark, wide(spark, [("08/20/2025", "a@x.com", "Yes", "8", None)]), CFG, wh)
+    run_ingest(spark, wide(spark, [("08/21/2025", "a@x.com", "No", "1", None)]), CFG, wh)
+    s1 = snapshot(spark, wh)
+    # third ingest touches only 08/21; 08/20 rows must be byte-identical
+    run_ingest(spark, wide(spark, [("08/21/2025", "a@x.com", "Yes", "9", None)]), CFG, wh)
+    s2 = snapshot(spark, wh)
+    day1 = [r for r in s1 if "2025-08-20" in r[2]]
+    assert [r for r in s2 if "2025-08-20" in r[2]] == day1
+    assert {r[3] for r in s2 if "2025-08-21" in r[2]} == {1.0, 9.0}
+
+
+def test_landing_append_once(spark, wh):
+    import os
+
+    batch = wide(spark, [("08/20/2025", "a@x.com", "Yes", "8", "n1")])
+    run_ingest(spark, batch, CFG, wh)
+    run_ingest(spark, batch, CFG, wh)
+    landing = spark.read.parquet(os.path.join(wh, "habits_raw"))
+    assert landing.count() == 1  # duplicate payload landed once
+    assert set(landing.columns) == {"row_hash", "ingested_at", "payload"}

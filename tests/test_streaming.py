@@ -1,0 +1,112 @@
+"""Continuous-rollup semantics tests (reference sql/001_schema.sql:43-46):
+late data must be folded into already-materialized buckets on the next
+refresh (Timescale re-fold), and re-processing must be idempotent."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from habits_etl_spark.streaming.rollup import batch_daily_rollup, start_continuous_rollup
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_email", T.StringType()),
+        T.StructField("habit", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def ev(day, hour, user, habit, value):
+    return (dt.datetime(2024, 1, day, hour), user, habit, float(value))
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "source": str(tmp_path / "incoming"),
+        "events": str(tmp_path / "events"),
+        "rollup": str(tmp_path / "rollup"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def run_once(spark, dirs):
+    q = start_continuous_rollup(
+        spark,
+        source_dir=dirs["source"],
+        source_schema=SCHEMA,
+        events_path=dirs["events"],
+        rollup_path=dirs["rollup"],
+        checkpoint_path=dirs["ckpt"],
+        trigger={"availableNow": True},
+        backfill_horizon_days=100_000,  # test events are dated 2024
+    )
+    q.awaitTermination(120)
+
+
+def rollup_state(spark, dirs):
+    df = spark.read.parquet(dirs["rollup"])
+    return {
+        (str(r.day), r.user_email, r.habit): (r.count_done, r.avg_value, r.sum_meditation)
+        for r in df.collect()
+    }
+
+
+def test_rollup_matches_batch_and_folds_late_data(spark, dirs, tmp_path):
+    import os
+
+    os.makedirs(dirs["source"], exist_ok=True)
+    batch1 = [
+        ev(5, 9, "a@x.com", "workout", 1.0),
+        ev(5, 10, "a@x.com", "meditation_minutes", 20.0),
+        ev(6, 9, "b@x.com", "workout", 0.0),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    run_once(spark, dirs)
+    state1 = rollup_state(spark, dirs)
+    assert state1[("2024-01-05", "a@x.com", "workout")] == (1, 1.0, None)
+    assert state1[("2024-01-05", "a@x.com", "meditation_minutes")] == (1, 20.0, 20.0)
+    assert state1[("2024-01-06", "b@x.com", "workout")] == (0, 0.0, None)
+
+    # Late event for an ALREADY-MATERIALIZED bucket (2024-01-05) arrives in
+    # a later micro-batch — Timescale semantics: the bucket is re-folded.
+    late = [ev(5, 23, "a@x.com", "meditation_minutes", 10.0), ev(7, 8, "b@x.com", "workout", 1.0)]
+    spark.createDataFrame(late, SCHEMA).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    run_once(spark, dirs)
+    state2 = rollup_state(spark, dirs)
+    assert state2[("2024-01-05", "a@x.com", "meditation_minutes")] == (2, 15.0, 30.0)
+    assert state2[("2024-01-07", "b@x.com", "workout")] == (1, 1.0, None)
+    # untouched buckets unchanged
+    assert state2[("2024-01-06", "b@x.com", "workout")] == (0, 0.0, None)
+
+    # the maintained rollup must equal a from-scratch batch rollup
+    events = spark.read.parquet(dirs["events"])
+    batch = {
+        (str(r.day), r.user_email, r.habit): (r.count_done, r.avg_value, r.sum_meditation)
+        for r in batch_daily_rollup(events).collect()
+    }
+    assert state2 == batch
+
+
+def test_restart_is_idempotent(spark, dirs):
+    import os
+
+    os.makedirs(dirs["source"], exist_ok=True)
+    spark.createDataFrame(
+        [ev(5, 9, "a@x.com", "workout", 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    run_once(spark, dirs)
+    s1 = rollup_state(spark, dirs)
+    # re-run with no new data: checkpoint skips processed files; state identical
+    run_once(spark, dirs)
+    assert rollup_state(spark, dirs) == s1
