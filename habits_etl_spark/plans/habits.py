@@ -226,12 +226,15 @@ def stream_tumbling_window(spark, sf_dir):
 )
 def pred_time_range(spark, sf_dir):
     """Half-open time-range predicate (reference README.md:124,136
-    $__timeFilter). At scale this prunes date partitions of the fact table."""
-    e = t(spark, sf_dir, "events")
-    return e.filter(
-        (F.col("ts") >= F.to_timestamp(F.lit("2024-01-05")))
-        & (F.col("ts") < F.to_timestamp(F.lit("2024-01-06")))
-    ).select("event_id", fmt_ts(F.col("ts")).alias("ts_s"), "user_id", "event_type", "value")
+    $__timeFilter), pushed to the parquet scan in the raw nanos domain
+    (sources.load_events_range) so row groups outside the range are skipped
+    by min/max stats — the hypertable chunk-exclusion analog."""
+    from habits_etl_spark.sources import load_events_range
+
+    e = load_events_range(spark, sf_dir, "2024-01-05", "2024-01-06")
+    return e.select(
+        "event_id", fmt_ts(F.col("ts")).alias("ts_s"), "user_id", "event_type", "value"
+    )
 
 
 @query(

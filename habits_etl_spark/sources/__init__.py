@@ -45,6 +45,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    ts_start: str | None = None,
+    ts_end: str | None = None,
+) -> DataFrame:
+    """Events scan with a half-open [ts_start, ts_end) predicate applied in
+    the RAW nanosecond domain, *before* the timestamp conversion.
+
+    A filter on the converted column can't push past ``timestamp_micros(ts
+    div 1000)``, so Parquet would scan every row group. Translating the
+    bounds to int64 nanos keeps the predicate on the stored column —
+    ``PushedFilters: [GreaterThanOrEqual(ts, ...)]`` — which prunes row
+    groups by min/max stats. At 100 TB this is the difference between a
+    range read and a full scan (and mirrors the hypertable chunk exclusion
+    the reference gets from Timescale, sql/001_schema.sql:26)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def nanos(s: str) -> int:
+        d = dt.datetime.fromisoformat(s)
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000_000
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        if ts_start is not None:
+            df = df.filter(F.col("ts") >= nanos(ts_start))
+        if ts_end is not None:
+            df = df.filter(F.col("ts") < nanos(ts_end))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_start is not None:
+        df = df.filter(F.col("ts") >= F.to_timestamp(F.lit(ts_start)))
+    if ts_end is not None:
+        df = df.filter(F.col("ts") < F.to_timestamp(F.lit(ts_end)))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every table as a temp view for the SQL surface."""
     for t in tables:
