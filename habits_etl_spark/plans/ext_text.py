@@ -412,3 +412,54 @@ def ext_near_dedup_minhash(spark, sf_dir):
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def _simhash_bit_sql(k: int) -> str:
+    """SUM(+1/-1) for simhash bit k, from hex digit k//4 of md5(token).
+    Portable: instr/substr/& behave identically in Spark SQL and DuckDB."""
+    c = k // 4 + 1  # 1-based hex char position
+    m = 1 << (k % 4)
+    return (
+        f"sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), {c}, 1)) - 1) & {m} != 0 "
+        f"THEN 1 ELSE -1 END)"
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@query(
+    "ext_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOK_DUCK})) AS tok FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {", ".join(f"{_simhash_bit_sql(k)} AS s{k}" for k in range(_SIMHASH_BITS))}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN s{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM sums
+    """,
+)
+def ext_simhash(spark, sf_dir):
+    """SimHash document fingerprint (BASELINE north-star 'SimHash'):
+    {_SIMHASH_BITS}-bit signature where bit k is the sign of the +1/-1 vote
+    sum over tokens' md5-derived bits. Near-duplicate docs differ in few
+    bits (Hamming distance); the whole computation is one explode + one
+    grouped aggregation of integer CASE sums — a single shuffle on doc_id,
+    same cost class as a word count. md5-hex arithmetic keeps it
+    engine-portable (the identical SQL runs as the oracle)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(_TOK_SPARK(F.col("text")))).alias("tok")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.expr(_simhash_bit_sql(k)).alias(f"s{k}") for k in range(_SIMHASH_BITS)]
+    )
+    fingerprint = F.expr(
+        " + ".join(f"(CASE WHEN s{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS))
+    ).cast("bigint")
+    return sums.select("doc_id", fingerprint.alias("simhash"))

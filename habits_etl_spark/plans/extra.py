@@ -1,0 +1,304 @@
+"""Second-wave query surface: tz anchoring parity, set operations,
+config-mapping join, typed JSON flattening, sessionization, percentiles,
+session windows, and the shipping-priority star query."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from habits_etl_spark.functions.datetime_ops import parse_report_date_expr
+from habits_etl_spark.plans.common import (
+    TS_FMT_DUCK,
+    davg,
+    dsum,
+    fmt_ts,
+    query,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_noon_anchor_tz",
+    f"""
+    SELECT event_id,
+           strftime(ts, '%-m/%-d/%Y') AS raw,
+           strftime(date_trunc('day', ts) + INTERVAL 18 HOURS, '{TS_FMT_DUCK}') AS parsed_s
+    FROM events
+    """,
+)
+def op_noon_anchor_tz(spark, sf_dir):
+    """Noon-local anchoring with a REAL timezone (reference
+    etl/transform.py:41-43 + README.md:215 DST note): date-only strings
+    parsed in America/Chicago anchor to 12:00 CST. The test window
+    (January 2024) is entirely CST (UTC-6), so the oracle's expected
+    instant is day + 12h + 6h without needing ICU in DuckDB; the DST
+    transition itself is covered by tests/test_datetime_golden.py."""
+    e = t(spark, sf_dir, "events")
+    raw = F.date_format("ts", "M/d/yyyy")
+    return e.select(
+        "event_id",
+        raw.alias("raw"),
+        fmt_ts(parse_report_date_expr(raw, "America/Chicago")).alias("parsed_s"),
+    )
+
+
+@query(
+    "set_ops",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM e)
+    """,
+)
+def set_ops(spark, sf_dir):
+    """Set operations (SURVEY §2.9 [E]): distinct union / intersect /
+    except over dimension domains. Spark plans these as aggregations and
+    semi/anti hash joins respectively."""
+    e = t(spark, sf_dir, "events")
+
+    def users(et):
+        return e.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    c, p, err = users("click"), users("purchase"), users("error")
+    rows = [
+        c.union(p).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n"),
+        c.intersect(p).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n"),
+        c.exceptAll(err).agg(F.count(F.lit(1)).alias("n")).select(F.lit("except").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_CATEGORY_MAP = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "growth"),
+    ("error", "ops"),
+]
+
+
+@query(
+    "join_config_mapping",
+    f"""
+    SELECT m.category, count(*) AS n, {sql_dsum('e.value')} AS sum_value
+    FROM events e
+    JOIN (VALUES {", ".join(f"('{k}', '{v}')" for k, v in _CATEGORY_MAP)}) AS m(event_type, category)
+      ON e.event_type = m.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_config_mapping(spark, sf_dir):
+    """Config-declared mapping join (reference etl/transform.py:90-91: the
+    habits.yml lookup per unpivoted column): a tiny driver-built mapping
+    relation broadcast against the fact table — zero shuffle of the big
+    side, exactly how the engine compiles habits.yml."""
+    e = t(spark, sf_dir, "events")
+    mapping = spark.createDataFrame(_CATEGORY_MAP, "event_type string, category string")
+    return (
+        e.join(F.broadcast(mapping), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("category")
+    )
+
+
+@query(
+    "ext_json_flatten",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    """,
+)
+def ext_json_flatten(spark, sf_dir):
+    """Typed JSON flattening via from_json + schema (SURVEY §2.12
+    ext_json_flatten; complements the path-string fn_json_extract): the
+    payload parses once into a struct, fields project as columns."""
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json(
+        F.col("props"),
+        T.StructType(
+            [T.StructField("k", T.IntegerType()), T.StructField("missing", T.StringType())]
+        ),
+    )
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["missing"].isNotNull().alias("has_missing"),
+    )
+
+
+@query(
+    "ext_sessionize",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def ext_sessionize(spark, sf_dir):
+    """Sessionization via lag + running sum of gap flags (the batch
+    gaps-and-islands form; 30-minute inactivity gap). One shuffle on
+    user_id serves both windows and the final aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sess = e.select("user_id", "ts", "event_id", is_new.alias("is_new")).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fmt_ts(F.min("ts")).alias("session_start"),
+        fmt_ts(F.max("ts")).alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@query(
+    "stream_session_window",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS w_start,
+           strftime(max(ts) + INTERVAL 30 MINUTES, '{TS_FMT_DUCK}') AS w_end,
+           count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Native session windows (SURVEY §2.10 stream_session_window [E]):
+    ``session_window(ts, gap)`` — usable identically in batch and
+    Structured Streaming (window end = last event + gap). Oracle is the
+    equivalent gaps-and-islands expansion."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start")).alias("w_start"),
+            fmt_ts(F.col("w.end")).alias("w_end"),
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (SURVEY §2.5 family): Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (linear interpolation).
+    At 100 TB swap for percentile_approx (see agg_approx_distinct pattern)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "join_q3_shipping",
+    f"""
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_q3_shipping(spark, sf_dir):
+    """Shipping-priority top-k (TPC-H Q3 shape): filter-heavy 3-way join +
+    grouped revenue + global top-10. Customer side broadcasts post-filter;
+    the ORDER BY ... LIMIT compiles to TakeOrderedAndProject."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate_s", "l_orderkey")
+        .limit(10)
+    )
