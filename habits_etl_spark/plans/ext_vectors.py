@@ -72,13 +72,31 @@ def ext_topk_sim_search(spark, sf_dir):
     (query × corpus) partial top-k results do, via WindowGroupLimit /
     TakeOrdered). The sub-linear path is ext_ann_lsh_bucketed below."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # Normalize ONCE per vector (cast to float64 + L2 norm) — computing the
+    # norm inside the pair expression would redo it per candidate pair,
+    # turning an O(N + Q·N) kernel into O(3·Q·N) folds.
+    prepped = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )))
+    q = prepped.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
     )
-    corpus = e.select(
+    corpus = prepped.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
-        F.col("embedding").alias("c_emb"),
+        F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_v"), F.col("c_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     scored = (
         corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -86,7 +104,7 @@ def ext_topk_sim_search(spark, sf_dir):
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 4).alias("cos"),
+            F.round(dot / (F.col("q_nrm") * F.col("c_nrm")), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -113,15 +131,27 @@ def ext_embedding_cosine_pairs(spark, sf_dir):
     Exact quadratic baseline at test scale; at 100 TB the LSH-bucketed
     variant below prunes the pair space first."""
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(
+    prepped = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )))
+    a = prepped.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
     )
-    b = e.select(
+    b = prepped.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
+        F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
     )
-    cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= _COS_THRESHOLD)
