@@ -159,6 +159,97 @@ def ext_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+@query("ext_ann_ivf_probe")  # rows-only check: approximate by design
+def ext_ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN (SURVEY §2.12 'an IVF or LSH-bucketed variant'):
+
+    1. pick deterministic coarse centroids (every k-th corpus vector — a
+       one-pass stand-in for a k-means fit, which at 100 TB would be a
+       sampled offline job);
+    2. assign every corpus vector to its nearest centroid (broadcast
+       centroids x corpus scan — one pass);
+    3. probe: each query searches only the ``n_probe`` closest centroids'
+       inverted lists, then exact cosine re-rank inside them.
+
+    Scale: the corpus scans once for assignment; query cost drops from
+    O(N) to O(N * n_probe / n_cells). Approximate (cell misses possible),
+    hence rows-only; recall vs exact is asserted in tests/test_vectors.py."""
+    n_cells = 16
+    n_probe = 4
+    e = t(spark, sf_dir, "embeddings")
+    prepped = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )))
+
+    total = prepped.count()  # bounded metadata read (one count of the corpus)
+    step = max(total // n_cells, 1)
+    centroids = prepped.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < n_cells)).select(
+        (F.col("vec_id") / step).cast("int").alias("cell_id"),
+        F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
+    )
+
+    dot_vc = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim_to_centroid = dot_vc / (F.col("nrm") * F.col("c_nrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    assigned = (
+        prepped.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", sim_to_centroid)
+        .withColumn("__rk", F.row_number().over(w_assign))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "label", "v", "nrm", "cell_id")
+    )
+
+    queries_assigned = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__sim",
+            F.aggregate(
+                F.zip_with(F.col("q_v"), F.col("c_v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "q_v", "q_nrm", "cell_id")
+    )
+
+    dot_qc = F.aggregate(
+        F.zip_with(F.col("q_v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        assigned.join(F.broadcast(queries_assigned), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot_qc / (F.col("q_nrm") * F.col("nrm")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= _TOP_K
+    )
+
+
 @query("ext_ann_lsh_bucketed")  # rows-only check: approximate by design
 def ext_ann_lsh_bucketed(spark, sf_dir):
     """Sub-linear ANN path (SURVEY §2.12 'IVF or LSH-bucketed variant'):

@@ -1,0 +1,68 @@
+"""Optional JDBC serving sink/source (reference sink_jdbc_pg: Postgres as
+the serving store, etl/etl_habits.py:1,45). The engine's native storage is
+Parquet; JDBC is a thin egress for dashboards that need a SQL endpoint.
+
+Gated behind driver availability — the container ships no JDBC drivers, so
+these raise a clear error instead of failing deep inside py4j."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class JdbcDriverMissing(RuntimeError):
+    pass
+
+
+def _check_driver(spark: SparkSession, driver: str) -> None:
+    try:
+        spark._jvm.java.lang.Class.forName(driver)  # type: ignore[union-attr]
+    except Exception as exc:  # driver jar not on classpath
+        raise JdbcDriverMissing(
+            f"JDBC driver {driver!r} not on the Spark classpath; add the jar "
+            "via spark.jars to enable the JDBC sink (engine-native storage "
+            "is Parquet and does not require this)."
+        ) from exc
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str = "org.postgresql.Driver",
+    **options: str,
+) -> None:
+    """df.write.jdbc with upfront driver validation. For upsert semantics
+    into a SQL store, pre-merge with sinks.upsert.upsert_keyed and write
+    mode='overwrite' to a staging table, then swap server-side."""
+    _check_driver(df.sparkSession, driver)
+    df.write.format("jdbc").options(url=url, dbtable=table, driver=driver, **options).mode(
+        mode
+    ).save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str = "org.postgresql.Driver",
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Parallel JDBC scan: always pass partition_column/bounds in
+    production — a single-connection read is the reference's row-at-a-time
+    bottleneck reborn."""
+    _check_driver(spark, driver)
+    reader = spark.read.format("jdbc").options(url=url, dbtable=table, driver=driver, **options)
+    if partition_column is not None:
+        reader = reader.options(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    return reader.load()
