@@ -463,3 +463,79 @@ def ext_simhash(spark, sf_dir):
         " + ".join(f"(CASE WHEN s{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS))
     ).cast("bigint")
     return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+_CGRAM_N = 5  # character shingle width
+_CGRAM_THRESHOLD = 0.5
+
+
+@query(
+    "ext_ngram_jaccard_blocked",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([text[i:i+{_CGRAM_N - 1}] for i in range(1, length(text) - {_CGRAM_N - 2})])) AS gram
+      FROM documents WHERE length(text) >= {_CGRAM_N}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    blocks AS (SELECT DISTINCT doc_id, source FROM g),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_CGRAM_THRESHOLD}
+    """,
+)
+def ext_ngram_jaccard_blocked(spark, sf_dir):
+    """Character {_CGRAM_N}-gram Jaccard near-dedup with **blocking**
+    (BASELINE north-star 'n-gram Jaccard'): exact pairwise Jaccard, but
+    only inside blocks (same ``source``) — the classic blocking strategy
+    that bounds the pair space when a natural partition key exists, the
+    deterministic complement to the probabilistic MinHash path.
+
+    Scale: pair space is sum over blocks of |block|^2 instead of N^2; the
+    gram equi-join ships only candidate blocks' gram sets."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= _CGRAM_N)
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (_CGRAM_N - 1)),
+            lambda i: F.substring(F.col("text"), i, _CGRAM_N),
+        )
+    )
+    g = d.select("doc_id", "source", F.explode(grams_arr).alias("gram")).cache()
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    blocks = g.select("doc_id", "source").distinct()
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = a.join(
+        b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    ga = g.alias("ga")
+    gb = g.alias("gb")
+    inter = (
+        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(gb, (F.col("gb.doc_id") == F.col("doc_b")) & (F.col("gb.gram") == F.col("ga.gram")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= _CGRAM_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

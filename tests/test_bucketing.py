@@ -1,0 +1,38 @@
+"""Bucketed co-located join: correct results AND no shuffle in the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from habits_etl_spark.sinks.bucketing import bucketed_join, write_bucketed
+from habits_etl_spark.sources import load_table
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    # warehouse dir is static conf, set to /tmp/spark-warehouse in session.py
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed(lineitem, "lineitem_b", "o_orderkey", n_buckets=8)
+
+    # broadcast would dodge the point at this size — force the merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "lineitem_b", "orders_b", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+
+        expected = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
