@@ -9,7 +9,15 @@ from habits_etl_spark.sources import load_table
 
 
 def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
-    # warehouse dir is static conf, set to /tmp/spark-warehouse in session.py
+    # warehouse dir is static conf (/tmp/spark-warehouse, session.py); the
+    # in-memory catalog forgets tables across sessions but their managed
+    # locations persist — clear both before re-creating.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
         "l_orderkey", "o_orderkey"
