@@ -539,3 +539,62 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
         .filter(jac >= _CGRAM_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query("ext_dup_clusters")  # rows-only: iterative fixpoint, not one SQL statement
+def ext_dup_clusters(spark, sf_dir):
+    """Duplicate clusters (keep-one policy input): connected components of
+    the MinHash near-dup pair graph (operators/clusters.py). Output: one
+    row per clustered doc with its canonical (minimum) doc id. Iterative
+    label propagation => rows-only driver check; component semantics are
+    asserted in tests/test_clusters.py."""
+    from habits_etl_spark.operators.clusters import connected_components
+
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return comps.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("keep_doc_id")
+    ).orderBy("doc_id")
+
+
+@query(
+    "ext_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace('contact ' || source || '@mail-' || CAST(doc_id AS VARCHAR)
+                              || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              || ' ref ' || substr(text, 1, 40),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def ext_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): email / phone / long-number
+    masking with ordered regexp_replace passes. The synthetic PII is
+    derived deterministically from each row so the op has real matches.
+    Pure map stage — at 100 TB this pipelines with the scan."""
+    d = t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("@mail-"),
+        F.col("doc_id").cast("string"), F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "), F.substring(F.col("text"), 1, 40),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                synth,
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+            "<PHONE>",
+        ),
+        r"[0-9]{4,}",
+        "<NUM>",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"))
