@@ -11,11 +11,9 @@ from pyspark.sql import types as T
 from habits_etl_spark.functions.datetime_ops import parse_report_date_expr
 from habits_etl_spark.plans.common import (
     TS_FMT_DUCK,
-    davg,
     dsum,
     fmt_ts,
     query,
-    sql_davg,
     sql_dsum,
     t,
 )
