@@ -598,3 +598,52 @@ def ext_pii_scrub(spark, sf_dir):
         "<NUM>",
     )
     return d.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@query(
+    "ext_stratified_sample",
+    """
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang FROM tagged
+    WHERE CAST(h AS DOUBLE) / 4294967295.0 < CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END
+    """,
+)
+def ext_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-data mixture control):
+    keep-probability per stratum (50% en, 25% otherwise), decided by a
+    content-derived hash instead of rand() — reproducible across runs,
+    retries, and engines (md5-uniform in [0,1)). Pure map stage; at 100 TB
+    this IS the mixture-sampling pass of a data pipeline."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    u = h.cast("double") / F.lit(4294967295.0)
+    keep_p = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.25))
+    return d.filter(u < keep_p).select("doc_id", "lang")
+
+
+@query(
+    "ext_token_histogram",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOK_DUCK}) AS tok FROM documents
+    )
+    SELECT tok, count(*) AS n FROM toks
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 25
+    """,
+)
+def ext_token_histogram(spark, sf_dir):
+    """Corpus-wide token frequency top-k (vocabulary analysis): explode ->
+    count -> TakeOrdered. Scale: partial counts collapse map-side before
+    the shuffle (hash agg on the token), top-k never sorts globally."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_TOK_SPARK(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(25)
+    )
