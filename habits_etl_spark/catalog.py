@@ -50,12 +50,23 @@ def ensure_schema(spark: SparkSession, warehouse: str) -> None:
         df = spark.read.parquet(path)
         declared = {f.name: f.dataType.simpleString() for f in schema.fields}
         actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        missing = {
-            k: v for k, v in declared.items() if actual.get(k) not in (v, None)
+        type_conflicts = {
+            k: (v, actual[k])
+            for k, v in declared.items()
+            if k in actual and actual[k] != v
         }
-        extra_mismatch = {k: actual[k] for k in missing if k in actual}
-        if extra_mismatch:
+        absent = [
+            f.name
+            for f in schema.fields
+            if f.name not in actual and not f.nullable
+        ]
+        if type_conflicts:
             raise SchemaMismatch(
-                f"{name}: on-disk types {extra_mismatch} conflict with declared {missing}"
+                f"{name}: on-disk types conflict with declared (declared, actual): "
+                f"{type_conflicts}"
+            )
+        if absent:
+            raise SchemaMismatch(
+                f"{name}: declared non-nullable column(s) {absent} absent on disk"
             )
         df.createOrReplaceTempView(name)

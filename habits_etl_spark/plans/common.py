@@ -53,6 +53,29 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Plan builders are lazy, so a try/finally around construction can't release
+# caches (nothing has materialized yet). Instead each cached intermediate
+# registers under a scope key; the NEXT invocation of the same operator
+# unpersists the previous handle before caching anew. This bounds executor
+# storage to one invocation's worth per operator in long-lived sessions
+# (bench best-of-N, the driver's correctness loop, pytest) and silences
+# Spark's "already cached" warnings on re-invocation.
+_CACHE_REGISTRY: dict[str, DataFrame] = {}
+
+
+def managed_cache(df: DataFrame, scope: str) -> DataFrame:
+    """Cache ``df``, releasing whatever was cached under ``scope`` before."""
+    prev = _CACHE_REGISTRY.pop(scope, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session may be gone; a dead handle holds no memory
+    cached = df.cache()
+    _CACHE_REGISTRY[scope] = cached
+    return cached
+
+
 def fmt_ts(c: Column) -> Column:
     """Timestamp -> canonical string (pairs with strftime(%f) in DuckDB)."""
     return F.date_format(c, TS_FMT_SPARK)

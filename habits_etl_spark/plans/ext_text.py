@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import davg, query, sql_davg, t
+from habits_etl_spark.plans.common import davg, managed_cache, query, sql_davg, t
 
 # Whitespace tokenization shared by every operator here.
 _TOK_SPARK = lambda c: F.split(F.trim(c), r"\s+")  # noqa: E731
@@ -273,10 +273,9 @@ def _band_sql(alias: str = "sig"):
     )
 
 
-@query(
-    "ext_near_dedup_minhash",
-    f"""
-    WITH words AS (
+# The MinHash pipeline's CTE chain + final select, shared between the
+# ext_near_dedup_minhash oracle and the ext_dup_clusters recursive oracle.
+_MINHASH_CTES = f"""words AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
     sh AS (
@@ -301,13 +300,21 @@ def _band_sql(alias: str = "sig"):
       JOIN sh ta ON ta.doc_id = c.doc_a
       JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
       GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b,
+    )"""
+
+_MINHASH_FINAL = f"""SELECT i.doc_a, i.doc_b,
            round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_JACCARD_THRESHOLD}
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_JACCARD_THRESHOLD}"""
+
+
+@query(
+    "ext_near_dedup_minhash",
+    f"""
+    WITH {_MINHASH_CTES}
+    {_MINHASH_FINAL}
     """,
 )
 def ext_near_dedup_minhash(spark, sf_dir):
@@ -356,10 +363,13 @@ def ext_near_dedup_minhash(spark, sf_dir):
     )
     # Cached: the shingle relation feeds three consumers (sizes, signatures,
     # verify join) — without it each self-join arm recomputes the scan.
-    sh = (
-        words.filter(F.size(wcol) >= _SHINGLE_N)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-        .cache()
+    # managed_cache releases the previous invocation's handle (no leak
+    # across repeated runs in one session).
+    sh = managed_cache(
+        words.filter(F.size(wcol) >= _SHINGLE_N).select(
+            "doc_id", F.explode(shingles).alias("shingle")
+        ),
+        "minhash.sh",
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sig = sh.groupBy("doc_id").agg(
@@ -376,7 +386,8 @@ def ext_near_dedup_minhash(spark, sf_dir):
             F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias("v"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    bands = bands.cache()  # tiny: n_docs x n_bands rows; joined against itself
+    # tiny: n_docs x n_bands rows; joined against itself
+    bands = managed_cache(bands, "minhash.bands")
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -514,7 +525,9 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
             lambda i: F.substring(F.col("text"), i, _CGRAM_N),
         )
     )
-    g = d.select("doc_id", "source", F.explode(grams_arr).alias("gram")).cache()
+    g = managed_cache(
+        d.select("doc_id", "source", F.explode(grams_arr).alias("gram")), "ngram.g"
+    )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     blocks = g.select("doc_id", "source").distinct()
     a = blocks.alias("a")
@@ -541,13 +554,35 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
     )
 
 
-@query("ext_dup_clusters")  # rows-only: iterative fixpoint, not one SQL statement
+@query(
+    "ext_dup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_FINAL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS u, w.label FROM walk w JOIN edges e ON e.u = w.u
+    )
+    SELECT u AS doc_id, min(label) AS keep_doc_id FROM walk GROUP BY u ORDER BY doc_id
+    """,
+)
 def ext_dup_clusters(spark, sf_dir):
     """Duplicate clusters (keep-one policy input): connected components of
     the MinHash near-dup pair graph (operators/clusters.py). Output: one
-    row per clustered doc with its canonical (minimum) doc id. Iterative
-    label propagation => rows-only driver check; component semantics are
-    asserted in tests/test_clusters.py."""
+    row per clustered doc with its canonical (minimum) doc id.
+
+    Oracle: DuckDB ``WITH RECURSIVE`` transitive closure over the same
+    pair set — every vertex collects all reachable labels, min(label) is
+    the component's canonical id (sound because the graph is undirected).
+    The closure is quadratic in component size, fine for an oracle over
+    collision-scale pairs; the Spark side stays the O(log n) label
+    propagation that scales."""
     from habits_etl_spark.operators.clusters import connected_components
 
     pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")

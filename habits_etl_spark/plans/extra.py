@@ -241,7 +241,11 @@ def stream_session_window(spark, sf_dir):
 def agg_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (SURVEY §2.5 family): Spark
     ``percentile`` == DuckDB ``quantile_cont`` (linear interpolation).
-    At 100 TB swap for percentile_approx (see agg_approx_distinct pattern)."""
+
+    Scale: exact percentile buffers every group's values in the
+    aggregation buffer — kept ONLY for oracle parity at test scale. The
+    100 TB path is ``agg_approx_percentiles`` below (bounded-memory
+    KLL-style sketch), which the bench headline uses."""
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
@@ -249,6 +253,26 @@ def agg_percentiles(spark, sf_dir):
             F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
             F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
             F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_approx_percentiles")  # no oracle: approximate result by design
+def agg_approx_percentiles(spark, sf_dir):
+    """Approximate percentiles via ``percentile_approx`` (Greenwald-Khanna
+    sketch, accuracy=10000): O(accuracy) memory per group regardless of
+    group size, mergeable across partitions — the only percentile shape
+    that survives a 100 TB fact table. rows-only driver check; error
+    bounds vs the exact twin are asserted in tests/test_extra_ops.py."""
+    e = t(spark, sf_dir, "events")
+    acc = F.lit(10000)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", F.lit(0.5), acc), 4).alias("p50"),
+            F.round(F.percentile_approx("value", F.lit(0.9), acc), 4).alias("p90"),
+            F.round(F.percentile_approx("value", F.lit(0.99), acc), 4).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -274,8 +298,10 @@ def agg_percentiles(spark, sf_dir):
 )
 def join_q3_shipping(spark, sf_dir):
     """Shipping-priority top-k (TPC-H Q3 shape): filter-heavy 3-way join +
-    grouped revenue + global top-10. Customer side broadcasts post-filter;
-    the ORDER BY ... LIMIT compiles to TakeOrderedAndProject."""
+    grouped revenue + global top-10. The ORDER BY ... LIMIT compiles to
+    TakeOrderedAndProject. Customer scales with the data, so its join
+    strategy is left to AQE (broadcast when the post-filter size allows,
+    shuffled at 100 TB) — no forced hint."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
@@ -288,7 +314,7 @@ def join_q3_shipping(spark, sf_dir):
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
         .select(

@@ -102,11 +102,14 @@ def join_star_schema(spark, sf_dir):
     """Local-supplier-revenue star join (TPC-H Q5 shape): 5-way equi-join
     with a region filter.
 
-    Scale: region/nation/supplier/customer are dimension tables —
-    broadcast them (explicit hint for the tiny ones; AQE converts the rest
-    when post-filter sizes allow). lineitem->orders is the only
-    big-to-big join: a shuffle on orderkey, which AQE skew-splits if
-    needed. The o_orderdate filter is pushed below the joins."""
+    Scale: only the bounded dimensions (nation: 25 rows, region: 5 rows
+    post-filter) carry an explicit broadcast hint. customer/supplier SCALE
+    WITH THE DATA — a forced broadcast of a multi-GB table OOMs executors
+    at 100 TB, so those joins are left to AQE, which picks broadcast from
+    post-filter runtime sizes at small sf and shuffled-hash/SMJ at scale.
+    lineitem->orders is the only guaranteed big-to-big join: a shuffle on
+    orderkey, which AQE skew-splits if needed. The o_orderdate filter is
+    pushed below the joins."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
@@ -118,9 +121,9 @@ def join_star_schema(spark, sf_dir):
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -71,7 +71,11 @@ def join_min_per_group_corr(spark, sf_dir):
 def agg_shipping_volume_years(spark, sf_dir):
     """Cross-year supplier-nation volume (TPC-H Q7 family): one scan, the
     per-year split done with conditional aggregation instead of two passes
-    or a self-join; the year range filter still pushes to the scan."""
+    or a self-join; the year range filter still pushes to the scan.
+
+    Scale: nation (25 rows) keeps its broadcast hint; supplier scales with
+    the data, so its join strategy is left to AQE (broadcast at small sf,
+    shuffled at 100 TB) rather than a forced hint that would OOM."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
@@ -86,7 +90,7 @@ def agg_shipping_volume_years(spark, sf_dir):
         return F.round(F.sum(F.when(in_year, _rev())).cast("double"), 2)
 
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(

@@ -66,12 +66,22 @@ def load_events_range(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # NOTE: nanosAsLong must stay set for the lifetime of the returned
+    # (lazy) DataFrame — Spark re-reads SQLConf at each query execution,
+    # so restoring it here would break a later .collect(). It is therefore
+    # a session-level setting, shared with load_table("events").
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def nanos(s: str) -> int:
-        d = dt.datetime.fromisoformat(s)
-        return int(d.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000_000
+        # Exact integer epoch arithmetic: float .timestamp() would truncate
+        # or round sub-second components of the bound.
+        d = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        delta = d - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (
+            (delta.days * 86_400 + delta.seconds) * 1_000_000_000
+            + delta.microseconds * 1_000
+        )
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         if ts_start is not None:
