@@ -21,7 +21,10 @@ HEADLINE = [
     "agg_daily_rollup",
     "agg_sum_timeseries",
     "agg_conditional_pct",
-    "agg_percentiles",
+    # approx twin of agg_percentiles: the exact op stays registered for
+    # oracle parity, but the headline measures the plan that survives
+    # 100 TB (percentile_approx sketch, bounded memory per group)
+    "agg_approx_percentiles",
     "agg_q1_pricing",
     "join_star_schema",
     "join_q3_shipping",

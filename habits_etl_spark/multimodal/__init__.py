@@ -39,7 +39,7 @@ DECODED_SCHEMA = (
 )
 
 FEATURE_DIM = 16
-FEATURE_SCHEMA = f"media_id long, feature array<float>"
+FEATURE_SCHEMA = "media_id long, feature array<float>"
 
 
 def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:

@@ -19,6 +19,49 @@ from habits_etl_spark.plans.common import query, t
 _TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _COS_THRESHOLD = 0.4
+_DIM = 64
+
+# Above this corpus size the exact all-pairs join is refused and
+# ext_embedding_cosine_pairs routes through LSH-banded candidates.
+_EXACT_PAIRS_MAX = 100_000
+
+
+def _srp_proj(vcol: Column, plane: int, seed: str) -> Column:
+    """Signed projection of ``vcol`` (double array) onto deterministic
+    pseudo-hyperplane ``plane``: components are +-1 from a crc32 of
+    (seed, plane, i), so the planes need no driver-side state and
+    constant-fold in Catalyst."""
+    return F.aggregate(
+        F.zip_with(
+            vcol,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_DIM - 1)),
+                lambda i: F.when(
+                    F.crc32(F.concat_ws(":", F.lit(seed), F.lit(str(plane)), i.cast("string"))) % 2 == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, h: x * h,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def srp_band_values(vcol: Column, n_bands: int, band_bits: int, seed: str = "srp") -> list[Column]:
+    """One integer band key per band: ``band_bits`` sign bits packed.
+    Two vectors collide in band b iff all of that band's projection signs
+    agree — P(bit agree) = 1 - theta/pi, so a band collides with
+    p = (1 - theta/pi)^band_bits and overall recall after ``n_bands``
+    bands is 1 - (1-p)^n_bands (the classic SRP-LSH s-curve)."""
+    values = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(band_bits):
+            proj = _srp_proj(vcol, b * band_bits + j, seed)
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
+        values.append(sum(bits[1:], bits[0]))
+    return values
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -114,6 +157,82 @@ def ext_topk_sim_search(spark, sf_dir):
     )
 
 
+def _prepped_embeddings(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )))
+
+
+def _cosine_pairs_from(pair_source, threshold=_COS_THRESHOLD):
+    """Score (vec_a < vec_b) candidate pairs carrying (v_a, n_a, v_b, n_b)
+    columns; keep cos >= threshold."""
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("n_a") * F.col("n_b"))
+    return (
+        pair_source.filter(cos >= threshold)
+        .select("vec_a", "vec_b", "label_a", "label_b", F.round(cos, 4).alias("cos"))
+    )
+
+
+def _pair_arms(prepped):
+    a = prepped.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
+    )
+    b = prepped.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
+    )
+    return a, b
+
+
+_PAIR_BANDS = 16
+_PAIR_BAND_BITS = 8
+
+
+def _lsh_candidate_pairs(prepped):
+    """Banded SRP-LSH candidate generation, mirroring the MinHash->verify
+    text pipeline: explode each vector to (band_idx, band_val) rows,
+    self-equi-join on the band key — only bucket collisions are scored,
+    the quadratic pair space is never materialized."""
+    bands = srp_band_values(F.col("v"), _PAIR_BANDS, _PAIR_BAND_BITS, seed="pairs")
+    banded = prepped.select(
+        "vec_id", "label", "v", "nrm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_idx"), bv.alias("band_val"))
+                for i, bv in enumerate(bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "label", "v", "nrm", "bk.band_idx", "bk.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("a.label").alias("label_a"),
+            F.col("a.v").alias("v_a"), F.col("a.nrm").alias("n_a"),
+            F.col("b.vec_id").alias("vec_b"), F.col("b.label").alias("label_b"),
+            F.col("b.v").alias("v_b"), F.col("b.nrm").alias("n_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 @query(
     "ext_embedding_cosine_pairs",
     f"""
@@ -128,44 +247,44 @@ def ext_topk_sim_search(spark, sf_dir):
 def ext_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (BASELINE north-star
     'embedding-cosine near-dup'): all pairs above a cosine threshold.
-    Exact quadratic baseline at test scale; at 100 TB the LSH-bucketed
-    variant below prunes the pair space first."""
-    e = t(spark, sf_dir, "embeddings")
-    prepped = e.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(F.aggregate(
-        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )))
-    a = prepped.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
-    )
-    b = prepped.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("n_a") * F.col("n_b"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= _COS_THRESHOLD)
-        .select("vec_a", "vec_b", "label_a", "label_b", F.round(cos, 4).alias("cos"))
-    )
+
+    Hybrid routing: below ``_EXACT_PAIRS_MAX`` corpus rows (a bounded
+    parquet-metadata count) the exact all-pairs join runs — complete, and
+    what the driver oracle verifies at test scale. Above it the quadratic
+    join is REFUSED and candidates come from banded SRP-LSH + exact
+    cosine verification (``_lsh_candidate_pairs``), mirroring the
+    MinHash->verify text pipeline. The LSH path's recall follows the
+    s-curve in ``srp_band_values``: near-complete at the cosine levels
+    real near-dup dedup uses (>=0.8), lossy at this fixture's 0.4
+    threshold — which is why the exact path is kept for the region where
+    exact is still tractable (registered separately as
+    ``ext_cosine_pairs_lsh`` for the driver's rows-only check)."""
+    prepped = _prepped_embeddings(spark, sf_dir)
+    n = t(spark, sf_dir, "embeddings").count()  # parquet metadata count
+    if n > _EXACT_PAIRS_MAX:
+        return _cosine_pairs_from(_lsh_candidate_pairs(prepped))
+    a, b = _pair_arms(prepped)
+    return _cosine_pairs_from(a.join(b, F.col("vec_a") < F.col("vec_b")))
+
+
+@query("ext_cosine_pairs_lsh")  # rows-only: approximate recall by design
+def ext_cosine_pairs_lsh(spark, sf_dir):
+    """The 100 TB path of ``ext_embedding_cosine_pairs``, runnable at any
+    scale: banded SRP-LSH candidates ({_PAIR_BANDS} bands x
+    {_PAIR_BAND_BITS} bits) + exact cosine verify. Every emitted pair is a
+    TRUE pair with an exactly-computed cosine (precision 1.0 — verified
+    subset of the exact result); recall is the LSH s-curve, asserted
+    against the exact pairs in tests/test_vectors.py."""
+    return _cosine_pairs_from(_lsh_candidate_pairs(_prepped_embeddings(spark, sf_dir)))
 
 
 @query("ext_ann_ivf_probe")  # rows-only check: approximate by design
 def ext_ann_ivf_probe(spark, sf_dir):
     """IVF-style ANN (SURVEY §2.12 'an IVF or LSH-bucketed variant'):
 
-    1. pick deterministic coarse centroids (every k-th corpus vector — a
-       one-pass stand-in for a k-means fit, which at 100 TB would be a
-       sampled offline job);
+    1. pick deterministic coarse centroids (a hash-of-id sample of the
+       corpus — works for any id distribution, a one-pass stand-in for a
+       k-means fit, which at 100 TB would be a sampled offline job);
     2. assign every corpus vector to its nearest centroid (broadcast
        centroids x corpus scan — one pass);
     3. probe: each query searches only the ``n_probe`` closest centroids'
@@ -187,10 +306,18 @@ def ext_ann_ivf_probe(spark, sf_dir):
 
     total = prepped.count()  # bounded metadata read (one count of the corpus)
     step = max(total // n_cells, 1)
-    centroids = prepped.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < n_cells)).select(
-        (F.col("vec_id") / step).cast("int").alias("cell_id"),
-        F.col("v").alias("c_v"),
-        F.col("nrm").alias("c_nrm"),
+    # Hash-based centroid pick — no density/contiguity assumption on
+    # vec_id: keep rows whose id-hash lands in ~2*n_cells/total of the
+    # hash space (oversampled 2x against Poisson shortfall), then number
+    # the first n_cells in hash order. The window sorts only the tiny
+    # oversampled set, never the corpus.
+    hsh = F.crc32(F.concat(F.lit("centroid:"), F.col("vec_id").cast("string")))
+    cand_c = prepped.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2)
+    w_pick = Window.orderBy("__h", "vec_id")
+    centroids = (
+        cand_c.withColumn("cell_id", (F.row_number().over(w_pick) - 1).cast("int"))
+        .filter(F.col("cell_id") < n_cells)
+        .select("cell_id", F.col("v").alias("c_v"), F.col("nrm").alias("c_nrm"))
     )
 
     dot_vc = F.aggregate(

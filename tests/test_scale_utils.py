@@ -30,6 +30,26 @@ def test_salted_join_left_outer(spark):
     assert rows[1] == "x" and rows[2] is None and len(rows) == 10
 
 
+def test_salted_join_rejects_replicating_types(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([(1, "x")], "k long, tag string")
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_ensure_schema_detects_absent_column(spark, tmp_path):
+    from habits_etl_spark.catalog import SchemaMismatch, ensure_schema
+
+    wh = str(tmp_path / "wh")
+    # habits_raw missing the non-nullable ingested_at column entirely
+    spark.createDataFrame([("h", "p")], "row_hash string, payload string").write.parquet(
+        wh + "/habits_raw"
+    )
+    with pytest.raises(SchemaMismatch, match="ingested_at"):
+        ensure_schema(spark, wh)
+
+
 def test_ivf_recall(spark, sf_dir):
     from habits_etl_spark.plans import QUERIES
 
@@ -37,6 +57,33 @@ def test_ivf_recall(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in QUERIES["ext_ann_ivf_probe"](spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_handles_non_dense_vec_ids(spark, sf_dir, tmp_path):
+    """Centroid selection must not assume contiguous ids: remap every
+    non-query id to a sparse range and re-run the probe."""
+    from habits_etl_spark.plans import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sparse = emb.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") < 10, F.col("vec_id")).otherwise(
+            F.col("vec_id") * 37 + 1000
+        ),
+    )
+    d = str(tmp_path / "sparse_sf")
+    sparse.write.parquet(d + "/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ext_topk_sim_search"](spark, d).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ext_ann_ivf_probe"](spark, d).collect()
+    }
+    assert len({q for q, _ in approx}) == 10  # every query answered
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed on sparse ids: {recall}"
 
 
 def test_jdbc_gated_without_driver(spark):

@@ -39,3 +39,25 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in ex_cos:
             assert abs(ex_cos[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_cosine_pairs_lsh_is_verified_subset(spark, sf_dir):
+    """The banded-LSH pairs path must emit ONLY true pairs (precision 1.0,
+    because candidates are exact-verified) with exactly-matching cosines;
+    recall follows the SRP s-curve (deterministic planes => a fixed value
+    on this fixture; ~0.33 predicted at the 0.4 threshold, measured 0.48)."""
+    from habits_etl_spark.plans import QUERIES
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in QUERIES["ext_embedding_cosine_pairs"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in QUERIES["ext_cosine_pairs_lsh"](spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH emitted a pair the exact op did not"
+    for k, cos in lsh.items():
+        assert abs(exact[k] - cos) < 1e-9
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.4, f"LSH pair recall collapsed: {recall}"
