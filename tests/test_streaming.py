@@ -98,6 +98,58 @@ def test_rollup_matches_batch_and_folds_late_data(spark, dirs, tmp_path):
     assert state2 == batch
 
 
+def test_processing_time_trigger_folds_late_data(spark, dirs):
+    """One LIVE query under a processingTime trigger across 2+ micro-batches
+    (the reference's schedule_interval mode, not the cron-style
+    availableNow): a late row for an already-materialized bucket must be
+    re-folded, and the maintained rollup must equal the batch recompute."""
+    import os
+
+    os.makedirs(dirs["source"], exist_ok=True)
+    spark.createDataFrame(
+        [
+            ev(5, 9, "a@x.com", "workout", 1.0),
+            ev(5, 10, "a@x.com", "meditation_minutes", 20.0),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+
+    q = start_continuous_rollup(
+        spark,
+        source_dir=dirs["source"],
+        source_schema=SCHEMA,
+        events_path=dirs["events"],
+        rollup_path=dirs["rollup"],
+        checkpoint_path=dirs["ckpt"],
+        trigger={"processingTime": "1 seconds"},
+        backfill_horizon_days=100_000,  # test events are dated 2024
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1 fully applied
+        state1 = rollup_state(spark, dirs)
+        assert state1[("2024-01-05", "a@x.com", "meditation_minutes")] == (1, 20.0, 20.0)
+
+        # late row lands while the query is still running; the closed
+        # 2024-01-05 bucket must be recomputed in a later micro-batch
+        spark.createDataFrame(
+            [ev(5, 23, "a@x.com", "meditation_minutes", 10.0)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(dirs["source"])
+        q.processAllAvailable()
+        state2 = rollup_state(spark, dirs)
+        assert state2[("2024-01-05", "a@x.com", "meditation_minutes")] == (2, 15.0, 30.0)
+        assert state2[("2024-01-05", "a@x.com", "workout")] == (1, 1.0, None)
+    finally:
+        q.stop()
+
+    # maintained rollup == from-scratch batch recompute over the fact table
+    events = spark.read.parquet(dirs["events"])
+    batch = {
+        (str(r.day), r.user_email, r.habit): (r.count_done, r.avg_value, r.sum_meditation)
+        for r in batch_daily_rollup(events).collect()
+    }
+    assert rollup_state(spark, dirs) == batch
+
+
 def test_restart_is_idempotent(spark, dirs):
     import os
 
