@@ -259,33 +259,64 @@ _SHINGLE_DUCK = (
     " for i in range(1, len(w) - 1)])"
 )
 
+# Broder-style minhash: ONE md5 per shingle -> 32-bit integer x, then
+# _N_HASHES universal-hash 'permutations' h_i(x) = (a_i*x + b_i) mod p.
+# 16x less hashing than md5-per-permutation on the hottest stage, still
+# engine-portable (identical integer arithmetic in Spark SQL and DuckDB;
+# a_i < 2^31 and x < 2^32 keep a_i*x + b_i < 2^63, no BIGINT overflow
+# under ANSI mode).
+_MH_P = 4294967311  # prime > 2^32
 
-def _minhash_sql_aggs():
-    return ",\n             ".join(
-        f"min(md5('{h}:' || shingle)) AS m{h}" for h in range(_N_HASHES)
-    )
+
+def _mh_params(i: int) -> tuple[int, int]:
+    a = (2654435761 * (i + 1)) % 2147483647 or 1  # Knuth multiplicative
+    b = (97531 * (i + 1) + 12345) % _MH_P
+    return a, b
+
+
+# x = first 8 hex chars of md5(shingle) as an integer, computed once per
+# shingle row in the sh relation of both engines.
+_X_DUCK = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+
+
+def _minhash_sql_sigs():
+    """Per-doc signature columns from the xs array — a list fold per
+    permutation, no unnest/GROUP BY."""
+    parts = []
+    for h in range(_N_HASHES):
+        a, b = _mh_params(h)
+        parts.append(
+            f"list_aggregate(list_transform(xs, x -> ({a} * x + {b}) % {_MH_P}), 'min') AS m{h}"
+        )
+    return ",\n             ".join(parts)
 
 
 def _band_sql(alias: str = "sig"):
     return " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS v FROM {alias}"
+        f"SELECT doc_id, {b} AS band, concat_ws(':', m{2 * b}, m{2 * b + 1}) AS v FROM {alias}"
         for b in range(_N_BANDS)
     )
 
 
 # The MinHash pipeline's CTE chain + final select, shared between the
 # ext_near_dedup_minhash oracle and the ext_dup_clusters recursive oracle.
+# Mirrors the Spark topology: shingle ARRAYS stay packed per doc (no
+# corpus-wide unnest); only candidate pairs compare full shingle sets.
 _MINHASH_CTES = f"""words AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
-    sh AS (
-      SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM words WHERE len(w) >= {_SHINGLE_N}
+    base AS (
+      SELECT doc_id, {_SHINGLE_DUCK} AS sh_arr FROM words WHERE len(w) >= {_SHINGLE_N}
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    xs AS (
+      SELECT doc_id, sh_arr, len(sh_arr) AS n,
+             list_transform(sh_arr, shingle -> {_X_DUCK}) AS xs
+      FROM base
+    ),
     sig AS (
       SELECT doc_id,
-             {_minhash_sql_aggs()}
-      FROM sh GROUP BY doc_id
+             {_minhash_sql_sigs()}
+      FROM xs
     ),
     bands AS (
       {_band_sql()}
@@ -295,19 +326,18 @@ _MINHASH_CTES = f"""words AS (
       FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
     ),
     inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.sh_arr, b.sh_arr)) AS n_common,
+             a.n AS na, b.n AS nb
       FROM cand c
-      JOIN sh ta ON ta.doc_id = c.doc_a
-      JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
-      GROUP BY 1, 2
+      JOIN xs a ON a.doc_id = c.doc_a
+      JOIN xs b ON b.doc_id = c.doc_b
     )"""
 
-_MINHASH_FINAL = f"""SELECT i.doc_a, i.doc_b,
-           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_JACCARD_THRESHOLD}"""
+_MINHASH_FINAL = f"""SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {_JACCARD_THRESHOLD}"""
 
 
 @query(
@@ -324,27 +354,32 @@ def ext_near_dedup_minhash(spark, sf_dir):
 
     1. word {_SHINGLE_N}-gram shingling (sequence-sensitive, so shuffled
        same-vocabulary docs do NOT collide — only true edited copies do);
-    2. {_N_HASHES} md5 'permutations' -> per-doc signature (one groupBy);
+    2. one md5 per shingle -> 32-bit integer, then {_N_HASHES} universal-
+       hash permutations (a_i*x + b_i mod p, Broder-style), each an
+       array_min fold over the PACKED shingle array — the signature stage
+       is a pure map, no explode, no shuffle;
     3. LSH banding, b={_N_BANDS} bands x r={_BAND_ROWS} rows: the band key
-       is the hash of {_BAND_ROWS} concatenated minima, giving the classic
-       s-curve with ~(1/b)^(1/r) = 0.35 threshold — docs sharing any band
-       value become candidate pairs via a self-equi-join on (band, value);
-       the quadratic pair space is never materialized, only collisions;
-    4. exact Jaccard verification on candidates via a shingle equi-join,
-       keep pairs >= {_JACCARD_THRESHOLD}.
+       concatenates {_BAND_ROWS} minima, giving the classic s-curve with
+       ~(1/b)^(1/r) = 0.35 threshold — docs sharing any band value become
+       candidate pairs via a self-equi-join on (band, value); the
+       quadratic pair space is never materialized, only collisions;
+    4. exact Jaccard verification on candidates via array_intersect of the
+       two shingle arrays, keep pairs >= {_JACCARD_THRESHOLD}.
 
-    Scale: r=2 banding makes random-overlap candidates ~j^2 — at 12.5M
-    potential pairs per 5k docs the expected spurious candidate count is
-    <1, so the verify join is linear in true duplicates. This is the
-    standard web-scale near-dedup layout (GPT-3/CCNet-style MinHash over
-    n-gram shingles)."""
+    Scale: the corpus is touched by MAP stages only (shingle + sign); the
+    only shuffles are the (n_docs x {_N_BANDS})-row band self-join and the
+    candidate lookups, which broadcast the (tiny) candidate list against
+    the corpus arrays. r=2 banding makes random-overlap candidates ~j^2,
+    so the verify stage is linear in true duplicates — the standard
+    web-scale near-dedup layout (GPT-3/CCNet-style MinHash over n-gram
+    shingles)."""
     d = t(spark, sf_dir, "documents")
     # Materialize the word array once per doc BEFORE indexing into it:
     # element_at() inside the transform lambda would otherwise re-evaluate
     # split() per shingle position (O(doc_len^2) per document).
     # One small parquet file arrives as a single partition; fan the docs out
-    # so shingling + 16 md5 minhashes use every core (at cluster scale the
-    # input already has many splits and this repartition coalesces to them).
+    # so shingling + minhashing use every core (at cluster scale the input
+    # already has many splits and this repartition coalesces to them).
     n_part = spark.sparkContext.defaultParallelism
     words = d.repartition(n_part, "doc_id").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
@@ -361,33 +396,38 @@ def ext_near_dedup_minhash(spark, sf_dir):
             ),
         )
     )
-    # Cached: the shingle relation feeds three consumers (sizes, signatures,
-    # verify join) — without it each self-join arm recomputes the scan.
-    # managed_cache releases the previous invocation's handle (no leak
-    # across repeated runs in one session).
-    sh = managed_cache(
-        words.filter(F.size(wcol) >= _SHINGLE_N).select(
-            "doc_id", F.explode(shingles).alias("shingle")
+    # Cached: the packed per-doc arrays feed the signature stage and both
+    # arms of the candidate verification. managed_cache releases the
+    # previous invocation's handle (no leak across runs in one session).
+    base = managed_cache(
+        words.filter(F.size(wcol) >= _SHINGLE_N)
+        .select("doc_id", shingles.alias("sh_arr"))
+        .withColumn("n", F.size("sh_arr"))
+        .withColumn(
+            "xs",
+            F.transform(
+                "sh_arr",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+            ),
         ),
-        "minhash.sh",
+        "minhash.base",
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"m{h}")
-            for h in range(_N_HASHES)
-        ]
-    )
+
+    def perm(h: int):
+        a, b = _mh_params(h)
+        return F.array_min(
+            F.transform("xs", lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_P))
+        ).alias(f"m{h}")
+
+    sig = base.select("doc_id", *[perm(h) for h in range(_N_HASHES)])
     bands = None
     for b in range(_N_BANDS):
         part = sig.select(
             "doc_id",
             F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias("v"),
+            F.concat_ws(":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("v"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    # tiny: n_docs x n_bands rows; joined against itself
-    bands = managed_cache(bands, "minhash.bands")
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -400,27 +440,22 @@ def ext_near_dedup_minhash(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = sh.alias("ta")
-    tb = sh.alias("tb")
+    arr_a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"), F.col("n").alias("na")
+    )
+    arr_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"), F.col("n").alias("nb")
+    )
+    # candidate list is collision-sized: broadcast it against the corpus
+    # arrays so the big side never shuffles
     inter = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.shingle") == F.col("ta.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        arr_a.join(F.broadcast(cand), "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= _JACCARD_THRESHOLD)
+        inter.filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
