@@ -233,15 +233,23 @@ def _lsh_candidate_pairs(prepped):
     )
 
 
-@query(
-    "ext_embedding_cosine_pairs",
-    f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+# CTE body + final select for the exact pair set, shared with the
+# embedding-cluster oracle in plans/ext_pipeline.py.
+_EXACT_PAIRS_CTE = (
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+)
+_EXACT_PAIRS_FINAL = f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            a.label AS label_a, b.label AS label_b,
            round({_SQL_COS}, 4) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_SQL_COS} >= {_COS_THRESHOLD}
+    WHERE {_SQL_COS} >= {_COS_THRESHOLD}"""
+
+
+@query(
+    "ext_embedding_cosine_pairs",
+    f"""
+    WITH {_EXACT_PAIRS_CTE}
+    {_EXACT_PAIRS_FINAL}
     """,
 )
 def ext_embedding_cosine_pairs(spark, sf_dir):
