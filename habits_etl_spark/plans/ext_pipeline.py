@@ -17,7 +17,15 @@ from pyspark.sql import functions as F
 
 from habits_etl_spark.operators.clusters import connected_components
 from habits_etl_spark.plans.common import query, t
-from habits_etl_spark.plans.ext_text import _MINHASH_CTES, _MINHASH_FINAL, _TOK_DUCK
+from habits_etl_spark.plans.ext_text import (
+    _LANG_PROFILES,
+    _MINHASH_CTES,
+    _MINHASH_FINAL,
+    _TOK_DUCK,
+    _TOK_SPARK,
+    _lang_score_duck,
+    _lang_score_spark,
+)
 from habits_etl_spark.plans.ext_vectors import (
     _EXACT_PAIRS_CTE,
     _EXACT_PAIRS_FINAL,
@@ -174,4 +182,156 @@ def ext_tfidf_topk(spark, sf_dir):
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _TFIDF_TOP_K)
         .select("doc_id", "tok", "tfidf", "rk")
+    )
+
+
+# --- Incremental-ingest dedup -------------------------------------------
+# A deterministic batch split stands in for "yesterday's corpus" vs
+# "today's crawl": doc_id % 10 >= 8 is the incoming 20%.
+_INCOMING = "doc_id % 10 >= 8"
+
+
+@query(
+    "ext_incremental_dedup",
+    f"""
+    WITH {_MINHASH_CTES},
+    pairs AS ({_MINHASH_FINAL}),
+    incoming AS (SELECT doc_id, md5(text) AS h FROM documents WHERE {_INCOMING}),
+    existing AS (SELECT doc_id, md5(text) AS h FROM documents WHERE NOT ({_INCOMING})),
+    exact_hit AS (
+      SELECT DISTINCT i.doc_id FROM incoming i JOIN existing e ON i.h = e.h
+    ),
+    near_hit AS (
+      SELECT DISTINCT CASE WHEN p.doc_a % 10 >= 8 THEN p.doc_a ELSE p.doc_b END AS doc_id
+      FROM pairs p
+      WHERE (p.doc_a % 10 >= 8) <> (p.doc_b % 10 >= 8)
+    )
+    SELECT i.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM incoming i
+    LEFT JOIN exact_hit ex ON ex.doc_id = i.doc_id
+    LEFT JOIN near_hit nr ON nr.doc_id = i.doc_id
+    ORDER BY i.doc_id
+    """,
+)
+def ext_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: classify each INCOMING document against
+    the EXISTING corpus as exact_dup (content hash already present),
+    near_dup (MinHash-verified cross-batch pair), or new — the decision an
+    append-only crawl pipeline makes per batch. Intra-batch duplicates are
+    the batch-level exact/near dedup ops' job; this op is the
+    cross-batch gate.
+
+    Scale: the exact check is a hash equi-join on md5(text) — the
+    incoming side is batch-sized, so AQE broadcasts it against the corpus
+    hash index. The near check reuses the banded MinHash pair pipeline
+    (corpus touched by map stages only) and filters pairs to the
+    incoming x existing frontier; at 100 TB the existing side's
+    signatures/bands would be a precomputed, partitioned table rather
+    than recomputed (noted in README), but the join topology is
+    identical."""
+    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+
+    d = t(spark, sf_dir, "documents")
+    is_incoming = (F.col("doc_id") % 10) >= 8
+    incoming = d.filter(is_incoming).select("doc_id", F.md5("text").alias("h"))
+    existing = d.filter(~is_incoming).select(
+        F.col("doc_id").alias("e_id"), F.md5("text").alias("eh")
+    )
+    exact_hit = (
+        incoming.join(existing, F.col("h") == F.col("eh"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    cross = pairs.filter(
+        ((F.col("doc_a") % 10) >= 8) != ((F.col("doc_b") % 10) >= 8)
+    )
+    near_hit = (
+        cross.select(
+            F.when((F.col("doc_a") % 10) >= 8, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(near_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- Quality-filter funnel ----------------------------------------------
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_MIN_TOKENS = 25
+_FUNNEL_MIN_UNIQ = 0.35
+_FUNNEL_MIN_STOP = 0.005
+
+
+@query(
+    "ext_quality_funnel",
+    f"""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             len({_TOK_DUCK}) AS n_tokens,
+             CAST(len(list_distinct({_TOK_DUCK})) AS DOUBLE)
+               / greatest(len({_TOK_DUCK}), 1) AS uniq_ratio,
+             CAST({_lang_score_duck(_LANG_PROFILES['en'])} AS DOUBLE)
+               / greatest(len({_TOK_DUCK}), 1) AS stop_ratio
+      FROM documents
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE WHEN n_chars < {_FUNNEL_MIN_CHARS} THEN '1_reject_length'
+                  WHEN n_tokens < {_FUNNEL_MIN_TOKENS} THEN '2_reject_tokens'
+                  WHEN uniq_ratio < {_FUNNEL_MIN_UNIQ} THEN '3_reject_diversity'
+                  WHEN stop_ratio < {_FUNNEL_MIN_STOP} THEN '4_reject_stopwords'
+                  ELSE '5_pass' END AS stage
+      FROM m
+    )
+    GROUP BY stage ORDER BY stage
+    """,
+)
+def ext_quality_funnel(spark, sf_dir):
+    """Quality-filter funnel observability: every document is attributed
+    to the FIRST stage that rejects it (length -> token count -> lexical
+    diversity -> stopword floor) or to the pass bucket — the per-stage
+    rejection report a pretraining-data pipeline publishes with every
+    batch so filter drift is visible.
+
+    Scale: pure map stage (all ratios derived from one tokenization) into
+    a 5-group hash agg with map-side partials — same cost class as a
+    count(*). The stage predicates mirror ext_quality_score's components,
+    so the funnel explains exactly what the score penalizes."""
+    d = t(spark, sf_dir, "documents")
+    toks = _TOK_SPARK(F.col("text"))
+    n_tokens = F.size(toks)
+    g = F.greatest(n_tokens, F.lit(1))
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / g
+    stop_ratio = _lang_score_spark(toks, _LANG_PROFILES["en"]).cast("double") / g
+    stage = (
+        F.when(F.col("n_chars") < _FUNNEL_MIN_CHARS, F.lit("1_reject_length"))
+        .when(n_tokens < _FUNNEL_MIN_TOKENS, F.lit("2_reject_tokens"))
+        .when(uniq_ratio < _FUNNEL_MIN_UNIQ, F.lit("3_reject_diversity"))
+        .when(stop_ratio < _FUNNEL_MIN_STOP, F.lit("4_reject_stopwords"))
+        .otherwise(F.lit("5_pass"))
+    )
+    return (
+        d.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("stage")
     )
