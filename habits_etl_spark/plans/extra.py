@@ -326,3 +326,56 @@ def join_q3_shipping(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "o_orderdate_s", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "join_range_binned",
+    """
+    WITH intervals AS (
+      SELECT o_orderkey AS iv_id, o_orderdate AS iv_start,
+             o_orderdate + (1 + o_orderkey % 28) * INTERVAL 1 DAY AS iv_end
+      FROM orders WHERE o_orderkey % 977 = 0
+    )
+    SELECT iv_id, CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_qty
+    FROM intervals JOIN lineitem
+      ON l_shipdate >= iv_start AND l_shipdate < iv_end
+    GROUP BY iv_id ORDER BY iv_id
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Point-in-interval range join (binned): count lineitem shipments
+    falling inside promo windows derived from a deterministic orders
+    sample. A naive `l_shipdate BETWEEN iv_start AND iv_end` join has no
+    equi key, so Spark plans BroadcastNestedLoopJoin — O(points x
+    intervals) and unusable at scale. operators/range_join.py rewrites it
+    as an equi join on a 7-day time bin (intervals exploded to covered
+    bins, points mapped to one bin) with the exact predicate as residual.
+
+    Scale: both sides shuffle on __bin — a normal hash join that AQE
+    balances; the interval side grows as sum(len/bin) rows, never the
+    cross product. The intervals here scale WITH the data (a fixed
+    fraction of orders), so the broadcast shortcut wouldn't survive —
+    this op is the large x large case."""
+    from habits_etl_spark.operators.range_join import point_in_interval_join
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 977 == 0)
+    intervals = o.select(
+        F.col("o_orderkey").alias("iv_id"),
+        F.col("o_orderdate").alias("iv_start"),
+        F.expr(
+            "timestampadd(DAY, CAST(1 + o_orderkey % 28 AS INT), o_orderdate)"
+        ).alias("iv_end"),
+    )
+    points = t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    joined = point_in_interval_join(
+        points, intervals, "l_shipdate", "iv_start", "iv_end", bin_days=7
+    )
+    return (
+        joined.groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum("l_quantity", 4).alias("total_qty"),
+        )
+        .orderBy("iv_id")
+    )
