@@ -21,6 +21,8 @@ from habits_etl_spark.plans.ext_text import (
     _LANG_PROFILES,
     _MINHASH_CTES,
     _MINHASH_FINAL,
+    _QUALITY_INPUTS_DUCK,
+    _QUALITY_SQL,
     _TOK_DUCK,
     _TOK_SPARK,
     _lang_score_duck,
@@ -335,3 +337,45 @@ def ext_quality_funnel(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("stage")
     )
+
+
+@query(
+    "ext_lang_quality_buckets",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, {_QUALITY_INPUTS_DUCK}
+      FROM documents
+    ),
+    q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM m)
+    SELECT doc_id, lang, quality,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM q ORDER BY doc_id
+    """,
+)
+def ext_lang_quality_buckets(spark, sf_dir):
+    """CCNet-style per-language quality routing: within each language,
+    rank documents by quality score and split into head / middle / tail
+    terciles — the bucket layout CCNet uses to let downstream consumers
+    trade volume against quality per language instead of with one global
+    threshold (which would starve low-resource languages).
+
+    Determinism: the score is rounded to 4 digits BEFORE ranking and ties
+    break on doc_id, so both engines cut identical tercile boundaries.
+
+    Scale: one map stage for the score, one shuffle on lang for the
+    ntile window. Language is low-cardinality, so at 100 TB the window
+    would salt or pre-aggregate to score-histogram quantiles per language
+    (constant memory) rather than a full per-language sort; at the tested
+    scales the exact window is the oracle-matched reference semantics."""
+    from habits_etl_spark.plans.ext_text import _quality_col
+
+    d = t(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", _quality_col().alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return q.select("doc_id", "lang", "quality", bucket.alias("bucket")).orderBy("doc_id")

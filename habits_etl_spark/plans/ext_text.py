@@ -160,15 +160,41 @@ def ext_lang_id(spark, sf_dir):
     return d.select("doc_id", "lang", guess.alias("lang_guess"))
 
 
+# The combined quality formula, shared by ext_quality_score and the
+# CCNet-style per-language bucket routing (plans/ext_pipeline.py).
+_QUALITY_SQL = (
+    "round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)"
+    " + 0.3 * (CAST(n_unique AS DOUBLE) / greatest(n_tokens, 1))"
+    " + 0.2 * least(10.0 * CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0),"
+    " 4)"
+)
+_QUALITY_INPUTS_DUCK = f"""CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_TOK_DUCK})) AS BIGINT) AS n_unique,
+             {_lang_score_duck(_LANG_PROFILES['en'])} AS n_stop,
+             length(text) AS n_chars"""
+
+
+def _quality_col():
+    """Spark twin of _QUALITY_SQL, from the raw text column."""
+    toks = _TOK_SPARK(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = _lang_score_spark(toks, _LANG_PROFILES["en"])
+    g = F.greatest(n_tokens, F.lit(1).cast("bigint"))
+    return F.round(
+        F.lit(0.5) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (n_unique.cast("double") / g)
+        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0)),
+        4,
+    )
+
+
 @query(
     "ext_quality_score",
     f"""
     WITH m AS (
       SELECT doc_id,
-             CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct({_TOK_DUCK})) AS BIGINT) AS n_unique,
-             {_lang_score_duck(_LANG_PROFILES['en'])} AS n_stop,
-             length(text) AS n_chars
+             {_QUALITY_INPUTS_DUCK}
       FROM documents
     )
     SELECT doc_id, n_tokens,

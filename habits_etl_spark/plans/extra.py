@@ -11,6 +11,7 @@ from pyspark.sql import types as T
 from habits_etl_spark.functions.datetime_ops import parse_report_date_expr
 from habits_etl_spark.plans.common import (
     TS_FMT_DUCK,
+    day_str,
     dsum,
     fmt_ts,
     query,
@@ -378,4 +379,29 @@ def join_range_binned(spark, sf_dir):
             dsum("l_quantity", 4).alias("total_qty"),
         )
         .orderBy("iv_id")
+    )
+
+
+@query("agg_hll_partial_merge")  # no oracle: sketch estimate by design
+def agg_hll_partial_merge(spark, sf_dir):
+    """Mergeable-sketch rollup: per-(day, event_type) HyperLogLog sketches
+    of distinct users, UNIONED per event_type and estimated — the
+    materialized-partials layout for distinct counting at 100 TB. Exact
+    distinct needs the raw keys at merge time; HLL partials are ~KB each,
+    so daily sketches can be stored with the rollup and ANY date range is
+    answered by a union of sketches without rescanning the fact table
+    (the Datasketches pattern; same role as Timescale's hyperloglog
+    continuous-aggregate column).
+
+    Accuracy is bounded (lgConfigK=14 -> ~0.8% typical error) and
+    asserted against exact count_distinct in tests/test_extra_ops.py;
+    the driver records a rows-only check."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        day_str(F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .orderBy("event_type")
     )

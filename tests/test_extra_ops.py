@@ -27,3 +27,27 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
         assert abs(a50 - e50) <= max(1.0, 0.05 * abs(e50)), (et, a50, e50)
         assert abs(a90 - e90) <= max(1.0, 0.10 * abs(e90)), (et, a90, e90)
         assert abs(a99 - e99) <= max(2.0, 0.40 * abs(e99)), (et, a99, e99)
+
+
+def test_hll_partial_merge_tracks_exact(spark, sf_dir):
+    """Daily-sketch union estimate must track exact distinct users within
+    HLL's lgConfigK=14 error envelope (~0.8% typical; allow 2%)."""
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans import QUERIES
+    from habits_etl_spark.plans.common import t
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_hll_partial_merge"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(0.02 * ex, 1), (et, approx[et], ex)
