@@ -584,8 +584,12 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
     that bounds the pair space when a natural partition key exists, the
     deterministic complement to the probabilistic MinHash path.
 
-    Scale: pair space is sum over blocks of |block|^2 instead of N^2; the
-    gram equi-join ships only candidate blocks' gram sets."""
+    Scale: pair space is sum over blocks of |block|^2 instead of N^2 —
+    a real bound ONLY when the block key is high-cardinality and
+    balanced. With few or skewed sources (this fixture has ~5) the pair
+    space degenerates toward N^2/k: use
+    ``ext_ngram_jaccard_simhash_blocked`` below, whose content-derived
+    band key bounds bucket sizes by construction."""
     d = t(spark, sf_dir, "documents").filter(F.length("text") >= _CGRAM_N)
     grams_arr = F.array_distinct(
         F.transform(
