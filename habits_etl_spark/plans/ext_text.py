@@ -403,37 +403,43 @@ def ext_near_dedup_minhash(spark, sf_dir):
     # Materialize the word array once per doc BEFORE indexing into it:
     # element_at() inside the transform lambda would otherwise re-evaluate
     # split() per shingle position (O(doc_len^2) per document).
-    # One small parquet file arrives as a single partition; fan the docs out
-    # so shingling + minhashing use every core (at cluster scale the input
-    # already has many splits and this repartition coalesces to them).
+    # A small parquet file arrives as one split; fan the docs out so the
+    # shingle/minhash map stage uses every core. Only when actually
+    # under-split: repartition() is ALWAYS a full shuffle of the corpus
+    # text, and at cluster scale maxPartitionBytes already yields enough
+    # splits, so an unconditional repartition would add a complete extra
+    # network pass of the corpus before any work happens. The guard reads
+    # the scan's file list (len(inputFiles()) — a listing the relation
+    # already holds), NOT df.rdd.getNumPartitions(): the RDD conversion
+    # compiles the whole plan and costs ~0.7s per call in PySpark.
     n_part = spark.sparkContext.defaultParallelism
-    words = d.repartition(n_part, "doc_id").select(
+    if len(d.inputFiles()) < n_part:
+        d = d.repartition(n_part, "doc_id")
+    words = d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     )
-    wcol = F.col("w")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(wcol) - (_SHINGLE_N - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(wcol, i),
-                F.element_at(wcol, i + 1),
-                F.element_at(wcol, i + 2),
-            ),
-        )
+    # Higher-order-function expressions are built as SQL strings, not
+    # python-lambda Columns: each F.transform(..., lambda ...) costs
+    # dozens of py4j round trips (profiled: 16 perm lambdas alone =
+    # 0.37s of plan-BUILD time per invocation); F.expr is one parse.
+    shingles = F.expr(
+        "array_distinct(transform("
+        f"sequence(1, size(w) - {_SHINGLE_N - 1}), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+        "element_at(w, i + 2))))"
     )
     # Cached: the packed per-doc arrays feed the signature stage and both
     # arms of the candidate verification. managed_cache releases the
     # previous invocation's handle (no leak across runs in one session).
     base = managed_cache(
-        words.filter(F.size(wcol) >= _SHINGLE_N)
+        words.filter(F.size("w") >= _SHINGLE_N)
         .select("doc_id", shingles.alias("sh_arr"))
         .withColumn("n", F.size("sh_arr"))
         .withColumn(
             "xs",
-            F.transform(
-                "sh_arr",
-                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+            F.expr(
+                "transform(sh_arr, s -> "
+                "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
             ),
         ),
         "minhash.base",
@@ -441,19 +447,31 @@ def ext_near_dedup_minhash(spark, sf_dir):
 
     def perm(h: int):
         a, b = _mh_params(h)
-        return F.array_min(
-            F.transform("xs", lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_P))
+        return F.expr(
+            f"array_min(transform(xs, x -> ({a}L * x + {b}L) % {_MH_P}L))"
         ).alias(f"m{h}")
 
     sig = base.select("doc_id", *[perm(h) for h in range(_N_HASHES)])
-    bands = None
-    for b in range(_N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("v"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # One pass, not a b-way union: explode an array of (band, value)
+    # structs. A union of b selects re-evaluates the signature subtree
+    # once per arm on EACH side of the self-join below (2b scans + 2b
+    # stages of scheduling) — measured 2.8s vs 0.48s at sf0.1.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
+                        ).alias("v"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.v")
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -473,9 +491,12 @@ def ext_near_dedup_minhash(spark, sf_dir):
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"), F.col("n").alias("nb")
     )
     # candidate list is collision-sized: broadcast it against the corpus
-    # arrays so the big side never shuffles
+    # arrays so the big side never shuffles — in BOTH lookups. The first
+    # join's output is still collision-sized, so it too carries the
+    # broadcast hint; without it AQE must wait for runtime stats before
+    # demoting the second join from a corpus-shuffling SMJ.
     inter = (
-        arr_a.join(F.broadcast(cand), "doc_a")
+        F.broadcast(arr_a.join(F.broadcast(cand), "doc_a"))
         .join(arr_b, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
     )
@@ -709,10 +730,14 @@ def ext_ngram_jaccard_simhash_blocked(spark, sf_dir):
             lambda i: F.substring(F.col("text"), i, _CGRAM_N),
         )
     )
+    # Same conditional-fanout rationale as ext_near_dedup_minhash: only
+    # shuffle when the scan arrived under-split (file-list guard — see
+    # the note there on why not df.rdd.getNumPartitions()).
     n_part = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < n_part:
+        d = d.repartition(n_part, "doc_id")
     arrs = managed_cache(
-        d.repartition(n_part, "doc_id")
-        .select("doc_id", grams_arr.alias("arr"))
+        d.select("doc_id", grams_arr.alias("arr"))
         .withColumn("n", F.size("arr")),
         "sbj.arrs",
     )
