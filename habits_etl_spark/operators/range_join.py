@@ -57,5 +57,9 @@ def point_in_interval_join(
             )
         ),
     )
-    residual = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    # Residual references are qualified through each side's DataFrame:
+    # unqualified F.col() would be ambiguous (or silently bind to the
+    # wrong side) whenever the two inputs share a column name.
+    pt = binned_points[point_ts]
+    residual = (pt >= binned_intervals[start_ts]) & (pt < binned_intervals[end_ts])
     return binned_points.join(binned_intervals, "__bin").filter(residual).drop("__bin")

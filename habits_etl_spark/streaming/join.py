@@ -37,9 +37,12 @@ def interval_enrichment_join(
     convention as the batch range join (operators/range_join.py)."""
     f = facts.withWatermark(fact_ts, fact_delay)
     c = context.withWatermark(context_ts, context_delay)
+    # All condition references qualified through their side (f[...] /
+    # c[...]): unqualified F.col() breaks as soon as the two streams share
+    # a column name beyond ``key``.
     cond = (
         (f[key] == c[key])
-        & (F.col(fact_ts) >= F.col(context_ts))
-        & (F.col(fact_ts) < F.col(context_ts) + F.expr(f"INTERVAL {horizon}"))
+        & (f[fact_ts] >= c[context_ts])
+        & (f[fact_ts] < c[context_ts] + F.expr(f"INTERVAL {horizon}"))
     )
     return f.join(c, cond, "inner").drop(c[key])
