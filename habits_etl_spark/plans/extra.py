@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from habits_etl_spark.functions.datetime_ops import parse_report_date_expr
+from habits_etl_spark.operators.pivot import pivot_long_rows
 from habits_etl_spark.plans.common import (
     TS_FMT_DUCK,
     day_str,
@@ -404,4 +405,40 @@ def agg_hll_partial_merge(spark, sf_dir):
         daily.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
         .orderBy("event_type")
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+_PIVOT_COLS_SQL = ",\n           ".join(
+    f"round(CAST(sum(CAST(value AS DECIMAL(18,6))) "
+    f"FILTER (WHERE event_type = '{v}') AS DOUBLE), 4) AS {v}" for v in _PIVOT_TYPES
+)
+
+
+@query(
+    "op_pivot",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           user_id,
+           {_PIVOT_COLS_SQL}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def op_pivot(spark, sf_dir):
+    """Long -> wide pivot (SURVEY §2.3's melt, inverted): per (day, user)
+    one value column per event type — the reference's input-sheet shape
+    and every "one panel per habit" dashboard view (README.md:96-143).
+
+    Explicit value list (operators/pivot.py): compiles to conditional
+    aggregates in ONE hash-aggregate exchange — no distinct-discovery
+    pre-job, schema width known at plan time. The oracle is the
+    equivalent FILTER/CASE conditional aggregation."""
+    e = t(spark, sf_dir, "events")
+    return pivot_long_rows(
+        e.select(day_str(F.col("ts")).alias("day"), "user_id", "event_type", "value"),
+        keys=("day", "user_id"),
+        name_col="event_type",
+        values=_PIVOT_TYPES,
+        agg=dsum("value", 4),
     )

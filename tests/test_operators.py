@@ -63,3 +63,32 @@ def test_canonical_hash_null_vs_empty(spark):
     df = spark.createDataFrame([(None, "b"), ("", "b")], "x string, y string")
     h = df.select(canonical_hash_expr(F.col("x"), F.col("y")).alias("h")).collect()
     assert h[0].h != h[1].h  # NULL and '' must not collide
+
+
+def test_pivot_refuses_implicit_and_overwide_value_lists(spark):
+    import pytest as _pytest
+
+    from habits_etl_spark.operators.pivot import pivot_long_rows
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "k int, name string, v double")
+    with _pytest.raises(ValueError, match="explicit pivot value list"):
+        pivot_long_rows(df, ["k"], "name", [], F.sum("v"))
+    with _pytest.raises(ValueError, match="max_width"):
+        pivot_long_rows(df, ["k"], "name", [str(i) for i in range(11)], F.sum("v"), max_width=10)
+
+
+def test_pivot_round_trips_unpivoted_events(spark):
+    """pivot(unpivot(wide)) == wide for the columns present."""
+    from habits_etl_spark.operators.pivot import pivot_long_rows
+    from pyspark.sql import functions as F
+
+    long = spark.createDataFrame(
+        [("d1", 1, "click", 2.0), ("d1", 1, "view", 3.0), ("d2", 2, "view", 5.0)],
+        "day string, user_id int, event_type string, value double",
+    )
+    wide = pivot_long_rows(
+        long, ["day", "user_id"], "event_type", ["click", "view"], F.sum("value")
+    )
+    rows = {(r.day, r.user_id): (r.click, r.view) for r in wide.collect()}
+    assert rows == {("d1", 1): (2.0, 3.0), ("d2", 2): (None, 5.0)}
