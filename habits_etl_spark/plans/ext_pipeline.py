@@ -379,3 +379,200 @@ def ext_lang_quality_buckets(spark, sf_dir):
         .otherwise(F.lit("tail"))
     )
     return q.select("doc_id", "lang", "quality", bucket.alias("bucket")).orderBy("doc_id")
+
+
+# --- combined admission gate -------------------------------------------------
+
+_SCRUB_DUCK = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g'), "
+    "'[0-9]{4,}', '<NUM>', 'g')"
+)
+
+
+def _scrub_spark(c):
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+            ),
+            r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+            "<PHONE>",
+        ),
+        r"[0-9]{4,}",
+        "<NUM>",
+    )
+
+
+@query(
+    "ext_admission_decision",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_FINAL}),
+    {_cc_sql("doc_a", "doc_b")},
+    scrub AS (
+      SELECT doc_id, lang, n_chars AS n_chars_orig, {_SCRUB_DUCK} AS text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, n_chars_orig,
+             length(text) AS n_chars_s,
+             CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_TOK_DUCK})) AS BIGINT) AS n_unique,
+             {_lang_score_duck(_LANG_PROFILES['en'])} AS n_stop
+      FROM scrub
+    ),
+    q AS (
+      SELECT doc_id, lang, n_chars_orig, {_QUALITY_SQL} AS quality,
+             CASE WHEN n_chars_s < {_FUNNEL_MIN_CHARS} THEN 'quality_length'
+                  WHEN n_tokens < {_FUNNEL_MIN_TOKENS} THEN 'quality_tokens'
+                  WHEN CAST(n_unique AS DOUBLE) / greatest(n_tokens, 1)
+                       < {_FUNNEL_MIN_UNIQ} THEN 'quality_diversity'
+                  WHEN CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)
+                       < {_FUNNEL_MIN_STOP} THEN 'quality_stopwords'
+                  END AS stage_q
+      FROM m
+    ),
+    clusters_all AS (
+      SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id
+      FROM q LEFT JOIN comp c ON q.doc_id = c.u
+    ),
+    surv AS (SELECT * FROM q WHERE stage_q IS NULL),
+    buck AS (
+      SELECT doc_id,
+             CASE ntile(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+                  WHEN 3 THEN 'lang_tail' END AS stage_b
+      FROM surv
+    ),
+    bsurv AS (
+      SELECT s.doc_id, s.n_chars_orig
+      FROM surv s JOIN buck b ON s.doc_id = b.doc_id
+      WHERE b.stage_b IS NULL
+    ),
+    ranked AS (
+      SELECT bs.doc_id,
+             row_number() OVER (PARTITION BY ca.cluster_id
+                                ORDER BY bs.n_chars_orig DESC, bs.doc_id) AS rk
+      FROM bsurv bs JOIN clusters_all ca ON bs.doc_id = ca.doc_id
+    )
+    SELECT q.doc_id,
+           coalesce(q.stage_q, b.stage_b,
+                    CASE WHEN r.rk > 1 THEN 'duplicate' END) IS NULL AS admitted,
+           coalesce(q.stage_q, b.stage_b,
+                    CASE WHEN r.rk > 1 THEN 'duplicate' END) AS rejecting_stage,
+           ca.cluster_id
+    FROM q
+    LEFT JOIN buck b ON q.doc_id = b.doc_id
+    LEFT JOIN ranked r ON q.doc_id = r.doc_id
+    JOIN clusters_all ca ON q.doc_id = ca.doc_id
+    ORDER BY q.doc_id
+    """,
+)
+def ext_admission_decision(spark, sf_dir):
+    """Doc-level combined admission gate — the artifact a 100 TB curation
+    run actually ships: one row per document with (admitted,
+    rejecting_stage, cluster_id), composing pii_scrub -> quality filters
+    -> per-language tail cut -> dedup keep-longest IN PIPELINE ORDER:
+
+    1. PII scrub transforms the text (quality is judged on what would be
+       TRAINED ON, scrubbed — masking can change token/length stats, so
+       stage order is semantic, not cosmetic);
+    2. quality gates (length/tokens/diversity/stopwords on the scrubbed
+       text) attribute the FIRST rejecting stage, as in
+       ext_quality_funnel;
+    3. CCNet-style per-language terciles are cut over quality SURVIVORS
+       only (rejected docs must not shift tercile boundaries); 'tail' is
+       dropped;
+    4. MinHash duplicate clusters (original text) keep the longest
+       SURVIVING member per cluster — a rejected doc never knocks out a
+       surviving duplicate.
+
+    Null flow-through: rejecting_stage is NULL iff admitted; every doc
+    carries its cluster_id (own id when unclustered) so downstream can
+    audit any decision.
+
+    Scale: scrub+quality are map stages; the tercile window shuffles
+    (doc_id, lang, quality) only; cluster ranking shuffles collision-scale
+    rows. The corpus text moves once (the MinHash signature pass)."""
+    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+
+    _C, _T = _FUNNEL_MIN_CHARS, _FUNNEL_MIN_TOKENS
+    _U, _S = _FUNNEL_MIN_UNIQ, _FUNNEL_MIN_STOP
+
+    d = t(spark, sf_dir, "documents")
+    toks = _TOK_SPARK(F.col("text2"))
+    n_tokens = F.size(toks).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = _lang_score_spark(toks, _LANG_PROFILES["en"])
+    g = F.greatest(n_tokens, F.lit(1).cast("bigint"))
+    quality = F.round(
+        F.lit(0.5) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (n_unique.cast("double") / g)
+        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0)),
+        4,
+    )
+    stage_q = (
+        F.when(F.length("text2") < _C, F.lit("quality_length"))
+        .when(n_tokens < _T, F.lit("quality_tokens"))
+        .when(n_unique.cast("double") / g < _U, F.lit("quality_diversity"))
+        .when(n_stop.cast("double") / g < _S, F.lit("quality_stopwords"))
+    )
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("n_chars_orig"),
+        _scrub_spark(F.col("text")).alias("text2"),
+    ).select(
+        "doc_id", "lang", "n_chars_orig",
+        quality.alias("quality"), stage_q.alias("stage_q"),
+    )
+
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cid")
+    )
+    clusters_all = (
+        q.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cid"), F.col("doc_id")))
+        .select("doc_id", "cluster_id")
+    )
+
+    surv = q.filter(F.col("stage_q").isNull())
+    wl = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    buck = surv.select(
+        "doc_id",
+        F.when(F.ntile(3).over(wl) == 3, F.lit("lang_tail")).alias("stage_b"),
+    )
+    bsurv = (
+        surv.join(buck, "doc_id")
+        .filter(F.col("stage_b").isNull())
+        .select("doc_id", "n_chars_orig")
+    )
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars_orig").desc(), "doc_id"
+    )
+    ranked = (
+        bsurv.join(clusters_all, "doc_id")
+        .withColumn("rk", F.row_number().over(wc))
+        .select("doc_id", "rk")
+    )
+
+    rejecting = F.coalesce(
+        F.col("stage_q"),
+        F.col("stage_b"),
+        F.when(F.col("rk") > 1, F.lit("duplicate")),
+    )
+    return (
+        q.join(buck, "doc_id", "left")
+        .join(ranked, "doc_id", "left")
+        .join(clusters_all, "doc_id")
+        .select(
+            "doc_id",
+            rejecting.isNull().alias("admitted"),
+            rejecting.alias("rejecting_stage"),
+            "cluster_id",
+        )
+        .orderBy("doc_id")
+    )
