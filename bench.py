@@ -101,6 +101,13 @@ def main():
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Non-headline: skew-stress section (hot-key join, AQE vs salted;
+    # see habits_etl_spark/plans/skew_stress.py). Reported, not part of
+    # the headline total — it measures the skew machinery, not a query.
+    from habits_etl_spark.plans.skew_stress import skew_stress_report
+
+    skew = skew_stress_report(spark, bench_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -110,6 +117,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "layout_prep_sec": prep_sec,
+                "skew_stress": skew,
                 "sf": sf,
             }
         )
