@@ -46,6 +46,41 @@ def get_spark(app_name: str = "habits_etl_spark", master: str | None = None,
     return spark
 
 
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> bool:
+    """Route Structured Streaming state through RocksDB instead of the
+    default in-JVM-heap HDFSBackedStateStoreProvider.
+
+    At 100 TB the stateful ops (dropDuplicatesWithinWatermark, windowed
+    aggs, stream-stream joins) hold state proportional to the watermark
+    horizon; the heap provider keeps every version in executor memory and
+    GC-thrashes long before the horizon does — RocksDB spills to local
+    disk with bounded memory, and changelog checkpointing uploads per-batch
+    deltas instead of full snapshots (streaming/dedup.py's "RocksDB-backed
+    in production configs" note, made real).
+
+    Returns False (and changes nothing) when the provider class is not on
+    the classpath — callers/tests skip rather than fail. Takes effect for
+    queries STARTED after the call; a restarted query keeps the provider
+    recorded in its checkpoint."""
+    try:
+        spark._jvm.java.lang.Class.forName(ROCKSDB_STATE_STORE_PROVIDER)  # type: ignore[union-attr]
+    except Exception:
+        return False
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    return True
+
+
 def tune_for_scale(spark: SparkSession) -> None:
     """Apply session-level conf we rely on when the driver hands us an
     externally built session (the harness owns SparkSession creation)."""

@@ -85,3 +85,43 @@ def test_exactly_once_within_and_across_runs(spark, dirs):
     run_once(spark, dirs)
     out2 = read_out(spark, dirs)
     assert [h for h, _ in out2] == ["A", "B", "C"]
+
+
+def test_dedup_under_rocksdb_state_store(spark, dirs):
+    """Same exactly-once contract with the RocksDB state store provider
+    (the bounded-memory provider a 100 TB watermark horizon requires)."""
+    from habits_etl_spark.session import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+        enable_rocksdb_state_store,
+    )
+
+    if not enable_rocksdb_state_store(spark):
+        pytest.skip("RocksDB state store provider not on the classpath")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    assert old == ROCKSDB_STATE_STORE_PROVIDER
+    try:
+        write_batch(
+            dirs,
+            "b1.json",
+            [
+                ("A", "2024-01-10T08:00:00", 1.0),
+                ("A", "2024-01-10T09:00:00", 1.0),
+                ("B", "2024-01-10T10:00:00", 2.0),
+            ],
+        )
+        run_once(spark, dirs)
+        write_batch(
+            dirs,
+            "b2.json",
+            [
+                ("A", "2024-01-11T07:00:00", 1.0),
+                ("C", "2024-01-11T08:00:00", 3.0),
+            ],
+        )
+        run_once(spark, dirs)
+        assert [h for h, _ in read_out(spark, dirs)] == ["A", "B", "C"]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
