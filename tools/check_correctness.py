@@ -61,7 +61,13 @@ def frame_fingerprint(df) -> tuple[int, dict, str]:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
 
     import __spark_entry__ as entry_mod
     from habits_etl_spark.session import get_spark
@@ -76,6 +82,7 @@ def main():
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    ledger: dict[str, dict] = {}
     for name in qs:
         if only and name not in only:
             continue
@@ -85,10 +92,12 @@ def main():
         except Exception as exc:
             n_fail += 1
             failures.append(name)
+            ledger[name] = {"status": "fail", "err": f"spark error: {exc}"}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
             n_rows_only += 1
+            ledger[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -96,6 +105,7 @@ def main():
         except Exception as exc:
             n_fail += 1
             failures.append(name)
+            ledger[name] = {"status": "fail", "err": f"duckdb error: {exc}"}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         sn, ss, sh = frame_fingerprint(sdf)
@@ -103,16 +113,46 @@ def main():
         if sn == on and sh == oh:
             schema_note = "" if ss == os_ else f"  [schema diff: {ss} vs {os_}]"
             n_pass += 1
+            ledger[name] = {
+                "status": "pass",
+                "rows": sn,
+                "schema_match": ss == os_,
+                "hash": sh,
+            }
             print(f"PASS  {name}: {sn} rows{schema_note} [{time.time()-t0:.1f}s]")
         else:
             n_fail += 1
             failures.append(name)
+            ledger[name] = {
+                "status": "fail",
+                "spark_rows": sn,
+                "oracle_rows": on,
+                "hash_match": sh == oh,
+            }
             print(f"FAIL  {name}: rows {sn} vs {on}, hash {'ok' if sh == oh else 'MISMATCH'}")
             if sn and on:
                 print("  spark:", sdf.sort_values(sorted(sdf.columns)[0]).head(3).to_dict("records"))
                 print("  duck :", odf.sort_values(sorted(odf.columns)[0]).head(3).to_dict("records"))
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "summary": {
+                        "pass": n_pass,
+                        "fail": n_fail,
+                        "rows_only": n_rows_only,
+                    },
+                    "queries": ledger,
+                },
+                f,
+                indent=1,
+            )
+        print(f"ledger written: {json_out}")
     if failures:
         print("failures:", " ".join(failures))
         sys.exit(1)
