@@ -1,0 +1,199 @@
+"""Embedding-space curation, wave 4: spherical k-means and SemDeDup-style
+semantic deduplication.
+
+ext_ann_ivf_probe (ext_vectors.py) stands in a hash-sample for its coarse
+centroids; this module adds the real trained-centroid path — Lloyd
+iterations expressed as DataFrame ops — and the operator that motivates it
+at 100 TB: SemDeDup (Abbas et al. 2023), which clusters embeddings FIRST so
+the quadratic near-duplicate search runs only inside clusters. Both are
+approximate/iterative by design, so they register rows-only; precision and
+recall against the exact cosine-pairs op are asserted in
+tests/test_vectors2.py. Reference parity: the reference has no embedding
+surface; these extend it per the BASELINE north-star list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import query, t
+
+_KM_K = 8
+_KM_ITERS = 3
+_SEM_THRESHOLD = 0.4  # matches ext_embedding_cosine_pairs' _COS_THRESHOLD
+
+
+def _unit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, u) with u the L2-normalized float64 embedding —
+    spherical k-means operates on the unit sphere, where the cosine is a
+    plain dot product."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return e.select(
+        "vec_id", "label", F.transform(v, lambda x: x / nrm).alias("u")
+    )
+
+
+def _lit_array_sql(vals) -> str:
+    """A float64 array literal as ONE parsed SQL expression (a Column-tree
+    build of 64 lits per centroid costs hundreds of py4j round trips —
+    the lesson recorded in PERF_r3_minhash.md #2)."""
+    return "array(" + ", ".join(f"{x!r}D" for x in vals) + ")"
+
+
+def _argmax_cell_expr(centroids: list[list[float]]) -> F.Column:
+    """cluster id of the nearest (max-dot) centroid for unit column ``u``,
+    ties to the lowest cell id — a pure map over the corpus, no shuffle,
+    no join: the centroid set rides into the task as plan literals."""
+    sims = ", ".join(
+        f"aggregate(zip_with(u, {_lit_array_sql(c)}, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+        for c in centroids
+    )
+    return F.expr(
+        f"array_position(array({sims}), array_max(array({sims}))) - 1"
+    ).cast("int")
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
+               iters: int = _KM_ITERS) -> list[list[float]]:
+    """Spherical k-means via Lloyd iterations, DataFrame-only.
+
+    Init is the deterministic hash-order pick ext_ann_ivf_probe uses (no
+    density assumption on vec_id). Each iteration: assignment is a pure
+    map (broadcast-literal centroids, see _argmax_cell_expr), the update
+    is ONE hash-aggregate keyed (cell, dim) with map-side partials over
+    posexploded members, then a k x dim collect — the only driver
+    traffic, a few KB regardless of corpus size (the same loop shape
+    MLlib's KMeans runs via treeAggregate). At 100 TB, fit on a hash
+    sample (the estimator converges on a fraction of the corpus) and run
+    the final assignment map over everything."""
+    u = _unit_embeddings(spark, sf_dir).select("vec_id", "u")
+    total = u.count()
+    step = max(total // k, 1)
+    hsh = F.crc32(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
+    seeds = (
+        u.withColumn("__h", hsh)
+        .filter(F.pmod(F.col("__h"), F.lit(step)) < 2)
+        .withColumn("__rk", F.row_number().over(Window.orderBy("__h", "vec_id")))
+        .filter(F.col("__rk") <= k)
+        .select("u")
+        .collect()
+    )
+    centroids = [list(r.u) for r in seeds]
+
+    for _ in range(iters):
+        cell = _argmax_cell_expr(centroids)
+        sums = (
+            u.select(cell.alias("cell"), F.posexplode("u").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda st: st.getField("s"),
+                ).alias("vsum")
+            )
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in sums:
+            vec = r.vsum
+            nrm = sum(x * x for x in vec) ** 0.5 or 1.0
+            new[r.cell] = [x / nrm for x in vec]
+        # empty cells keep their previous centroid (standard Lloyd fallback)
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+@query("ext_kmeans_centroids")  # rows-only: iterative float refinement
+def ext_kmeans_centroids(spark, sf_dir):
+    """Trained coarse quantizer for the embedding column: {_KM_K} spherical
+    k-means cells after {_KM_ITERS} Lloyd iterations. Emits per cell its
+    member count and mean member-to-centroid cosine (the spherical
+    analogue of inertia) — the health dashboard of an IVF index build.
+
+    Rows-only by design: centroid refinement sums floats across
+    partitions, so exact values are summation-order dependent (the same
+    reason MLlib's KMeans is seed-documented, not value-stable);
+    cluster-quality invariants are asserted in tests/test_vectors2.py."""
+    centroids = kmeans_fit(spark, sf_dir)
+    u = _unit_embeddings(spark, sf_dir)
+    cell = _argmax_cell_expr(centroids)
+    sims = ", ".join(
+        f"aggregate(zip_with(u, {_lit_array_sql(c)}, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+        for c in centroids
+    )
+    sim_to_own = F.expr(f"array_max(array({sims}))")
+    return (
+        u.select(cell.alias("cluster_id"), sim_to_own.alias("sim"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("sim"), 4).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query("ext_semantic_dedup")  # rows-only: depends on the k-means partition
+def ext_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the trained
+    quantizer, then search near-duplicates ONLY within each cluster —
+    the clustering is what makes embedding dedup subquadratic at 100 TB
+    (the quadratic pair scan runs over N/k-sized cells, and k grows with
+    N to hold cell size constant; the paper uses k=50k on LAION).
+
+    Per vector: its cell, whether it is a semantic duplicate (some
+    LOWER-id member of the same cell has cosine >= {_SEM_THRESHOLD} —
+    the deterministic keep-first policy, one pass, no iterative
+    clustering), and its max within-cell cosine. Dropping is a filter on
+    ``is_dup``. Precision vs the exact cosine-pairs op is 1.0 by
+    construction (every flagged pair is exactly scored); recall is bounded
+    by cell purity and asserted in tests/test_vectors2.py."""
+    centroids = kmeans_fit(spark, sf_dir)
+    u = _unit_embeddings(spark, sf_dir)
+    cell = _argmax_cell_expr(centroids)
+    m = u.select("vec_id", "label", "u", cell.alias("cluster_id"))
+    a = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("u").alias("u_b"),
+    )
+    b = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("u").alias("u_a"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pair_sims = (
+        b.join(a, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cluster_id", "vec_a", "vec_b", dot.alias("cos"))
+        .filter(F.col("cos") >= _SEM_THRESHOLD)
+    )
+    # is_dup(vec_b): exists a lower-id in-cell neighbor over threshold
+    dup_flags = pair_sims.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.max("cos").alias("max_cos_lower")
+    )
+    return (
+        m.join(dup_flags, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cluster_id",
+            F.col("max_cos_lower").isNotNull().alias("is_dup"),
+            F.round(F.coalesce(F.col("max_cos_lower"), F.lit(0.0)), 4).alias(
+                "max_cos_lower"
+            ),
+        )
+        .orderBy("vec_id")
+    )
