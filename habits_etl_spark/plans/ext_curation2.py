@@ -170,3 +170,74 @@ def ext_domain_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- unigram LM scoring ------------------------------------------------------
+
+
+@query(
+    "ext_unigram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOK_DUCK}) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM cnt),
+    nll AS (
+      SELECT doc_id, lang,
+             round(CAST(sum(CAST(-ln(CAST(c AS DOUBLE) / s) AS DECIMAL(28,12)))
+                        AS DOUBLE) / count(*), 6) AS nll
+      FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, nll,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+    FROM nll ORDER BY doc_id
+    """,
+)
+def ext_unigram_lm_score(spark, sf_dir):
+    """CCNet's LM-quality stage (Wenzek et al. 2020 §3.4) with the KenLM
+    swapped for a corpus-trained unigram model: per document, the mean
+    negative log-likelihood of its tokens (low nll = fluent/common text),
+    then head/middle/tail terciles PER LANGUAGE (CCNet buckets within
+    each language so low-resource languages are not globally penalized).
+    Downstream consumers keep head+middle, or sample tail at a discount.
+
+    Scale: the vocab is one hash-aggregate over the token stream, then
+    BROADCASTS (at 100 TB: top-V vocab plus an OOV smoothing mass — a
+    top-V cut keeps the broadcast bounded; OOV tokens score at the
+    floor probability); doc scoring is scan + broadcast-join + doc_id
+    hash-agg. The tercile window partitions by language — bounded
+    partitions, never a global sort. Exact-sum rule: per-token nll is
+    cast to DECIMAL(28,12) before summation so both engines produce the
+    identical total regardless of partial-sum order."""
+    from habits_etl_spark.plans.common import dec
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_TOK_SPARK(F.col("text"))).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("s"))
+    term = -F.log(F.col("c").cast("double") / F.col("s"))
+    nll = (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(dec(term, 28, 12)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("nll")
+        )
+    )
+    bucket = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.col("nll").asc(), F.col("doc_id"))
+    )
+    return (
+        nll.withColumn(
+            "ppl_bucket",
+            F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail"),
+        )
+        .orderBy("doc_id")
+    )
