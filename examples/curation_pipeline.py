@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""End-to-end corpus-curation run: the composition a 100 TB pretraining
+pipeline ships, expressed with this repo's registered operators.
+
+    admission gate  ->  decontamination  ->  domain mixing  ->  packing
+
+Each stage is the registered query (so it is oracle-verified elsewhere);
+the composition joins on doc_id decision sets — exactly how a production
+run wires stages that were developed and validated independently.
+
+    PYTHONPATH=. python examples/curation_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans import QUERIES
+from habits_etl_spark.session import get_spark
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_out"
+    spark = get_spark("curation_pipeline")
+
+    # 1. admission: pii -> quality -> per-language tercile -> dedup keep
+    admission = QUERIES["ext_admission_decision"](spark, sf_dir)
+    admitted = admission.filter(F.col("admitted")).select("doc_id")
+
+    # 2. decontamination: any doc sharing a 13-gram with the eval set
+    contaminated = (
+        QUERIES["ext_contamination_ngram"](spark, sf_dir).select("doc_id").distinct()
+    )
+    survivors = admitted.join(contaminated, "doc_id", "left_anti")
+
+    # 3. domain mixing weights over the surviving corpus' sources
+    mix = QUERIES["ext_domain_mix"](spark, sf_dir)
+
+    # 4. packing manifest, restricted to survivors
+    manifest = QUERIES["ext_seq_packing"](spark, sf_dir).join(survivors, "doc_id")
+
+    n_total = admission.count()
+    n_admitted = admitted.count()
+    n_contam = contaminated.count()
+    n_final = manifest.count()
+
+    manifest.write.mode("overwrite").parquet(f"{out}/pack_manifest")
+    mix.write.mode("overwrite").parquet(f"{out}/domain_mix")
+    (
+        admission.groupBy("admitted", "rejecting_stage")
+        .count()
+        .orderBy("admitted", "rejecting_stage")
+        .write.mode("overwrite")
+        .parquet(f"{out}/admission_report")
+    )
+
+    print(
+        f"docs={n_total} admitted={n_admitted} "
+        f"contaminated={n_contam} packed={n_final} -> {out}"
+    )
+
+
+if __name__ == "__main__":
+    main()
