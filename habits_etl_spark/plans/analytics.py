@@ -132,7 +132,13 @@ def ext_event_funnel(spark, sf_dir):
     compare in integer microseconds (unix_micros/epoch_us) so both
     engines order identically. The 3-row result assembles driver-side
     cheaply via union + a 1-partition window."""
-    e = t(spark, sf_dir, "events")
+    return funnel_over(t(spark, sf_dir, "events"))
+
+
+def funnel_stages(e, stages=_FUNNEL, step_us: int = _FUNNEL_STEP_US):
+    """Per-stage (user_id, conversion-instant-μs) frames for an events-like
+    DataFrame (user_id, ts, event_type). Factored out so property tests can
+    drive it on generated inputs (tests/test_analytics_property.py)."""
 
     def stage_after(prev, ev_type):
         return (
@@ -141,23 +147,28 @@ def ext_event_funnel(spark, sf_dir):
             .join(prev, "user_id")
             .filter(
                 (F.col("et") > F.col("t"))
-                & (F.col("et") <= F.col("t") + F.lit(_FUNNEL_STEP_US))
+                & (F.col("et") <= F.col("t") + F.lit(step_us))
             )
             .groupBy("user_id")
             .agg(F.min("et").alias("t"))
         )
 
-    s1 = (
-        e.filter(F.col("event_type") == _FUNNEL[0])
+    out = [
+        e.filter(F.col("event_type") == stages[0])
         .select("user_id", F.unix_micros("ts").alias("et"))
         .groupBy("user_id")
         .agg(F.min("et").alias("t"))
-    )
-    s2 = stage_after(s1, _FUNNEL[1])
-    s3 = stage_after(s2, _FUNNEL[2])
+    ]
+    for s in stages[1:]:
+        out.append(stage_after(out[-1], s))
+    return out
 
+
+def funnel_over(e, stages=_FUNNEL, step_us: int = _FUNNEL_STEP_US):
+    """The 3-row funnel result over an events-like DataFrame."""
+    frames = funnel_stages(e, stages, step_us)
     counts = None
-    for i, (name, df) in enumerate(zip(_FUNNEL, (s1, s2, s3)), start=1):
+    for i, (name, df) in enumerate(zip(stages, frames), start=1):
         row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), "n_users"
         )
