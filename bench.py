@@ -108,6 +108,26 @@ def main():
 
     skew = skew_stress_report(spark, bench_dir)
 
+    # Non-headline: curation-op timings (round-3 additions). Reported for
+    # scale evidence; excluded from the headline total so the headline
+    # set stays comparable round-over-round (fixed since r1).
+    curation = {}
+    for name in (
+        "ext_dup_ngram_coverage",
+        "ext_unigram_lm_score",
+        "ext_contamination_ngram",
+        "ext_seq_packing",
+        "win_retention_cohort",
+        "ext_event_funnel",
+    ):
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        curation[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -118,6 +138,7 @@ def main():
                 "queries": timings,
                 "layout_prep_sec": prep_sec,
                 "skew_stress": skew,
+                "curation": curation,
                 "sf": sf,
             }
         )
