@@ -67,6 +67,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = load_table(spark, sf_dir, name)
         with _REGISTRY_LOCK:
+            # evict plans of dead sessions: a long-lived process that
+            # restarts Spark would otherwise pin one DataFrame per
+            # (app, dir, table) per session generation forever
+            for k in [k for k in _TABLE_MEMO if k[0] != key[0]]:
+                del _TABLE_MEMO[k]
             _TABLE_MEMO[key] = df
     return df
 

@@ -10,6 +10,13 @@ approximate/iterative by design, so they register rows-only; precision and
 recall against the exact cosine-pairs op are asserted in
 tests/test_vectors2.py. Reference parity: the reference has no embedding
 surface; these extend it per the BASELINE north-star list.
+
+Normalization discipline: rows carry (v, nrm), never a pre-divided unit
+vector — dividing inside a HOF lambda re-evaluates the norm fold per
+element (CollapseProject inlines the fold into the lambda body; verified
+on the optimized plan), the O(dim^2)/row trap ext_vectors.py:121-127
+documents. Centroids ARE unit vectors (normalized driver-side, k x dim
+scalars), so nearest-centroid = argmax dot(v, c) with no division at all.
 """
 
 from __future__ import annotations
@@ -24,16 +31,15 @@ _KM_ITERS = 3
 _SEM_THRESHOLD = 0.4  # matches ext_embedding_cosine_pairs' _COS_THRESHOLD
 
 
-def _unit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, u) with u the L2-normalized float64 embedding —
-    spherical k-means operates on the unit sphere, where the cosine is a
-    plain dot product."""
+def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v, nrm): float64 embedding + its L2 norm as a
+    scalar column (the _prepped_embeddings pattern, ext_vectors.py:165)."""
     e = t(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
-    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    return e.select(
-        "vec_id", "label", F.transform(v, lambda x: x / nrm).alias("u")
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
+    return e.select("vec_id", "label", v.alias("v"), nrm.alias("nrm"))
 
 
 def _lit_array_sql(vals) -> str:
@@ -43,53 +49,71 @@ def _lit_array_sql(vals) -> str:
     return "array(" + ", ".join(f"{x!r}D" for x in vals) + ")"
 
 
-def _argmax_cell_expr(centroids: list[list[float]]) -> F.Column:
-    """cluster id of the nearest (max-dot) centroid for unit column ``u``,
-    ties to the lowest cell id — a pure map over the corpus, no shuffle,
-    no join: the centroid set rides into the task as plan literals."""
-    sims = ", ".join(
-        f"aggregate(zip_with(u, {_lit_array_sql(c)}, (x, y) -> x * y),"
+def _dots_sql(centroids: list[list[float]], vcol: str = "v") -> str:
+    """SQL for array(dot(vcol, c_0), ..., dot(vcol, c_{k-1}))."""
+    return "array(" + ", ".join(
+        f"aggregate(zip_with({vcol}, {_lit_array_sql(c)}, (x, y) -> x * y),"
         " 0.0D, (acc, x) -> acc + x)"
         for c in centroids
-    )
-    return F.expr(
-        f"array_position(array({sims}), array_max(array({sims}))) - 1"
-    ).cast("int")
+    ) + ")"
+
+
+def _argmax_cell_expr(centroids: list[list[float]]) -> F.Column:
+    """cluster id of the nearest centroid for embedding column ``v``, ties
+    to the lowest cell id — a pure map over the corpus, no shuffle, no
+    join: the centroid set rides into the task as plan literals. Because
+    centroids are unit vectors, argmax of the raw dot product IS argmax
+    of the cosine (the row's 1/nrm factor is a positive constant)."""
+    dots = _dots_sql(centroids)
+    return F.expr(f"array_position({dots}, array_max({dots})) - 1").cast("int")
 
 
 def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
                iters: int = _KM_ITERS) -> list[list[float]]:
-    """Spherical k-means via Lloyd iterations, DataFrame-only.
+    """Spherical k-means via Lloyd iterations, DataFrame-only. Returns k
+    UNIT centroids.
 
     Init is the deterministic hash-order pick ext_ann_ivf_probe uses (no
-    density assumption on vec_id). Each iteration: assignment is a pure
-    map (broadcast-literal centroids, see _argmax_cell_expr), the update
-    is ONE hash-aggregate keyed (cell, dim) with map-side partials over
-    posexploded members, then a k x dim collect — the only driver
-    traffic, a few KB regardless of corpus size (the same loop shape
-    MLlib's KMeans runs via treeAggregate). At 100 TB, fit on a hash
-    sample (the estimator converges on a fraction of the corpus) and run
-    the final assignment map over everything."""
-    u = _unit_embeddings(spark, sf_dir).select("vec_id", "u")
-    total = u.count()
+    density assumption on vec_id), widened to the full corpus if the
+    2x-oversampled hash slice comes up short of k rows. Each iteration:
+    assignment is a pure map (broadcast-literal centroids, see
+    _argmax_cell_expr), the update is ONE hash-aggregate keyed
+    (cell, dim) with map-side partials over posexploded members, then a
+    k x dim collect — the only driver traffic, a few KB regardless of
+    corpus size (the same loop shape MLlib's KMeans runs via
+    treeAggregate). At 100 TB, fit on a hash sample (the estimator
+    converges on a fraction of the corpus) and run the final assignment
+    map over everything."""
+    m = _normed_embeddings(spark, sf_dir).select("vec_id", "v", "nrm")
+    total = m.count()
     step = max(total // k, 1)
     hsh = F.crc32(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
-    seeds = (
-        u.withColumn("__h", hsh)
-        .filter(F.pmod(F.col("__h"), F.lit(step)) < 2)
-        .withColumn("__rk", F.row_number().over(Window.orderBy("__h", "vec_id")))
-        .filter(F.col("__rk") <= k)
-        .select("u")
-        .collect()
-    )
-    centroids = [list(r.u) for r in seeds]
+
+    def pick(cand):
+        return (
+            cand.withColumn("__rk", F.row_number().over(Window.orderBy("__h", "vec_id")))
+            .filter(F.col("__rk") <= k)
+            .select("v", "nrm")
+            .collect()
+        )
+
+    seeds = pick(m.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2))
+    if len(seeds) < k:
+        # hash slice came up short (binomial shortfall on a tiny corpus):
+        # fall back to hash-ordering everything — only reachable when the
+        # corpus is small enough for that to be cheap
+        seeds = pick(m.withColumn("__h", hsh))
+    centroids = [[x / (r.nrm or 1.0) for x in r.v] for r in seeds]
 
     for _ in range(iters):
         cell = _argmax_cell_expr(centroids)
+        # mean of unit vectors: posexplode v alongside the scalar nrm and
+        # sum x/nrm — the division is scalar-per-exploded-row, never
+        # inside an array lambda
         sums = (
-            u.select(cell.alias("cell"), F.posexplode("u").alias("dim", "x"))
+            m.select(cell.alias("cell"), "nrm", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.sum("x").alias("s"))
+            .agg(F.sum(F.col("x") / F.col("nrm")).alias("s"))
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -121,16 +145,12 @@ def ext_kmeans_centroids(spark, sf_dir):
     reason MLlib's KMeans is seed-documented, not value-stable);
     cluster-quality invariants are asserted in tests/test_vectors2.py."""
     centroids = kmeans_fit(spark, sf_dir)
-    u = _unit_embeddings(spark, sf_dir)
+    m = _normed_embeddings(spark, sf_dir)
     cell = _argmax_cell_expr(centroids)
-    sims = ", ".join(
-        f"aggregate(zip_with(u, {_lit_array_sql(c)}, (x, y) -> x * y),"
-        " 0.0D, (acc, x) -> acc + x)"
-        for c in centroids
-    )
-    sim_to_own = F.expr(f"array_max(array({sims}))")
+    # cosine to own centroid = max dot / row norm (centroids are unit)
+    sim_to_own = F.expr(f"array_max({_dots_sql(centroids)})") / F.col("nrm")
     return (
-        u.select(cell.alias("cluster_id"), sim_to_own.alias("sim"))
+        m.select(cell.alias("cluster_id"), sim_to_own.alias("sim"))
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
@@ -156,28 +176,31 @@ def ext_semantic_dedup(spark, sf_dir):
     construction (every flagged pair is exactly scored); recall is bounded
     by cell purity and asserted in tests/test_vectors2.py."""
     centroids = kmeans_fit(spark, sf_dir)
-    u = _unit_embeddings(spark, sf_dir)
-    cell = _argmax_cell_expr(centroids)
-    m = u.select("vec_id", "label", "u", cell.alias("cluster_id"))
+    m = _normed_embeddings(spark, sf_dir).select(
+        "vec_id", "label", "v", "nrm", _argmax_cell_expr(centroids).alias("cluster_id")
+    )
     a = m.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_b"),
-        F.col("u").alias("u_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
     )
     b = m.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_a"),
-        F.col("u").alias("u_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
     )
     dot = F.aggregate(
-        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    cos = dot / (F.col("n_a") * F.col("n_b"))
     pair_sims = (
         b.join(a, "cluster_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("cluster_id", "vec_a", "vec_b", dot.alias("cos"))
+        .select("cluster_id", "vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= _SEM_THRESHOLD)
     )
     # is_dup(vec_b): exists a lower-id in-cell neighbor over threshold

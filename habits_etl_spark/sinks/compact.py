@@ -61,7 +61,7 @@ def _sweep_stale_workdirs(table_path: str) -> None:
             continue
         full = os.path.join(table_path, entry)
         _, sep, enc = entry[len("_old_"):].partition("__")
-        part = enc.replace("~", "=", 1)
+        part = enc.replace("~e", "=").replace("~t", "~")
         target = os.path.join(table_path, part)
         if sep and part and not os.path.exists(target):
             os.rename(full, target)
@@ -114,12 +114,12 @@ def compact_table(
         # ignores '='-free underscore dirs, but a dir containing '=' is
         # parsed as a partition column whatever its prefix (verified
         # empirically: '_old_x__day=a' raises CONFLICTING_PARTITION_
-        # COLUMN_NAMES). So the '=' is encoded as '~'; the suffix records
-        # which partition the dir held, making a crash between the two
-        # renames recoverable.
-        swap = os.path.join(
-            table_path, f"_old_{uuid.uuid4().hex}__{part.replace('=', '~', 1)}"
-        )
+        # COLUMN_NAMES). So '=' is escape-encoded with '~' ('~'->'~t',
+        # '='->'~e' — injective even when the partition VALUE itself
+        # contains '=' or '~'); the suffix records which partition the dir
+        # held, making a crash between the two renames recoverable.
+        enc = part.replace("~", "~t").replace("=", "~e")
+        swap = os.path.join(table_path, f"_old_{uuid.uuid4().hex}__{enc}")
         os.rename(pdir, swap)
         os.rename(tmp, pdir)
         shutil.rmtree(swap)

@@ -9,7 +9,8 @@ from habits_etl_spark.plans.common import QUERIES
 from habits_etl_spark.plans.ext_vectors2 import (
     _SEM_THRESHOLD,
     _argmax_cell_expr,
-    _unit_embeddings,
+    _dots_sql,
+    _normed_embeddings,
     ext_kmeans_centroids,
     ext_semantic_dedup,
     kmeans_fit,
@@ -18,17 +19,9 @@ from habits_etl_spark.plans.ext_vectors2 import (
 
 def _objective(spark, sf_dir, centroids):
     """Spherical k-means objective: total member-to-own-centroid cosine."""
-    from habits_etl_spark.plans.ext_vectors2 import _lit_array_sql
-
-    u = _unit_embeddings(spark, sf_dir)
-    sims = ", ".join(
-        f"aggregate(zip_with(u, {_lit_array_sql(c)}, (x, y) -> x * y),"
-        " 0.0D, (acc, x) -> acc + x)"
-        for c in centroids
-    )
-    return u.select(
-        F.sum(F.expr(f"array_max(array({sims}))")).alias("obj")
-    ).collect()[0].obj
+    m = _normed_embeddings(spark, sf_dir)
+    sim = F.expr(f"array_max({_dots_sql(centroids)})") / F.col("nrm")
+    return m.select(F.sum(sim).alias("obj")).collect()[0].obj
 
 
 def test_lloyd_iterations_improve_objective(spark, sf_dir):
@@ -39,10 +32,15 @@ def test_lloyd_iterations_improve_objective(spark, sf_dir):
 
 def test_kmeans_centroids_partition(spark, sf_dir):
     rows = ext_kmeans_centroids(spark, sf_dir).collect()
-    total = _unit_embeddings(spark, sf_dir).count()
+    total = _normed_embeddings(spark, sf_dir).count()
     assert sum(r.n_members for r in rows) == total  # every vector in one cell
     for r in rows:
         assert -1.0 <= r.mean_cos_to_centroid <= 1.0
+
+
+def test_fitted_centroids_are_unit(spark, sf_dir):
+    for c in kmeans_fit(spark, sf_dir, iters=1):
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
 
 
 def test_semantic_dedup_precision_and_recall(spark, sf_dir):
@@ -78,7 +76,7 @@ def test_assignment_is_shuffle_free(spark, sf_dir):
     """The per-vector cell assignment must be a pure map: centroids ride
     as plan literals, so the plan has no join/exchange below the scan."""
     centroids = kmeans_fit(spark, sf_dir, iters=0)
-    m = _unit_embeddings(spark, sf_dir).select(
+    m = _normed_embeddings(spark, sf_dir).select(
         "vec_id", _argmax_cell_expr(centroids).alias("cell")
     )
     plan = m._jdf.queryExecution().executedPlan().toString()
