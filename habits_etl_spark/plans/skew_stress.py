@@ -36,11 +36,15 @@ from habits_etl_spark.operators.skew import salted_join
 from habits_etl_spark.sources import load_table
 
 HOT_USER = 0
-N_DIM_USERS = 150  # events.user_id domain in the testdata
 
 
 def skewed_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(facts with 50% of rows on HOT_USER, per-user dim)."""
+    """(facts with 50% of rows on HOT_USER, per-user dim).
+
+    The dim is derived from the events' own user domain (NOT a hardcoded
+    range: user_id cardinality scales with sf, and a dim that covers only
+    part of the domain silently drops fact rows in the inner join,
+    distorting the measured skew)."""
     e = load_table(spark, sf_dir, "events")
     hot = (
         F.when(F.col("event_id") % 2 == 0, F.lit(HOT_USER))
@@ -48,9 +52,15 @@ def skewed_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         .cast("long")
     )
     facts = e.select(hot.alias("user_id"), "event_id", "value")
-    dim = spark.range(N_DIM_USERS).select(
-        F.col("id").alias("user_id"),
-        F.concat(F.lit("segment_"), (F.col("id") % 7).cast("string")).alias("segment"),
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("segment_"), F.pmod(F.col("user_id"), F.lit(7)).cast("string")
+            ).alias("segment"),
+        )
     )
     return facts, dim
 
