@@ -18,6 +18,9 @@ import sys
 from pyspark.sql import functions as F
 
 from habits_etl_spark.plans import QUERIES
+from habits_etl_spark.plans.common import t
+from habits_etl_spark.plans.ext_curation import seq_packing_over
+from habits_etl_spark.plans.ext_curation2 import domain_mix_over
 from habits_etl_spark.session import get_spark
 
 
@@ -36,11 +39,13 @@ def main():
     )
     survivors = admitted.join(contaminated, "doc_id", "left_anti")
 
-    # 3. domain mixing weights over the surviving corpus' sources
-    mix = QUERIES["ext_domain_mix"](spark, sf_dir)
-
-    # 4. packing manifest, restricted to survivors
-    manifest = QUERIES["ext_seq_packing"](spark, sf_dir).join(survivors, "doc_id")
+    # 3+4 run on the SURVIVING corpus — packing offsets computed over a
+    # superset would leave gaps for rejected docs' tokens and mis-place
+    # every sequence boundary; mixture weights over the raw corpus would
+    # target the pre-filter source distribution
+    surviving_docs = t(spark, sf_dir, "documents").join(survivors, "doc_id")
+    mix = domain_mix_over(surviving_docs)
+    manifest = seq_packing_over(surviving_docs)
 
     n_total = admission.count()
     n_admitted = admitted.count()

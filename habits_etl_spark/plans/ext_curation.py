@@ -56,7 +56,15 @@ def ext_seq_packing(spark, sf_dir):
     a local sort; 1000 executors pack 1000 shards concurrently. Token
     counts here are whitespace counts (ext_token_count's convention);
     swapping in BPE counts changes the map stage only."""
-    d = t(spark, sf_dir, "documents")
+    return seq_packing_over(t(spark, sf_dir, "documents"))
+
+
+def seq_packing_over(d):
+    """Packing manifest over any documents-like DataFrame (doc_id, source,
+    text). Factored out so a composed pipeline can pack exactly the
+    ADMITTED corpus — offsets computed over a superset would leave gaps
+    for rejected docs' tokens and mis-place every sequence boundary
+    (examples/curation_pipeline.py)."""
     n_tokens = F.size(_TOK_SPARK(F.col("text"))).cast("bigint")
     w = (
         Window.partitionBy("source")

@@ -141,7 +141,13 @@ def ext_domain_mix(spark, sf_dir):
     corpus — the only pass over the data), then a 1-row totals aggregate
     cross-joined back via broadcast. Source cardinality is thousands at
     most, so everything after the first agg is driver-trivial."""
-    d = t(spark, sf_dir, "documents")
+    return domain_mix_over(t(spark, sf_dir, "documents"))
+
+
+def domain_mix_over(d):
+    """Mixture weights over any documents-like DataFrame (source, text) —
+    factored out so a composed pipeline can weight the ADMITTED corpus,
+    not the raw one (examples/curation_pipeline.py)."""
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(_TOK_SPARK(F.col("text"))).cast("bigint")).cast("bigint").alias("n_tokens"),
