@@ -27,6 +27,8 @@ from habits_etl_spark.plans.ext_text import (
     _TOK_SPARK,
     _lang_score_duck,
     _lang_score_spark,
+    pii_scrub_expr,
+    pii_scrub_sql,
 )
 from habits_etl_spark.plans.ext_vectors import (
     _EXACT_PAIRS_CTE,
@@ -383,26 +385,10 @@ def ext_lang_quality_buckets(spark, sf_dir):
 
 # --- combined admission gate -------------------------------------------------
 
-_SCRUB_DUCK = (
-    "regexp_replace(regexp_replace(regexp_replace(text, "
-    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-    "'\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g'), "
-    "'[0-9]{4,}', '<NUM>', 'g')"
-)
-
-
-def _scrub_spark(c):
-    return F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
-            ),
-            r"\+?[0-9][0-9()\- ]{6,}[0-9]",
-            "<PHONE>",
-        ),
-        r"[0-9]{4,}",
-        "<NUM>",
-    )
+# PII scrub: shared single-source passes from ext_text (pii_scrub_expr /
+# pii_scrub_sql) — a pattern fix there propagates to the admission gate.
+_SCRUB_DUCK = pii_scrub_sql("text")
+_scrub_spark = pii_scrub_expr
 
 
 @query(

@@ -823,18 +823,43 @@ def ext_dup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# PII masking passes, in application order — the single source of truth
+# for every scrub surface (ext_pii_scrub here, the admission gate in
+# ext_pipeline.py). Patterns are shared verbatim between the Spark chain
+# and the DuckDB oracle SQL so the two can never diverge.
+_PII_PASSES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def pii_scrub_expr(c):
+    """Ordered regexp_replace chain over a string Column."""
+    for pat, rep in _PII_PASSES:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_scrub_sql(inner: str) -> str:
+    """The same chain as DuckDB SQL around an expression string."""
+    out = inner
+    for pat, rep in _PII_PASSES:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+_PII_SYNTH_DUCK = (
+    "'contact ' || source || '@mail-' || CAST(doc_id AS VARCHAR)"
+    " || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ref ' || substr(text, 1, 40)"
+)
+
+
 @query(
     "ext_pii_scrub",
-    r"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace('contact ' || source || '@mail-' || CAST(doc_id AS VARCHAR)
-                              || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                              || ' ref ' || substr(text, 1, 40),
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
-             '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+    f"""
+    SELECT doc_id, {pii_scrub_sql(_PII_SYNTH_DUCK)} AS scrubbed
     FROM documents
     """,
 )
@@ -850,20 +875,7 @@ def ext_pii_scrub(spark, sf_dir):
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" ref "), F.substring(F.col("text"), 1, 40),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                synth,
-                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-                "<EMAIL>",
-            ),
-            r"\+?[0-9][0-9()\- ]{6,}[0-9]",
-            "<PHONE>",
-        ),
-        r"[0-9]{4,}",
-        "<NUM>",
-    )
-    return d.select("doc_id", scrubbed.alias("scrubbed"))
+    return d.select("doc_id", pii_scrub_expr(synth).alias("scrubbed"))
 
 
 @query(
