@@ -490,13 +490,16 @@ def ext_near_dedup_minhash(spark, sf_dir):
     arr_b = base.select(
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"), F.col("n").alias("nb")
     )
-    # candidate list is collision-sized: broadcast it against the corpus
-    # arrays so the big side never shuffles — in BOTH lookups. The first
-    # join's output is still collision-sized, so it too carries the
-    # broadcast hint; without it AQE must wait for runtime stats before
-    # demoting the second join from a corpus-shuffling SMJ.
+    # The candidate ID-PAIR list is collision-sized: broadcast it against
+    # the corpus arrays so the big side never shuffles in the first
+    # lookup. The second lookup's left side carries the matched docs'
+    # shingle arrays — roughly the duplicate documents' text, UNBOUNDED
+    # in exactly the duplicate-heavy corpus this op targets — so it gets
+    # NO forced broadcast: AQE sees its actual runtime size and
+    # broadcasts when genuinely small, shuffles when not (a forced hint
+    # here would hard-fail on the 8 GB broadcast limit at scale).
     inter = (
-        F.broadcast(arr_a.join(F.broadcast(cand), "doc_a"))
+        arr_a.join(F.broadcast(cand), "doc_a")
         .join(arr_b, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
     )
