@@ -58,7 +58,7 @@ def test_workdirs_invisible_to_readers_and_stats(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "v long, day string").write.partitionBy(
         "day"
     ).parquet(base)
-    os.rename(os.path.join(base, "day=a"), os.path.join(base, "_old_cafe__day~a"))
+    os.rename(os.path.join(base, "day=a"), os.path.join(base, "_old_cafe__day~ea"))
     spark.createDataFrame([(2, "a")], "v long, day string").write.partitionBy(
         "day"
     ).mode("append").parquet(base)
@@ -76,7 +76,7 @@ def test_sweep_restores_partition_after_mid_swap_crash(spark, tmp_path):
         [(1, "a"), (2, "a")], "v long, day string"
     ).write.partitionBy("day").parquet(base)
     # simulate the crash window
-    os.rename(os.path.join(base, "day=a"), os.path.join(base, "_old_dead__day~a"))
+    os.rename(os.path.join(base, "day=a"), os.path.join(base, "_old_dead__day~ea"))
     spark.createDataFrame([(1, "a"), (2, "a")], "v long, day string").drop(
         "day"
     ).write.parquet(os.path.join(base, "_compact_beef"))
