@@ -29,8 +29,15 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_out"
     spark = get_spark("curation_pipeline")
 
-    # 1. admission: pii -> quality -> per-language tercile -> dedup keep
-    admission = QUERIES["ext_admission_decision"](spark, sf_dir)
+    # 1. admission: pii -> quality -> per-language tercile -> dedup keep.
+    # Cached: the admission DAG (MinHash LSH + iterative connected
+    # components) is the expensive stage and feeds five consumers below —
+    # uncached it would re-execute for each of them.
+    from habits_etl_spark.plans.common import managed_cache
+
+    admission = managed_cache(
+        QUERIES["ext_admission_decision"](spark, sf_dir), "example.admission"
+    )
     admitted = admission.filter(F.col("admitted")).select("doc_id")
 
     # 2. decontamination: any doc sharing a 13-gram with the eval set

@@ -74,18 +74,18 @@ def seq_packing_over(d):
     offs = d.select("doc_id", "source", n_tokens.alias("n_tokens")).withColumn(
         "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     )
+    # integer floor-div (`div`), NOT double `/` + cast: a shard offset
+    # beyond 2^53 would lose precision in the double and mis-place
+    # sequence boundaries by one (oracle uses exact `//` likewise)
     return offs.select(
         "doc_id",
         "source",
         "n_tokens",
         "start_offset",
-        (F.col("start_offset") / _PACK_WINDOW).cast("bigint").alias("first_seq"),
-        (
-            (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
-            / _PACK_WINDOW
-        )
-        .cast("bigint")
-        .alias("last_seq"),
+        F.expr(f"start_offset div {_PACK_WINDOW}").alias("first_seq"),
+        F.expr(
+            f"(start_offset + greatest(n_tokens, 1L) - 1) div {_PACK_WINDOW}"
+        ).alias("last_seq"),
     ).orderBy("doc_id")
 
 

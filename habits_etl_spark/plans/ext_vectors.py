@@ -21,8 +21,10 @@ _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _COS_THRESHOLD = 0.4
 _DIM = 64
 
-# Above this corpus size the exact all-pairs join is refused and
-# ext_embedding_cosine_pairs routes through LSH-banded candidates.
+# Above this corpus size ext_embedding_cosine_pairs REFUSES (raises) —
+# its registered oracle asserts the exact all-pairs result, so semantics
+# must not silently change with input size (ADVICE r2). The scale path is
+# the separately registered ext_cosine_pairs_lsh.
 _EXACT_PAIRS_MAX = 100_000
 
 

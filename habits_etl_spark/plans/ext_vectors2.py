@@ -33,13 +33,11 @@ _SEM_THRESHOLD = 0.4  # matches ext_embedding_cosine_pairs' _COS_THRESHOLD
 
 def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, v, nrm): float64 embedding + its L2 norm as a
-    scalar column (the _prepped_embeddings pattern, ext_vectors.py:165)."""
-    e = t(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    return e.select("vec_id", "label", v.alias("v"), nrm.alias("nrm"))
+    scalar column — the one normalization kernel, shared with the ANN ops
+    so a fix there cannot drift from the k-means path."""
+    from habits_etl_spark.plans.ext_vectors import _prepped_embeddings
+
+    return _prepped_embeddings(spark, sf_dir)
 
 
 def _lit_array_sql(vals) -> str:

@@ -52,8 +52,11 @@ def skewed_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         .cast("long")
     )
     facts = e.select(hot.alias("user_id"), "event_id", "value")
+    # dim domain = the REMAPPED facts' domain (original users + HOT_USER):
+    # deriving from the original user_id alone would drop every hot row if
+    # the generator ever stopped emitting user 0
     dim = (
-        e.select("user_id")
+        facts.select("user_id")
         .distinct()
         .select(
             "user_id",

@@ -8,13 +8,13 @@ key — so "what is cohort X's D1/D7 retention right now" stays fresh as
 events arrive, without rescanning history.
 
 Semantics (match the batch operator for in-order data): a user's cohort
-day is the day of the first event ever seen for it; being active on
-cohort_day + k sets bit k (offsets beyond ``max_offset`` are ignored —
-the dashboard only reads fixed offsets). An event EARLIER than the
-recorded cohort day re-anchors the cohort within a batch's fold but
-cannot rewind a cohort decision made in an earlier batch — the same
-documented divergence as the streak tracker (streaming/stateful.py); the
-batch operator is the exact one.
+day is the day of the EARLIEST event seen so far; being active on
+cohort_day + k sets bit k (offsets beyond ``MAX_OFFSET`` are ignored —
+the dashboard only reads fixed offsets). A late event earlier than the
+recorded cohort day re-anchors the cohort and right-shifts the
+already-seen offsets — in ANY batch, so late cohort starts are handled
+exactly; what is lost relative to the batch operator is only activity
+beyond MAX_OFFSET and pre-shift offsets pushed past it.
 
 Scale: state is (date, bigint) per user, hash-partitioned by user_id and
 checkpointed incrementally; RocksDB-state-store compatible. The per-user
@@ -29,7 +29,11 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-MAX_OFFSET = 63  # bitmask capacity; D1/D7/D30 dashboards read well below
+# Bitmask capacity: 62, NOT 63 — bit 63 of a SIGNED int64 state column
+# overflows; Spark silently checkpoints the overflow as NULL and the next
+# micro-batch crashes on state.get, permanently (the poisoned checkpoint
+# fails every restart). D1/D7/D30 dashboards read well below this.
+MAX_OFFSET = 62
 
 STATE_SCHEMA = "cohort_day DATE, seen BIGINT"
 OUTPUT_SCHEMA = (

@@ -79,6 +79,38 @@ def test_retention_state_across_batches(spark, dirs):
     assert s[2] == ("2024-01-01", True, False)
 
 
+def test_offset_at_bitmask_capacity_survives_restart(spark, dirs):
+    """Activity at exactly MAX_OFFSET must set the top usable bit WITHOUT
+    overflowing the signed int64 state column (bit 63 would checkpoint as
+    NULL and poison every subsequent batch), and beyond it must be a
+    clean no-op."""
+    from habits_etl_spark.streaming.retention import MAX_OFFSET
+
+    assert MAX_OFFSET <= 62  # bit 63 of a signed BIGINT is the sign bit
+    spark.createDataFrame([ev(1, 1)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["source"])
+    drain(spark, dirs)
+    # day 1 + MAX_OFFSET and one past capacity, in a later batch
+    base = dt.datetime(2024, 1, 1, 12)
+    spark.createDataFrame(
+        [
+            (base + dt.timedelta(days=MAX_OFFSET), 1),
+            (base + dt.timedelta(days=MAX_OFFSET + 1), 1),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    s = drain(spark, dirs)
+    assert s[1][0] == "2024-01-01"
+    # and the state is still usable in yet another batch (no poisoned
+    # checkpoint): a day-2 event flips D1
+    spark.createDataFrame([ev(2, 1)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["source"])
+    s = drain(spark, dirs)
+    assert s[1] == ("2024-01-01", True, False)
+
+
 def test_retention_matches_batch_on_in_order_input(spark, dirs, sf_dir):
     """Streaming per-user (cohort, D1, D7) must equal the batch operator's
     cohort table when the whole fixture arrives as one in-order batch."""
