@@ -43,6 +43,18 @@ HEADLINE = [
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+# Non-headline curation section (round-3 ops): timed for scale evidence,
+# excluded from the headline total so that set stays comparable across
+# rounds (fixed since r1).
+CURATION = [
+    "ext_dup_ngram_coverage",
+    "ext_unigram_lm_score",
+    "ext_contamination_ngram",
+    "ext_seq_packing",
+    "win_retention_cohort",
+    "ext_event_funnel",
+]
+
 
 def optimize_layout(spark, sf_dir: str) -> tuple[str, float]:
     """One-time storage-layout optimization (the engine's hypertable-
@@ -82,7 +94,7 @@ def main():
     # so measured timings reflect steady-state execution, not first-call
     # whole-stage-codegen compilation (standard JVM benchmarking practice;
     # a long-lived cluster is always warm).
-    for name in HEADLINE:
+    for name in HEADLINE + CURATION:
         try:
             QUERIES[name](spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -112,14 +124,7 @@ def main():
     # scale evidence; excluded from the headline total so the headline
     # set stays comparable round-over-round (fixed since r1).
     curation = {}
-    for name in (
-        "ext_dup_ngram_coverage",
-        "ext_unigram_lm_score",
-        "ext_contamination_ngram",
-        "ext_seq_packing",
-        "win_retention_cohort",
-        "ext_event_funnel",
-    ):
+    for name in CURATION:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(repeat):

@@ -140,9 +140,20 @@ def main():
     if json_out:
         import json
 
+        import subprocess
+
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        except Exception:
+            head = None
         with open(json_out, "w") as f:
             json.dump(
                 {
+                    "git_head": head,  # audit: which tree this ledger attests
                     "sf_dir": sf_dir,
                     "summary": {
                         "pass": n_pass,
