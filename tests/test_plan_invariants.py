@@ -1,0 +1,27 @@
+"""Engine-wide plan invariants over EVERY registered query.
+
+Catches registration rot (a query that stops building) and the silent
+scale-killer class (a non-broadcast cartesian product appearing through a
+refactor) in one sweep, at plan-build cost only — nothing executes.
+BroadcastNestedLoopJoin is allowed: the registry's 1-row scalar cross
+joins (totals, boundaries) legitimately plan as broadcast NLJs; a
+CartesianProduct node means BOTH sides were too big to broadcast, which
+no registered query should ever do.
+"""
+
+from __future__ import annotations
+
+from habits_etl_spark.plans import QUERIES
+
+
+def test_every_query_builds_and_has_no_cartesian_product(spark, sf_dir):
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in physical plan")
+    assert not failures, "\n".join(failures)
