@@ -1,0 +1,296 @@
+"""Embedding-space curation, wave 5: product quantization (PQ).
+
+Completes the similarity-search ladder (exact scan -> SRP-LSH buckets ->
+IVF probe -> PQ codes): Jegou et al. 2011, "Product Quantization for
+Nearest Neighbor Search". The embedding is split into M subvectors, each
+quantized against its own k-entry codebook; a vector becomes M small
+integer codes (here 8 x 4 bits of codebook id per 64-float vector — a
+~64x payload reduction), and queries scan codes with asymmetric distance
+computation (ADC): per-query lookup tables replace all float math on the
+corpus side. At 100 TB this is the difference between scanning 25 TB of
+float32 and scanning ~400 GB of codes with table lookups — the scan
+becomes memory-bandwidth-bound on a small fraction of the data, and
+composes with the IVF cell routing (ext_ann_ivf_probe) for sub-linear
+candidate selection.
+
+Both operators are rows-only by design (iterative float training, like
+ext_kmeans_centroids); quantization quality and search recall against the
+exact scan are asserted in tests/test_vectors3.py.
+
+Normalization discipline (see ext_vectors2 module docstring): corpus rows
+carry (v, nrm); every fold runs on raw ``v`` and the 1/nrm scaling is
+applied to the folded SCALAR, never element-wise inside a lambda — so
+CollapseProject cannot inline the norm fold into a per-element body.
+Vectors are unit-normalized before quantization, which makes squared
+Euclidean ADC monotonic with cosine (|a-b|^2 = 2 - 2cos for unit vectors)
+and therefore comparable with the exact cosine top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import query, t
+from habits_etl_spark.plans.ext_vectors import _DIM, _N_QUERIES, _TOP_K
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = _DIM // _PQ_M
+_PQ_K = 16  # codebook entries per subspace (4-bit codes)
+_PQ_RERANK = 64  # ADC shortlist size fed to the exact re-rank stage
+_PQ_ITERS = 3
+
+
+def _lit_arr(vals) -> str:
+    return "array(" + ", ".join(f"{x!r}D" for x in vals) + ")"
+
+
+def _sub_slice(m: int, vcol: str = "v") -> str:
+    """SQL slice of subspace m (1-based slice positions)."""
+    return f"slice({vcol}, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+
+
+def _scores_sql(codebook_m: list[list[float]], m: int) -> str:
+    """array of (v_m . c)/nrm - |c|^2/2 for each centroid c of subspace m
+    — argmax of this is argmin of unit-vector Euclidean distance. The
+    1/nrm division happens OUTSIDE the fold (scalar context)."""
+    cells = []
+    for c in codebook_m:
+        c2 = sum(x * x for x in c) / 2.0
+        cells.append(
+            f"aggregate(zip_with({_sub_slice(m)}, {_lit_arr(c)}, (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x) / nrm - {c2!r}D"
+        )
+    return "array(" + ", ".join(cells) + ")"
+
+
+def _code_expr(codebooks: list[list[list[float]]], m: int):
+    s = _scores_sql(codebooks[m], m)
+    return F.expr(f"array_position({s}, array_max({s})) - 1").cast("int")
+
+
+def pq_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Train the M codebooks, Lloyd iterations expressed as DataFrame ops,
+    ALL subspaces in one job per iteration. Returns codebooks[m][code] ->
+    dsub floats (trained on unit-normalized vectors).
+
+    Shape per iteration: one pure-map assignment (codebook literals ride
+    into the task, per subspace a CASE over sub_id), then ONE hash-
+    aggregate keyed (sub_id, cell, dim) with map-side partials over the
+    posexploded subvectors, then an M x k x dsub collect — bounded driver
+    traffic (4 KB here) regardless of corpus size. Init is the
+    deterministic crc32-order row pick kmeans_fit uses; at 100 TB, train
+    on a hash sample and map-assign everything (same argument as
+    kmeans_fit's docstring)."""
+    from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
+    from pyspark.sql import Window
+
+    dsub = _DIM // m_sub
+    base = _normed_embeddings(spark, sf_dir).select("vec_id", "v", "nrm")
+    total = base.count()
+    step = max(total // k, 1)
+    hsh = F.crc32(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+
+    def pick(cand):
+        return (
+            cand.withColumn("__rk", F.row_number().over(Window.orderBy("__h", "vec_id")))
+            .filter(F.col("__rk") <= k)
+            .select("v", "nrm")
+            .collect()
+        )
+
+    seeds = pick(base.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2))
+    if len(seeds) < k:
+        seeds = pick(base.withColumn("__h", hsh))
+    unit_seeds = [[x / (r.nrm or 1.0) for x in r.v] for r in seeds]
+    codebooks = [
+        [u[m * dsub : (m + 1) * dsub] for u in unit_seeds] for m in range(m_sub)
+    ]
+
+    # (vec_id, sub_id, sv_raw, nrm): one row per subspace per vector. The
+    # subvector stays RAW here; the exploded element is divided by the
+    # scalar nrm AFTER posexplode (scalar context, no lambda).
+    subs = base.select(
+        "vec_id",
+        "nrm",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(_sub_slice(m) for m in range(m_sub))
+                + ")"
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+    for _ in range(iters):
+        expr = None
+        for m in range(m_sub):
+            s = _scores_sql(codebooks[m], m).replace(_sub_slice(m), "sv")
+            e = F.expr(f"array_position({s}, array_max({s})) - 1").cast("int")
+            expr = e if expr is None else F.when(F.col("sub_id") == m, e).otherwise(expr)
+        cell = expr  # CASE chain keyed on sub_id (fallthrough arm is sub_id 0)
+        sums = (
+            subs.select("sub_id", "nrm", cell.alias("cell"), F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub_id", "cell", "dim")
+            .agg(
+                F.sum(F.col("x") / F.col("nrm")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("sub_id", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda st: st.getField("s"),
+                ).alias("vsum"),
+                F.first("n").alias("n"),
+            )
+            .collect()
+        )
+        new: dict[tuple[int, int], list[float]] = {}
+        for r in sums:
+            new[(r.sub_id, r.cell)] = [x / r.n for x in r.vsum]
+        codebooks = [
+            [new.get((m, c), codebooks[m][c]) for c in range(k)] for m in range(m_sub)
+        ]
+    return codebooks
+
+
+def _with_codes(base: DataFrame, codebooks) -> DataFrame:
+    """Attach the M-code array — a pure map, codebooks as plan literals."""
+    return base.withColumn(
+        "codes", F.array(*[_code_expr(codebooks, m) for m in range(_PQ_M)])
+    )
+
+
+@query("ext_pq_codes")  # rows-only: iterative float training
+def ext_pq_codes(spark, sf_dir):
+    """PQ-encode the corpus: (vec_id, label, codes array<int>, recon_err).
+    recon_err is the squared Euclidean distance between the unit vector
+    and its reconstruction — the quantization loss an index build
+    monitors (rounded; its distribution is bound-tested). Encoding is a
+    single map over the scan; nothing shuffles but the output ORDER BY
+    (which an index writer drops in favor of writing codes next to the
+    source partition)."""
+    from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
+
+    codebooks = pq_fit(spark, sf_dir)
+    base = _normed_embeddings(spark, sf_dir)
+    coded = _with_codes(base, codebooks)
+    # |u - c|^2 per subspace = |u_m|^2 - 2 u_m.c + |c|^2, all folds on raw
+    # v with scalar 1/nrm applied outside the lambda.
+    err_terms = []
+    for m in range(_PQ_M):
+        vm = _sub_slice(m)
+        um2 = f"aggregate(zip_with({vm}, {vm}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (nrm * nrm)"
+        dot_c = (
+            "element_at(array("
+            + ", ".join(
+                f"aggregate(zip_with({vm}, {_lit_arr(c)}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / nrm"
+                for c in codebooks[m]
+            )
+            + f"), codes[{m}] + 1)"
+        )
+        c2 = (
+            "element_at(array("
+            + ", ".join(f"{sum(x * x for x in c)!r}D" for c in codebooks[m])
+            + f"), codes[{m}] + 1)"
+        )
+        err_terms.append(f"({um2} - 2.0D * {dot_c} + {c2})")
+    recon = F.expr(" + ".join(err_terms))
+    return coded.select(
+        "vec_id",
+        "label",
+        "codes",
+        F.round(recon, 4).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+@query("ext_pq_topk")  # rows-only: approximate by construction
+def ext_pq_topk(spark, sf_dir):
+    """PQ-ADC candidate scan + exact re-rank (the IVFADC+R shape, Jegou
+    et al. 2011 §V): the {_N_QUERIES} query vectors (vec_id <
+    {_N_QUERIES}, same convention as ext_topk_sim_search) are collected
+    driver-side, each query's M x k distance table is computed in plain
+    Python (M*k floats per query), and the corpus-side scan is ONLY
+    `sum_m table[q][m][codes[m]]` — element_at lookups into plan
+    literals, zero float folds over embeddings at candidate time. The
+    ADC shortlist (top {_PQ_RERANK} per query) is then re-ranked with
+    EXACT cosine — float folds run on {_N_QUERIES} x {_PQ_RERANK} rows,
+    not the corpus. That asymmetry is the point of PQ: per-query float
+    math happens once on the driver, the distributed scan touches just
+    the codes, and exact math touches just the shortlist.
+
+    Emits (query_id, neighbor_id, cos) — same shape as the exact
+    ext_topk_sim_search, so consumers can swap scan for index. Recall
+    against the exact top-k is asserted in tests/test_vectors3.py."""
+    from pyspark.sql import Window
+    from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
+
+    codebooks = pq_fit(spark, sf_dir)
+    base = _normed_embeddings(spark, sf_dir)
+    coded = _with_codes(base, codebooks).select("vec_id", "codes")
+
+    qrows = base.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v", "nrm").collect()
+    units = {r.vec_id: [x / (r.nrm or 1.0) for x in r.v] for r in qrows}
+    # distance tables: T[q][m][c] = |q_m - c|^2 on unit query vectors
+    tables = {
+        qid: [
+            [
+                sum((u[m * _PQ_DSUB + i] - c[i]) ** 2 for i in range(_PQ_DSUB))
+                for c in codebooks[m]
+            ]
+            for m in range(_PQ_M)
+        ]
+        for qid, u in units.items()
+    }
+
+    # one literal lookup expression per query, fanned out via explode of a
+    # literal struct array: dist_q = sum_m element_at(T_qm, codes[m]+1)
+    arms = []
+    for qid, tab in sorted(tables.items()):
+        dist = " + ".join(
+            f"element_at({_lit_arr(tab[m])}, codes[{m}] + 1)" for m in range(_PQ_M)
+        )
+        arms.append(f"struct({qid}L AS query_id, {dist} AS d)")
+    scored = coded.select(
+        "vec_id",
+        F.explode(F.expr("array(" + ", ".join(arms) + ")")).alias("qd"),
+    ).select(
+        F.col("qd.query_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qd.d").alias("approx_dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    wa = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: join the shortlist back to (v, nrm) and score against
+    # the literal unit query vectors — a CASE over query_id, scalar 1/nrm
+    # outside the fold.
+    qcos = None
+    for qid, u in sorted(units.items()):
+        dot = (
+            f"aggregate(zip_with(v, {_lit_arr(u)}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x) / nrm"
+        )
+        e = F.expr(dot)
+        qcos = e if qcos is None else F.when(F.col("query_id") == qid, e).otherwise(qcos)
+    exact = (
+        shortlist.join(base.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(qcos, 4).alias("cos"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+        .orderBy("query_id", F.col("cos").desc(), "neighbor_id")
+    )

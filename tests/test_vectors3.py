@@ -1,0 +1,73 @@
+"""PQ encode + ADC search (wave 5): code-domain invariants, reconstruction
+loss bounds, and shortlist-re-rank recall against a pure-Python exact
+scan."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+from habits_etl_spark.plans.ext_vectors3 import (
+    _PQ_K,
+    _PQ_M,
+    ext_pq_codes,
+    ext_pq_topk,
+)
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_pq_codes_invariants(spark, sf_dir):
+    rows = ext_pq_codes(spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_corpus
+    for r in rows:
+        assert len(r.codes) == _PQ_M
+        assert all(0 <= c < _PQ_K for c in r.codes)
+        # squared distance between unit vector and reconstruction: >= 0,
+        # and < 2 would hold even for orthogonal reconstructions of unit
+        # norm; a trained codebook must do clearly better on average
+        assert r.recon_err >= 0.0
+    mean_err = sum(r.recon_err for r in rows) / len(rows)
+    assert mean_err < 1.2, mean_err
+    # the quantizer actually uses its code space (not collapsed to one cell)
+    per_sub = [collections.Counter(r.codes[m] for r in rows) for m in range(_PQ_M)]
+    for m, cnt in enumerate(per_sub):
+        assert len(cnt) >= _PQ_K // 2, (m, cnt)
+
+
+def test_pq_topk_recall_and_exactness(spark, sf_dir):
+    rows = ext_pq_topk(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    got = collections.defaultdict(list)
+    for r in rows:
+        got[r.query_id].append(r)
+    assert sorted(got) == list(range(10))
+    recalls = []
+    for q in range(10):
+        rs = got[q]
+        assert len(rs) == 5
+        # descending cos, neighbor_id tie-break, self excluded
+        keys = [(-r.cos, r.neighbor_id) for r in rs]
+        assert keys == sorted(keys)
+        assert all(r.neighbor_id != q for r in rs)
+        # the re-rank stage scores EXACT cosine: each reported cos must
+        # match the Python dot product to rounding
+        for r in rs:
+            assert abs(_cos(emb[q], emb[r.neighbor_id]) - r.cos) < 1e-3
+        exact = sorted(
+            ((_cos(emb[q], emb[i]), -i) for i in emb if i != q), reverse=True
+        )[:5]
+        ex = {-i for _, i in exact}
+        recalls.append(len(ex & {r.neighbor_id for r in rs}) / 5)
+    # 32-bit codes + 64-candidate shortlist: mean observed ~0.76; bound
+    # leaves margin for float-sum nondeterminism in centroid training
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
