@@ -53,6 +53,10 @@ CURATION = [
     "ext_seq_packing",
     "win_retention_cohort",
     "ext_event_funnel",
+    # wave 5
+    "ext_bm25_topk",
+    "ext_gopher_rules",
+    "ext_exact_substr_spans",
 ]
 
 

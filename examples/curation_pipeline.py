@@ -2,7 +2,8 @@
 """End-to-end corpus-curation run: the composition a 100 TB pretraining
 pipeline ships, expressed with this repo's registered operators.
 
-    admission gate  ->  decontamination  ->  domain mixing  ->  packing
+    gopher rule gate  ->  admission gate  ->  decontamination
+                      ->  domain mixing  ->  packing
 
 Each stage is the registered query (so it is oracle-verified elsewhere);
 the composition joins on doc_id decision sets — exactly how a production
@@ -21,6 +22,7 @@ from habits_etl_spark.plans import QUERIES
 from habits_etl_spark.plans.common import t
 from habits_etl_spark.plans.ext_curation import seq_packing_over
 from habits_etl_spark.plans.ext_curation2 import domain_mix_over
+from habits_etl_spark.plans.ext_curation3 import gopher_rules_over
 from habits_etl_spark.session import get_spark
 
 
@@ -28,6 +30,15 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_out"
     spark = get_spark("curation_pipeline")
+
+    # 0. Gopher rule battery: a cheap structural gate (pure map, no
+    # shuffle) whose verdicts are intersected with the admission decision
+    # below. Stages here are the registered fixed-input queries, composed
+    # by doc_id decision sets; a production run would instead feed the
+    # gopher SURVIVORS into the expensive admission DAG so the MinHash /
+    # connected-components work never touches structurally rejected docs.
+    gopher = gopher_rules_over(t(spark, sf_dir, "documents"))
+    gopher_pass = gopher.filter(F.col("passed")).select("doc_id")
 
     # 1. admission: pii -> quality -> per-language tercile -> dedup keep.
     # Cached: the admission DAG (MinHash LSH + iterative connected
@@ -38,7 +49,9 @@ def main():
     admission = managed_cache(
         QUERIES["ext_admission_decision"](spark, sf_dir), "example.admission"
     )
-    admitted = admission.filter(F.col("admitted")).select("doc_id")
+    admitted = (
+        admission.filter(F.col("admitted")).select("doc_id").join(gopher_pass, "doc_id")
+    )
 
     # 2. decontamination: any doc sharing a 13-gram with the eval set
     contaminated = (
@@ -55,6 +68,7 @@ def main():
     manifest = seq_packing_over(surviving_docs)
 
     n_total = admission.count()
+    n_gopher = gopher_pass.count()
     n_admitted = admitted.count()
     n_contam = contaminated.count()
     n_final = manifest.count()
@@ -70,7 +84,7 @@ def main():
     )
 
     print(
-        f"docs={n_total} admitted={n_admitted} "
+        f"docs={n_total} gopher_pass={n_gopher} admitted={n_admitted} "
         f"contaminated={n_contam} packed={n_final} -> {out}"
     )
 

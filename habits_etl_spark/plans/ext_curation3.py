@@ -196,29 +196,47 @@ def ext_exact_substr_spans(spark, sf_dir):
 
 
 def exact_substr_spans_over(d, k=_ES_K, min_span=_ES_MIN_SPAN, max_postings=_ES_MAX_POSTINGS):
-    """Shared-span detection over any documents-like DataFrame (doc_id, text)."""
+    """Shared-span detection over any documents-like DataFrame (doc_id, text).
+
+    Plan shape: ONE pass over the corpus gram stream into a hash-aggregate
+    keyed by gram that collects the posting list (doc_id, pos), then the
+    cross-document match pairs are generated INSIDE each posting row with
+    array HOFs — no self-join, so the exploded token stream is never
+    scanned or shuffled twice. Posting lists are bounded by the
+    {max_postings}-distinct-doc cap before pair expansion, so per-gram
+    fan-out is O(cap^2) worst-case on collision-scale rows only."""
     g = (
         d.select("doc_id", _TOK_SPARK(F.col("text")).alias("w"))
         .filter(F.size("w") >= k)
         .select("doc_id", F.posexplode(_gram_with_pos_spark(k)).alias("pos", "gram"))
     )
-    shared = (
+    postings = (
         g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd").between(2, max_postings))
-        .select("gram")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
+        .filter(
+            F.size(F.array_distinct(F.expr("transform(ps, p -> p.doc_id)"))).between(
+                2, max_postings
+            )
+        )
     )
-    gs = g.join(shared, "gram")
-    x, y = gs.alias("x"), gs.alias("y")
+    # ordered cross-doc pairs within one posting list: each element x
+    # pairs with every element y of a strictly larger doc_id — the
+    # x.doc_id < y.doc_id guard fixes orientation and prevents both
+    # same-doc pairs and double counting
+    pairs = F.expr(
+        "flatten(transform(ps, x -> "
+        "  filter(transform(ps, y -> "
+        "           IF(x.doc_id < y.doc_id, struct(x, y), null)), "
+        "         p -> p IS NOT NULL)))"
+    )
     m = (
-        x.join(y, "gram")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        postings.select(F.explode(pairs).alias("p"))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.pos").alias("ia"),
-            F.col("y.pos").alias("ib"),
-            (F.col("x.pos") - F.col("y.pos")).alias("off"),
+            F.col("p.x.doc_id").alias("doc_a"),
+            F.col("p.y.doc_id").alias("doc_b"),
+            F.col("p.x.pos").alias("ia"),
+            F.col("p.y.pos").alias("ib"),
+            (F.col("p.x.pos") - F.col("p.y.pos")).alias("off"),
         )
     )
     win = Window.partitionBy("doc_a", "doc_b", "off").orderBy("ia")
