@@ -1,7 +1,6 @@
 """Sixth-wave star shapes (TPC-H Q6 and Q8 families): the pure
 scan-predicate revenue aggregate and the national-market-share ratio over
-the full 8-way star. These are the last two TPC-H families expressible on
-the slim testdata schema (star.py..star4.py cover the rest; partsupp-,
+the full 8-way star (star6.py adds the Q5/Q7 families; partsupp-,
 shipmode- and comment-dependent parts have no source columns).
 
 Reference parity: the reference engine's pipeline filters + conditional
