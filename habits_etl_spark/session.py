@@ -33,6 +33,11 @@ def get_spark(app_name: str = "habits_etl_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamps without the UTC flag read as session-tz
+        # TIMESTAMP, not NTZ (see sources._force_ltz_reads — the testdata
+        # generator omits isAdjustedToUTC; instant semantics under the UTC
+        # session tz match DuckDB's naive timestamps exactly).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

@@ -25,14 +25,34 @@ TABLES = (
 )
 
 
+def _force_ltz_reads(spark: SparkSession) -> None:
+    """Read parquet TIMESTAMP(isAdjustedToUTC=false) as session-tz TIMESTAMP,
+    not TIMESTAMP_NTZ.
+
+    The testdata generator writes micro-second timestamps without the UTC
+    flag; Spark 4's default ``inferTimestampNTZ`` then types them NTZ,
+    which breaks instant functions (``unix_micros`` rejects NTZ) and makes
+    every comparison against ``to_timestamp`` literals a cross-type
+    coercion. Disabling inference restores the classic LTZ read: the
+    stored micros are interpreted as UTC epoch instants, identical to what
+    DuckDB's naive timestamps mean under our UTC session tz — and filters
+    stay directly on the scan column (no cast blocking parquet pushdown).
+    Session-level on purpose: plans are lazy, so the conf must hold for
+    the lifetime of every DataFrame read here (same note as nanosAsLong
+    below)."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table of the scale-factor directory as a DataFrame.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    Spark vectorized reader rejects. We read nanos as long
+    Older testdata layouts store ``events.ts`` as parquet TIMESTAMP(NANOS),
+    which the Spark vectorized reader rejects. We read nanos as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
     timestamps — the same truncation DuckDB applies, so both engines see
-    identical instants."""
+    identical instants. (Current layouts store micros; the Long branch is
+    then dead and the plain read applies.)"""
+    _force_ltz_reads(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -70,6 +90,7 @@ def load_events_range(
     # (lazy) DataFrame — Spark re-reads SQLConf at each query execution,
     # so restoring it here would break a later .collect(). It is therefore
     # a session-level setting, shared with load_table("events").
+    _force_ltz_reads(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
 
