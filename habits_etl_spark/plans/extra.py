@@ -231,6 +231,50 @@ def stream_session_window(spark, sf_dir):
 
 
 @query(
+    "stream_sliding_window",
+    f"""
+    WITH ev AS (
+      SELECT date_trunc('day', ts) AS d, event_type, value FROM events
+    ),
+    exploded AS (
+      SELECT d - (k * INTERVAL 1 DAY) AS w_start, event_type, value
+      FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT strftime(w_start, '%Y-%m-%d') AS w_start_s, event_type,
+           count(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding 2-day window advancing 1 day (SURVEY §2.10 family,
+    overlapping variant of stream_tumbling_window): ``F.window(ts, "2
+    days", "1 day")`` — every event lands in exactly duration/slide = 2
+    windows. Same expression works under readStream with a watermark; the
+    batch shape here is what the oracle can check. Slide alignment is
+    epoch midnight UTC on both engines (Spark aligns window starts to the
+    epoch; the oracle derives starts from date_trunc explicitly).
+
+    Scale: Spark expands the window set per row BEFORE the shuffle
+    (logical Expand), so map-side partial aggregation still collapses
+    each window's rows locally — cost is duration/slide x the tumbling
+    query, not a self-join. At 100 TB keep that ratio small (2 here);
+    a 30-day window sliding daily should roll up from the 1-day tumbling
+    aggregate instead (agg_hll_partial_merge shows the partial-merge
+    shape)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("w_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "agg_percentiles",
     """
     SELECT event_type,
