@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import query, t
+from habits_etl_spark.plans.common import dec, query, t
+from habits_etl_spark.plans.ext_text import (
+    _QUALITY_INPUTS_DUCK,
+    _QUALITY_SQL,
+    _TOK_SPARK,
+    _quality_col,
+)
 
 # Chunk geometry: 64-token windows, stride 48 (16-token overlap) — the
 # window/overlap shape RAG indexers and long-doc pretraining both use.
@@ -125,3 +131,69 @@ def ext_train_shuffle_shards(spark, sf_dir):
     ).cast("bigint") % _N_SHARDS
     key = F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
     return d.select("doc_id", sid.alias("shard_id"), key.alias("sort_key"))
+
+
+@query(
+    "ext_dataset_card",
+    f"""
+    WITH inputs AS (
+      SELECT source, lang, md5(text) AS text_hash,
+             {_QUALITY_INPUTS_DUCK}
+      FROM documents
+    ),
+    m AS (
+      SELECT source, lang, text_hash, n_tokens,
+             {_QUALITY_SQL} AS quality
+      FROM inputs
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           count(DISTINCT text_hash) AS n_unique_texts,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_tokens, 0.5), 1) AS med_tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_quality
+    FROM m GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def ext_dataset_card(spark, sf_dir):
+    """Corpus datasheet (the "dataset card" table a curation run
+    publishes): per (source, language) stratum — document count, exact
+    unique-text count (dedup headroom), total and median token counts,
+    and mean quality score. Composes the tokenizer, the exact-dedup hash,
+    and the shared quality formula (ext_text._quality_col) into one
+    rollup, so the numbers here are definitionally consistent with
+    ext_exact_dedup / ext_quality_score.
+
+    Determinism: avg quality through a decimal sum (common.py rule 1);
+    median via interpolated percentile, identical in both engines
+    (agg_percentiles precedent).
+
+    Scale: one hash-agg shuffle on the (source, lang) key — all per-doc
+    features are map-side. COUNT(DISTINCT) rewrites to a two-phase
+    expand+agg; strata counts are small, so the second phase is
+    negligible. The exact median buffers per-group values — at 100 TB
+    swap to approx_percentile (agg_approx_percentiles precedent); kept
+    exact here for oracle parity at test scale."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(_TOK_SPARK(F.col("text"))).cast("bigint")
+    m = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("text_hash"),
+        n_tokens.alias("n_tokens"),
+        _quality_col().alias("quality"),
+    )
+    return (
+        m.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_unique_texts"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 1).alias("med_tokens"),
+            F.round(
+                F.sum(dec(F.col("quality"))).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_quality"),
+        )
+        .orderBy("source", "lang")
+    )
