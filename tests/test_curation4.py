@@ -80,3 +80,50 @@ def test_sliding_window_double_counts_each_event(spark, sf_dir):
     total = agg.agg(F.sum("n")).collect()[0][0]
     n_events = t(spark, sf_dir, "events").count()
     assert total == 2 * n_events  # duration/slide = 2 windows per event
+
+
+def test_sliding_window_runs_under_structured_streaming(spark, tmp_path):
+    """The registered batch query's window expression must work verbatim
+    under readStream — every event lands in duration/slide = 2 windows."""
+    import json
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-05 10:00:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-05 23:30:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-06 00:30:00", "event_type": "view", "value": 3.0},
+        {"ts": "2024-01-08 12:00:00", "event_type": "click", "value": 4.0},
+    ]
+    (src / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM slide_test").collect()
+    assert sum(r.n for r in out) == 2 * len(rows)
+    # spot-check alignment: the 2024-01-05 events appear in the windows
+    # starting 01-04 and 01-05 (epoch-midnight-aligned slide)
+    starts = {
+        str(r.w.start)[:10] for r in out if r.event_type == "click"
+    }
+    assert {"2024-01-04", "2024-01-05"} <= starts
