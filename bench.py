@@ -57,6 +57,13 @@ CURATION = [
     "ext_bm25_topk",
     "ext_gopher_rules",
     "ext_exact_substr_spans",
+    # wave 6
+    "ext_doc_chunking",
+    "ext_train_shuffle_shards",
+    "ext_dataset_card",
+    "stream_sliding_window",
+    "join_q5_local_supplier_volume",
+    "agg_q7_nation_trade",
 ]
 
 

@@ -211,6 +211,76 @@ def ext_pq_codes(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _query_units(base: DataFrame) -> dict[int, list[float]]:
+    """Collect the query vectors (vec_id < _N_QUERIES) as unit vectors —
+    bounded driver traffic: _N_QUERIES x _DIM floats."""
+    qrows = (
+        base.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v", "nrm").collect()
+    )
+    return {r.vec_id: [x / (r.nrm or 1.0) for x in r.v] for r in qrows}
+
+
+def _adc_tables(units, codebooks):
+    """Per-query ADC distance tables T[q][m][c] = |q_m - c|^2 (unit query
+    vectors), computed in plain Python: M*k floats per query, once."""
+    return {
+        qid: [
+            [
+                sum((u[m * _PQ_DSUB + i] - c[i]) ** 2 for i in range(_PQ_DSUB))
+                for c in codebooks[m]
+            ]
+            for m in range(_PQ_M)
+        ]
+        for qid, u in units.items()
+    }
+
+
+def _adc_dist_sql(tab) -> str:
+    """sum_m element_at(T_m, codes[m]+1) — the whole per-row ADC cost."""
+    return " + ".join(
+        f"element_at({_lit_arr(tab[m])}, codes[{m}] + 1)" for m in range(_PQ_M)
+    )
+
+
+def _shortlist_topk(scored: DataFrame, n: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= n)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _rerank_exact(shortlist: DataFrame, base: DataFrame, units) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist: join back to (v, nrm),
+    score against literal unit query vectors (CASE over query_id, scalar
+    1/nrm outside the fold), keep the final _TOP_K."""
+    from pyspark.sql import Window
+
+    qcos = None
+    for qid, u in sorted(units.items()):
+        dot = (
+            f"aggregate(zip_with(v, {_lit_arr(u)}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x) / nrm"
+        )
+        e = F.expr(dot)
+        qcos = e if qcos is None else F.when(F.col("query_id") == qid, e).otherwise(qcos)
+    exact = shortlist.join(
+        base.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id"
+    ).select("query_id", "neighbor_id", F.round(qcos, 4).alias("cos"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+        .orderBy("query_id", F.col("cos").desc(), "neighbor_id")
+    )
+
+
 @query("ext_pq_topk")  # rows-only: approximate by construction
 def ext_pq_topk(spark, sf_dir):
     """PQ-ADC candidate scan + exact re-rank (the IVFADC+R shape, Jegou
@@ -229,35 +299,21 @@ def ext_pq_topk(spark, sf_dir):
     Emits (query_id, neighbor_id, cos) — same shape as the exact
     ext_topk_sim_search, so consumers can swap scan for index. Recall
     against the exact top-k is asserted in tests/test_vectors3.py."""
-    from pyspark.sql import Window
     from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
 
     codebooks = pq_fit(spark, sf_dir)
     base = _normed_embeddings(spark, sf_dir)
     coded = _with_codes(base, codebooks).select("vec_id", "codes")
 
-    qrows = base.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v", "nrm").collect()
-    units = {r.vec_id: [x / (r.nrm or 1.0) for x in r.v] for r in qrows}
-    # distance tables: T[q][m][c] = |q_m - c|^2 on unit query vectors
-    tables = {
-        qid: [
-            [
-                sum((u[m * _PQ_DSUB + i] - c[i]) ** 2 for i in range(_PQ_DSUB))
-                for c in codebooks[m]
-            ]
-            for m in range(_PQ_M)
-        ]
-        for qid, u in units.items()
-    }
+    units = _query_units(base)
+    tables = _adc_tables(units, codebooks)
 
     # one literal lookup expression per query, fanned out via explode of a
     # literal struct array: dist_q = sum_m element_at(T_qm, codes[m]+1)
-    arms = []
-    for qid, tab in sorted(tables.items()):
-        dist = " + ".join(
-            f"element_at({_lit_arr(tab[m])}, codes[{m}] + 1)" for m in range(_PQ_M)
-        )
-        arms.append(f"struct({qid}L AS query_id, {dist} AS d)")
+    arms = [
+        f"struct({qid}L AS query_id, {_adc_dist_sql(tab)} AS d)"
+        for qid, tab in sorted(tables.items())
+    ]
     scored = coded.select(
         "vec_id",
         F.explode(F.expr("array(" + ", ".join(arms) + ")")).alias("qd"),
@@ -266,31 +322,80 @@ def ext_pq_topk(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"),
         F.col("qd.d").alias("approx_dist"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    wa = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id"))
-    shortlist = (
-        scored.withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") <= _PQ_RERANK)
-        .select("query_id", "neighbor_id")
+    shortlist = _shortlist_topk(scored, _PQ_RERANK)
+    return _rerank_exact(shortlist, base, units)
+
+
+_IVFPQ_N_PROBE = 3  # of _KM_K = 8 coarse cells
+
+
+@query("ext_ivfpq_topk")  # rows-only: approximate by construction
+def ext_ivfpq_topk(spark, sf_dir):
+    """IVF + PQ-ADC + exact re-rank — the full IVFADC index shape (Jegou
+    et al. 2011 §V; the FAISS IVFxPQy default): a coarse spherical
+    k-means quantizer (ext_vectors2.kmeans_fit) routes every corpus
+    vector to a cell as a pure map; each query probes only its
+    _IVFPQ_N_PROBE closest cells (picked driver-side from the centroid
+    literals); the ADC code scan runs ONLY on rows whose cell one of the
+    probing queries selected — the per-row candidate set is built with a
+    null-filtered literal-array expression, so non-probed (query, row)
+    pairs are dropped BEFORE the explode fans them out. The shortlist
+    then gets the same exact-cosine re-rank as ext_pq_topk.
+
+    Cost model vs ext_pq_topk (flat ADC): the code scan drops from
+    O(N x Q) lookups to O(N x Q x n_probe / n_cells) — with 3/8 probed
+    that is ~2.7x fewer ADC evaluations, and the ratio is the tunable
+    scale knob (more cells => cheaper scans, lower recall per probe). At
+    100 TB the corpus would be WRITTEN partitioned by cell (partition
+    pruning replaces the row filter), making each query's scan touch only
+    its probed partitions — sub-linear candidate selection with bounded
+    per-query float math, exactly the layout an index build ships.
+
+    Recall against the exact scan is asserted in tests/test_vectors3.py
+    (losses come from cell misses + quantization, bounded there)."""
+    from habits_etl_spark.plans.ext_vectors2 import (
+        _argmax_cell_expr,
+        _normed_embeddings,
+        kmeans_fit,
     )
-    # exact re-rank: join the shortlist back to (v, nrm) and score against
-    # the literal unit query vectors — a CASE over query_id, scalar 1/nrm
-    # outside the fold.
-    qcos = None
-    for qid, u in sorted(units.items()):
-        dot = (
-            f"aggregate(zip_with(v, {_lit_arr(u)}, (x, y) -> x * y),"
-            " 0.0D, (acc, x) -> acc + x) / nrm"
-        )
-        e = F.expr(dot)
-        qcos = e if qcos is None else F.when(F.col("query_id") == qid, e).otherwise(qcos)
-    exact = (
-        shortlist.join(base.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(qcos, 4).alias("cos"))
+
+    centroids = kmeans_fit(spark, sf_dir)
+    codebooks = pq_fit(spark, sf_dir)
+    base = _normed_embeddings(spark, sf_dir)
+    coded = (
+        _with_codes(base, codebooks)
+        .withColumn("cell", _argmax_cell_expr(centroids))
+        .select("vec_id", "cell", "codes")
     )
-    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        exact.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cos")
-        .orderBy("query_id", F.col("cos").desc(), "neighbor_id")
-    )
+
+    units = _query_units(base)
+    tables = _adc_tables(units, codebooks)
+    # per-query probe list: top n_probe cells by centroid dot (driver-side
+    # Python over k centroids — k floats per query, no job)
+    probes = {
+        qid: sorted(
+            range(len(centroids)),
+            key=lambda c: -sum(x * y for x, y in zip(u, centroids[c])),
+        )[:_IVFPQ_N_PROBE]
+        for qid, u in units.items()
+    }
+
+    # arm per query: NULL unless this row's cell is probed by the query;
+    # filter(…, s -> s IS NOT NULL) prunes before the explode fan-out
+    arms = [
+        f"IF(cell IN ({', '.join(str(c) for c in probes[qid])}),"
+        f" struct({qid}L AS query_id, {_adc_dist_sql(tab)} AS d), NULL)"
+        for qid, tab in sorted(tables.items())
+    ]
+    scored = coded.select(
+        "vec_id",
+        F.explode(
+            F.expr("filter(array(" + ", ".join(arms) + "), s -> s IS NOT NULL)")
+        ).alias("qd"),
+    ).select(
+        F.col("qd.query_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qd.d").alias("approx_dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    shortlist = _shortlist_topk(scored, _PQ_RERANK)
+    return _rerank_exact(shortlist, base, units)

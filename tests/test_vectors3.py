@@ -71,3 +71,36 @@ def test_pq_topk_recall_and_exactness(spark, sf_dir):
     # 32-bit codes + 64-candidate shortlist: mean observed ~0.76; bound
     # leaves margin for float-sum nondeterminism in centroid training
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivfpq_topk_recall_and_exactness(spark, sf_dir):
+    from habits_etl_spark.plans.ext_vectors3 import _IVFPQ_N_PROBE, ext_ivfpq_topk
+    from habits_etl_spark.plans.ext_vectors2 import _KM_K
+
+    rows = ext_ivfpq_topk(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    got = collections.defaultdict(list)
+    for r in rows:
+        got[r.query_id].append(r)
+    assert sorted(got) == list(range(10))
+    recalls = []
+    for q in range(10):
+        rs = got[q]
+        assert 0 < len(rs) <= 5
+        keys = [(-r.cos, r.neighbor_id) for r in rs]
+        assert keys == sorted(keys)
+        assert all(r.neighbor_id != q for r in rs)
+        for r in rs:
+            assert abs(_cos(emb[q], emb[r.neighbor_id]) - r.cos) < 1e-3
+        exact = sorted(
+            ((_cos(emb[q], emb[i]), -i) for i in emb if i != q), reverse=True
+        )[:5]
+        ex = {-i for _, i in exact}
+        recalls.append(len(ex & {r.neighbor_id for r in rs}) / 5)
+    # flat-ADC recall is ~0.76 (test above); probing 3/8 cells can only
+    # lose cell misses on top — demand it keeps most of it
+    assert _IVFPQ_N_PROBE < _KM_K  # the probe actually prunes
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
