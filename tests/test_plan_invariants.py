@@ -25,3 +25,24 @@ def test_every_query_builds_and_has_no_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in physical plan")
     assert not failures, "\n".join(failures)
+
+
+def test_every_query_analyzes_under_ansi_mode(spark, sf_dir):
+    """The driver harness builds its own session and may enable ANSI; a
+    query that only analyzes in legacy mode (implicit lossy casts,
+    unchecked element_at, ...) would break there. Building the full
+    registry under ANSI catches the analysis-time class for every query
+    at plan cost; execution-sensitive ops are additionally RUN under ANSI
+    in test_robustness's sample."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    failures = []
+    try:
+        for name, fn in sorted(QUERIES.items()):
+            try:
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            except Exception as e:  # noqa: BLE001 - collecting all failures
+                failures.append(f"{name}: {e}")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert not failures, "\n".join(failures)
