@@ -104,3 +104,31 @@ def test_ivfpq_topk_recall_and_exactness(spark, sf_dir):
     # lose cell misses on top — demand it keeps most of it
     assert _IVFPQ_N_PROBE < _KM_K  # the probe actually prunes
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_ivf_cell_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB materialization ext_ivfpq_topk's docstring names: corpus
+    written partitioned by coarse cell, so a query's probed-cell filter
+    becomes partition pruning — non-probed cells are never read."""
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.ext_vectors2 import _argmax_cell_expr
+    from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
+
+    base = _normed_embeddings(spark, sf_dir)
+    # deterministic one-hot "centroids": real assignment expression, no
+    # training job needed for a layout test
+    cents = [[1.0 if i == m * 16 else 0.0 for i in range(64)] for m in range(4)]
+    coded = base.withColumn("cell", _argmax_cell_expr(cents)).select("vec_id", "cell")
+    path = str(tmp_path / "ivf_index")
+    coded.write.partitionBy("cell").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(0, 2))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200], plan[:1500]
+    # semantic check: the pruned read equals reading exactly those two
+    # partition dirs, and is a strict subset of the table
+    direct = spark.read.parquet(f"{path}/cell=0", f"{path}/cell=2").count()
+    assert probed.count() == direct
+    assert probed.count() < spark.read.parquet(path).count()
