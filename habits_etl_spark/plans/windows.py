@@ -114,3 +114,50 @@ def win_analytic(spark, sf_dir):
         F.round(F.avg("sum_value").over(w_range), 4).alias("avg_7d"),
         F.round(F.col("sum_value") - F.lag("sum_value").over(w_lag), 4).alias("delta_prev"),
     )
+
+
+@query(
+    "win_cumulative_uniques",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day_s, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM per_day ORDER BY day
+    """,
+)
+def win_cumulative_uniques(spark, sf_dir):
+    """Growth accounting: per day, how many users appear for the FIRST
+    time and the running total of distinct users ever seen. A windowed
+    COUNT(DISTINCT) is unsupported (and would be quadratic anyway); the
+    standard rewrite — first-seen day per user, then a running sum of
+    first-appearance counts — is exact and one-pass.
+
+    Scale: shuffle #1 is the user-grain min (hash agg with map-side
+    partials — the heavy reduction, corpus -> |users|); shuffle #2
+    collapses to day grain (|days| rows). The final running sum runs on
+    the tiny day-grain frame in a single partition, which is correct at
+    any corpus size because |days| grows with time, not data volume."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(day_of(F.col("ts"))).alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day_s")
+    )
