@@ -197,3 +197,87 @@ def ext_dataset_card(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "ext_value_winsorize",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round(least(greatest(value, lo), hi), 6) AS value_w
+    FROM events e JOIN bounds USING (event_type)
+    """,
+)
+def ext_value_winsorize(spark, sf_dir):
+    """Winsorization (outlier clipping for metric hygiene / feature
+    preprocessing): clip each event's value into its event-type's
+    [p1, p99] band. Two-phase: exact per-group percentiles (a handful of
+    rows), then a broadcast join back and a pure-map clip.
+
+    Determinism: interpolated percentiles are bit-identical across
+    engines (agg_percentiles precedent); the clip is order-free.
+
+    Scale: phase 1 is one hash-agg over the fact table; at 100 TB swap
+    its exact percentile for approx_percentile (bounded buffers) — the
+    join side stays |event_types| rows either way, so the clip pass
+    never shuffles the facts: bounds broadcast, the map applies them."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6).alias(
+            "value_w"
+        ),
+    )
+
+
+@query(
+    "ext_text_normalize",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             md5(text) AS raw_hash,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash
+      FROM documents
+    )
+    SELECT doc_id, raw_hash, norm_hash,
+           count(*) OVER (PARTITION BY norm_hash) AS n_same_norm
+    FROM n
+    """,
+)
+def ext_text_normalize(spark, sf_dir):
+    """Canonical text normalization (case-fold + whitespace collapse) and
+    the duplicate mass it reveals: docs that differ only in case/spacing
+    share a norm_hash, so ``n_same_norm > 1`` marks near-duplicates that
+    EXACT dedup (raw md5, ext_exact_dedup) misses — the cheap first rung
+    of the near-dedup ladder, before MinHash is worth its shuffle.
+
+    Determinism: md5 over deterministic string transforms; the only
+    dialect care is DuckDB's regexp_replace needing the 'g' flag where
+    Spark is global by default.
+
+    Scale: the transform + hash is a pure map; the dup count is one
+    window (hash-partition on norm_hash — same shuffle an exact-dedup
+    groupBy would pay). At 100 TB fold the normalization INTO the dedup
+    key upstream and this op disappears into the landing pass."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    n = d.select(
+        "doc_id", F.md5("text").alias("raw_hash"), norm.alias("norm_hash")
+    )
+    w = Window.partitionBy("norm_hash")
+    return n.select(
+        "doc_id", "raw_hash", "norm_hash", F.count(F.lit(1)).over(w).alias("n_same_norm")
+    )
