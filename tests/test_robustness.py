@@ -66,3 +66,34 @@ def test_unigram_lm_buckets(spark, sf_dir):
             head_max = max(r.nll for r in rs if r.ppl_bucket == "head")
             tail_min = min(r.nll for r in rs if r.ppl_bucket == "tail")
             assert head_max <= tail_min, (lang, head_max, tail_min)
+
+
+def test_results_invariant_to_shuffle_parallelism(spark, sf_dir):
+    """The cross-engine determinism rules (decimal-exact sums, rule 1 in
+    plans/common.py) also promise run-to-run stability WITHIN Spark: the
+    same query at different shuffle parallelism must produce identical
+    values, or partial-aggregation order would leak into results at
+    cluster scale. Exercised on value-heavy aggregate/window queries."""
+    sample = (
+        "agg_daily_rollup",
+        "agg_q1_pricing",
+        "win_analytic",
+        "ext_dataset_card",
+        "win_cumulative_uniques",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def snapshot(n_part):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        out = {}
+        for name in sample:
+            rows = QUERIES[name](spark, sf_dir).collect()
+            out[name] = sorted(tuple(r) for r in rows)
+        return out
+
+    try:
+        a, b = snapshot(1), snapshot(17)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name in sample:
+        assert a[name] == b[name], f"{name} differs across parallelism"
