@@ -281,3 +281,56 @@ def ext_text_normalize(spark, sf_dir):
     return n.select(
         "doc_id", "raw_hash", "norm_hash", F.count(F.lit(1)).over(w).alias("n_same_norm")
     )
+
+
+@query(
+    "ext_chunk_dedup_rate",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ),
+    ks AS (
+      SELECT doc_id, toks,
+             unnest(range(0, ((len(toks) - 1) // {_STRIDE}) + 1)) AS k
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[(k * {_STRIDE} + 1):(k * {_STRIDE} + {_CHUNK})], ' '))
+               AS chunk_hash
+      FROM ks
+    ),
+    g AS (
+      SELECT chunk_hash, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT count(*) AS n_chunks,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_chunk_rows,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_chunks
+    FROM g
+    """,
+)
+def ext_chunk_dedup_rate(spark, sf_dir):
+    """Chunk-level duplicate mass: how much of the chunked corpus
+    (ext_doc_chunking's output) is repeated, and how many distinct chunks
+    appear in MORE THAN ONE document — the boilerplate measure a chunk
+    index dedups on before embedding (embedding a duplicated chunk twice
+    wastes the most expensive stage of a RAG build).
+
+    Composes the chunker with an exact-dedup rollup: chunk_hash is the
+    dedup key the chunking docstring promises. Scale: chunking is a map
+    stage; the rollup is one hash-agg on chunk_hash with map-side
+    partials, then a 1-row global summary."""
+    chunks = ext_doc_chunking(spark, sf_dir).select("doc_id", "chunk_hash")
+    g = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_chunk_rows"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cross_doc_chunks"),
+    )

@@ -486,3 +486,50 @@ def op_pivot(spark, sf_dir):
         values=_PIVOT_TYPES,
         agg=dsum("value", 4),
     )
+
+
+@query(
+    "agg_cube_grouping_id",
+    f"""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(isodow(ts) AS VARCHAR), 'ALL') AS dow,
+           CAST(grouping(event_type) * 2 + grouping(isodow(ts)) AS BIGINT)
+             AS gid,
+           count(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, isodow(ts))
+    """,
+)
+def agg_cube_grouping_id(spark, sf_dir):
+    """Full CUBE with grouping_id (SURVEY §2.5 family, completing
+    agg_grouping_sets): all four aggregation levels over (event_type,
+    day-of-week) in ONE pass, with the grouping id distinguishing a real
+    NULL-ish label from a rolled-up 'ALL'.
+
+    Determinism: decimal sums; dow as ISO day-of-week (Monday=1 —
+    Spark ``weekday()+1`` == DuckDB ``isodow``; their ``dayofweek``s
+    disagree on Sunday's index); labels coalesced to 'ALL' so the output
+    is string-typed in both engines.
+
+    Scale: CUBE plans as a single Expand (4 replicas per input row) into
+    one hash aggregate — map-side partials collapse each level before the
+    shuffle, so cost is levels x tumbling-agg, never levels x scans. At
+    wide cubes (many dims) prefer explicit GROUPING SETS of the levels a
+    dashboard actually reads (agg_grouping_sets shows that shape)."""
+    e = t(spark, sf_dir, "events")
+    dow = F.weekday("ts") + 1
+    return (
+        e.cube(F.col("event_type"), dow.alias("dow_n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow_n").cast("string"), F.lit("ALL")).alias("dow"),
+            "gid",
+            "n",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,56 @@
+"""Registered multimodal pipeline query: binary payloads fabricated
+deterministically from the documents table drive the REAL decode /
+feature-extract plumbing (multimodal/__init__.py) — Arrow-batched
+mapInPandas stages, metadata filters ahead of any Python.
+
+Rows-only by design: the pipeline's value is the mapInPandas batch shape,
+which has no SQL twin; determinism (same inputs -> same features) and the
+stub-decode data flow are asserted in tests/test_multimodal.py and the
+pytest for this query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from habits_etl_spark.multimodal import decode_media, extract_features
+from habits_etl_spark.plans.common import query, t
+
+
+@query("ext_multimodal_features")  # rows-only: mapInPandas stages, no SQL twin
+def ext_multimodal_features(spark, sf_dir):
+    """End-to-end multimodal pass over table input: wrap each document's
+    text bytes as an opaque binary payload with typed metadata (kind,
+    n_bytes, mime), run the Arrow-batched decode stage (stub codec — the
+    8-byte header read stands in for PIL/ffmpeg, loudly marked in
+    multimodal/__init__.py), then the feature extractor (hash-derived
+    16-dim float vector, the embedding-model stand-in), and emit one row
+    per media item with metadata + checksum + feature summary.
+
+    Scale: payload bytes cross into Python ONLY as Arrow record batches
+    inside the two mapInPandas stages — both pure maps, so the op scales
+    with input splits and never shuffles; the kind filter and metadata
+    projections are ordinary pushed-down columns. Swapping the stub for a
+    real codec/model changes only the batch inner functions."""
+    d = t(spark, sf_dir, "documents")
+    media = (
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+        )
+        .withColumn("n_bytes", F.length("content").cast("long"))
+        .withColumn("mime", F.concat(F.col("kind"), F.lit("/x-fake")))
+    )
+    decoded = decode_media(media).select("media_id", "kind", "n_bytes", "checksum")
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("f_norm"),
+    )
+    return decoded.join(feats, "media_id").orderBy("media_id")

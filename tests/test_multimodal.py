@@ -50,3 +50,27 @@ def test_sample_frames(spark):
     one = [r for r in rows if r.media_id == rows[0].media_id]
     assert [r.frame_no for r in one] == list(range(len(one)))
     assert all(len(r.frame_bytes) == 16 for r in one[:-1])
+
+
+def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
+    import hashlib
+
+    from habits_etl_spark.plans.media import ext_multimodal_features
+
+    a = ext_multimodal_features(spark, sf_dir).collect()
+    b = ext_multimodal_features(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(a) == len(docs)
+    by_id = {r.media_id: r for r in a}
+    for doc_id, text in list(docs.items())[:25]:
+        r = by_id[doc_id]
+        payload = text.encode("utf-8")
+        assert r.checksum == hashlib.md5(payload).hexdigest()
+        assert r.n_bytes == len(payload)
+        assert 0.0 < r.f_norm <= 4.0  # 16 dims in [0, 1]
+        assert r.kind in ("image", "audio", "video")
