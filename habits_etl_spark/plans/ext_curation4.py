@@ -334,3 +334,46 @@ def ext_chunk_dedup_rate(spark, sf_dir):
         .cast("bigint")
         .alias("cross_doc_chunks"),
     )
+
+
+@query(
+    "ext_label_balance",
+    """
+    WITH g AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+    SELECT label, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           n * (SELECT max(n) FROM g) >= total AS is_major
+    FROM g, tot ORDER BY label
+    """,
+)
+def ext_label_balance(spark, sf_dir):
+    """Class-balance audit over the labeled embedding corpus (the
+    imbalance check a dataset card reports before training): per-label
+    count, share of corpus, and a majority flag (share >= 1/max-count
+    normalized — i.e. the label's count times the max count covers the
+    corpus, true only for dominant classes).
+
+    Scale: one hash-agg to |labels| rows; the total and max are 1-row
+    broadcasts against that tiny frame (same scalar-CTE shape as
+    join_cross_scalar_cte). The fact table shuffles once."""
+    emb = t(spark, sf_dir, "embeddings")
+    g = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    from habits_etl_spark.plans.common import managed_cache
+
+    g = managed_cache(g, "ext_label_balance.g")
+    tot = g.agg(F.sum("n").cast("bigint").alias("total"))
+    mx = g.agg(F.max("n").alias("mx"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "label",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            (F.col("n") * F.col("mx") >= F.col("total")).alias("is_major"),
+        )
+        .orderBy("label")
+    )

@@ -533,3 +533,50 @@ def agg_cube_grouping_id(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "agg_value_moments",
+    """
+    WITH m AS (
+      SELECT event_type,
+             count(value) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s1,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)), 6) AS stddev
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_value_moments(spark, sf_dir):
+    """Per-group mean and sample stddev computed the ONLY way that is
+    deterministic under distribution: exact decimal power sums (n, Σx,
+    Σx²) merged associatively across partitions, moments derived in one
+    double step at the end. Spark's stddev_samp (and any streaming
+    variance) folds doubles in partition order — bit-unstable across
+    parallelism/engines — so the engine derives moments from exact sums
+    instead (common.py rule 1 extended to second moments).
+
+    Scale: one hash-agg with map-side partials, identical topology to a
+    plain sum; the derivation is per-group O(1). The same power-sum trick
+    extends to skewness/kurtosis with Σx³/Σx⁴ at DECIMAL(38) precision."""
+    e = t(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    )
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    n = F.col("n")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(s1 / n, 6).alias("mean"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev"),
+    ).orderBy("event_type")
