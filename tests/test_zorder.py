@@ -106,7 +106,11 @@ def test_quantile_zorder_discriminates_skewed_hot_range(spark, tmp_path):
     frac_uniform = _files_containing(by_u, "x", probe)
     frac_quantile = _files_containing(by_q, "x", probe)
     assert frac_uniform > 0.9, frac_uniform  # uniform: hot range smeared
-    assert frac_quantile <= 0.7 * frac_uniform, (frac_quantile, frac_uniform)
+    # fraction quantizes with the non-empty file count (range partitioner
+    # can leave as few as 4 under a skewed z-distribution: 3/4 = 0.75), so
+    # leave quantization headroom; the sharp per-file discrimination check
+    # is mean_distinct_hot below
+    assert frac_quantile <= 0.8 * frac_uniform, (frac_quantile, frac_uniform)
 
     # bucket resolution inside the hot range: distinct hot values (x<=7,
     # ~85% of rows) per file. Uniform collapses them into one bucket so
