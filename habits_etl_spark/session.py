@@ -38,6 +38,9 @@ def get_spark(app_name: str = "habits_etl_spark", master: str | None = None,
         # generator omits isAdjustedToUTC; instant semantics under the UTC
         # session tz match DuckDB's naive timestamps exactly).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Allow Python Data Sources to receive pushed filters (the
+        # wide_sheet source implements pushFilters; off by default)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

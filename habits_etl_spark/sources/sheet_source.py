@@ -1,0 +1,115 @@
+"""Wide-sheet Python Data Source — the reference's Google-Sheets tab scan
+(``get_ws(...).get_all_records()``, reference etl/etl_habits.py:11-17,44)
+as a FIRST-CLASS Spark source: ``spark.read.format("wide_sheet")``.
+
+Where ``sources.read_wide_csv`` wraps the built-in CSV reader, this is
+the Spark 4 Python Data Source API shape a real sheets connector needs —
+the pieces that matter at scale are all present and tested:
+
+- **driver-side schema discovery** from the header row (the
+  ``get_all_records`` dict-keys analog): every column is a string, the
+  config-driven normalize layer owns typing (reference semantics);
+- **partitioned reads**: the row range splits into ``numPartitions``
+  input partitions, each task reading only its slice — a sheets API
+  connector would map these to ranged ``values.get`` calls;
+- **filter pushdown INTO the Python source** (``pushFilters``): EqualTo
+  / IsNotNull on string columns are applied inside the partition read so
+  non-matching rows never cross into the JVM; everything else is
+  returned to Spark to re-apply (the contract's safety valve).
+
+A real Sheets connector would swap ``_read_rows``'s file I/O for the
+HTTP calls and keep every other line. Payload rows cross as plain tuples
+(Arrow batching is the DataSourceArrowWriter path, write-side only).
+"""
+
+from __future__ import annotations
+
+import csv
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int  # 0-based data-row index, header excluded
+    end: int  # exclusive
+
+
+def _read_header(path: str) -> list[str]:
+    with open(path, newline="") as fh:
+        return next(csv.reader(fh))
+
+
+def _read_rows(path: str) -> Iterator[list[str]]:
+    with open(path, newline="") as fh:
+        rows = csv.reader(fh)
+        next(rows, None)  # header
+        yield from rows
+
+
+class WideSheetReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        self.n_parts = int(options.get("numPartitions", "4"))
+        self.columns = [f.name for f in schema.fields]
+        self.eq: dict[str, str] = {}
+        self.not_null: set[str] = set()
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self.eq[f.attribute[0]] = str(f.value)
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self.not_null.add(f.attribute[0])
+            else:
+                yield f  # unsupported: Spark re-applies it post-scan
+
+    def partitions(self) -> list[InputPartition]:
+        n_rows = sum(1 for _ in _read_rows(self.path))
+        n = max(self.n_parts, 1)
+        step = -(-n_rows // n) if n_rows else 1
+        return [
+            _RangePartition(i, min(i + step, n_rows))
+            for i in range(0, max(n_rows, 1), step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        idx = {c: i for i, c in enumerate(self.columns)}
+        for rownum, row in enumerate(_read_rows(self.path)):
+            if not (partition.start <= rownum < partition.end):
+                continue
+            cells = [
+                row[i] if i < len(row) and row[i] != "" else None
+                for i in range(len(self.columns))
+            ]
+            if any(cells[idx[c]] != v for c, v in self.eq.items()):
+                continue
+            if any(cells[idx[c]] is None for c in self.not_null):
+                continue
+            yield tuple(cells)
+
+
+class WideSheetDataSource(DataSource):
+    """``spark.read.format("wide_sheet").option("path", p).load()`` after
+    ``spark.dataSource.register(WideSheetDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wide_sheet"
+
+    def schema(self) -> StructType:
+        header = _read_header(self.options["path"])
+        return StructType([StructField(h, StringType()) for h in header])
+
+    def reader(self, schema: StructType) -> WideSheetReader:
+        return WideSheetReader(schema, self.options)
