@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     Filter,
     InputPartition,
     IsNotNull,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -113,3 +114,41 @@ class WideSheetDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WideSheetReader:
         return WideSheetReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return WideSheetStreamReader(schema, self.options)
+
+
+class WideSheetStreamReader(SimpleDataSourceStreamReader):
+    """Incremental sheet polling (the reference's cron-driven re-ingest,
+    Makefile `make etl` on a schedule, made a real streaming source):
+    the offset is the count of data rows already ingested; each
+    micro-batch reads only rows appended since. Exactly-once comes from
+    the offset log — ``readBetweenOffsets`` replays a committed range
+    deterministically after restart, so a crashed batch re-reads the SAME
+    rows (append-only sheet assumption, the landing-zone contract)."""
+
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        self.n_cols = len(schema.fields)
+
+    def initialOffset(self) -> dict:
+        return {"rows": 0}
+
+    def _rows_from(self, start: int, end: int | None = None) -> Iterator[tuple]:
+        for i, row in enumerate(_read_rows(self.path)):
+            if i < start or (end is not None and i >= end):
+                continue
+            yield tuple(
+                row[j] if j < len(row) and row[j] != "" else None
+                for j in range(self.n_cols)
+            )
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        # materialized list, not a generator: the runner pickles the
+        # prefetched batch into its offset-range cache
+        n_now = sum(1 for _ in _read_rows(self.path))
+        return list(self._rows_from(start["rows"], n_now)), {"rows": n_now}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return list(self._rows_from(start["rows"], end["rows"]))

@@ -111,3 +111,35 @@ def test_normalize_layer_composes_on_custom_source(spark, sheet_path):
     workout = {(r.user_email, r.ts.day): r.value for r in rows if r.habit == "workout"}
     assert workout[("a@x.com", 5)] == 1.0  # TRUE
     assert workout[("b@x.com", 6)] == 0.0  # no
+
+
+def test_streaming_sheet_ingests_only_appended_rows(spark, sheet_path, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        q = (
+            _load_stream(spark, sheet_path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    first = spark.read.parquet(out).count()
+    assert first == 5  # initial sheet contents
+
+    with open(sheet_path, "a") as fh:
+        fh.write("d@x.com,1/8/2024,TRUE,5,new\n")
+    run_batch()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 6  # exactly ONE new row ingested, no re-reads
+    assert sum(1 for r in rows if r["Email Address"] == "d@x.com") == 1
+
+
+def _load_stream(spark, path):
+    spark.dataSource.register(WideSheetDataSource)
+    return spark.readStream.format("wide_sheet").option("path", path).load()
