@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -111,18 +112,42 @@ def main():
         except Exception:
             pass
 
-    # Best-of-N per query: the host is a shared VM with bursty CPU steal;
-    # min over repetitions measures the engine, not the neighbors.
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
+    # The host is a shared VM with bursty CPU steal: a single stolen run
+    # can look like a 15x regression (BENCH_r03's win_analytic recorded
+    # 11.48 s vs 0.75 s verified on a quiet host). Defenses:
+    #   * repeat >= 3 per query (median is robust to one stolen rep)
+    #   * persist EVERY per-repetition time in the artifact, so an
+    #     outlier is visible without an out-of-band rerun
+    #   * headline value = sum of per-query MEDIANS; min also reported
+    #   * steal_suspected flag when any query's max/min spread > 3x
+    repeat = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
+
+    def time_query(fn) -> list[float]:
+        reps = []
         for _ in range(repeat):
             t0 = time.perf_counter()
             fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(round(time.perf_counter() - t0, 3))
+        return reps
+
+    STEAL_SPREAD = 3.0
+    timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    reps_all: dict[str, list[float]] = {}
+    steal_queries: list[str] = []
+    for name in HEADLINE:
+        reps = time_query(QUERIES[name])
+        reps_all[name] = reps
+        timings[name] = round(statistics.median(reps), 3)
+        timings_min[name] = round(min(reps), 3)
+        if max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD:
+            steal_queries.append(name)
+            print(
+                f"WARNING: {name} repetition spread {min(reps)}..{max(reps)} s "
+                f"exceeds {STEAL_SPREAD}x — host CPU steal suspected; "
+                "median reported, inspect repetitions[] in the JSON",
+                file=sys.stderr,
+            )
 
     # Non-headline: skew-stress section (hot-key join, AQE vs salted;
     # see habits_etl_spark/plans/skew_stress.py). Reported, not part of
@@ -135,14 +160,13 @@ def main():
     # scale evidence; excluded from the headline total so the headline
     # set stays comparable round-over-round (fixed since r1).
     curation = {}
+    curation_reps: dict[str, list[float]] = {}
     for name in CURATION:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        curation[name] = round(best, 3)
+        reps = time_query(QUERIES[name])
+        curation_reps[name] = reps
+        curation[name] = round(statistics.median(reps), 3)
+        if max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD:
+            steal_queries.append(name)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -152,9 +176,16 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "total_min": round(sum(timings_min.values()), 3),
+                "repetitions": reps_all,
+                "repeat": repeat,
+                "steal_suspected": bool(steal_queries),
+                "steal_queries": steal_queries,
                 "layout_prep_sec": prep_sec,
                 "skew_stress": skew,
                 "curation": curation,
+                "curation_repetitions": curation_reps,
                 "sf": sf,
             }
         )

@@ -173,16 +173,20 @@ def funnel_over(e, stages=_FUNNEL, step_us: int = _FUNNEL_STEP_US):
             F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), "n_users"
         )
         counts = row if counts is None else counts.unionByName(row)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    first = F.max(F.when(F.col("stage_ord") == 1, F.col("n_users"))).over(w)
+    # Stage-1 cohort size rides in as a broadcast 1-row scalar (the
+    # join_cross_scalar_cte pattern) rather than an empty-partition
+    # window — same value, no "No Partition Defined" WindowExec (which
+    # fired once per task and drowned the bench tail in warnings).
+    first = frames[0].agg(F.count(F.lit(1)).cast("double").alias("__first_n"))
     return (
-        counts.select(
+        counts.crossJoin(F.broadcast(first))
+        .select(
             "stage_ord",
             "stage",
             F.col("n_users").cast("bigint").alias("n_users"),
-            F.round(F.col("n_users").cast("double") / first, 4).alias("pct_of_cohort"),
+            F.round(
+                F.col("n_users").cast("double") / F.col("__first_n"), 4
+            ).alias("pct_of_cohort"),
         )
         .orderBy("stage_ord")
     )

@@ -331,11 +331,15 @@ def ext_ann_ivf_probe(spark, sf_dir):
     # oversampled set, never the corpus.
     hsh = F.crc32(F.concat(F.lit("centroid:"), F.col("vec_id").cast("string")))
     cand_c = prepped.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2)
-    w_pick = Window.orderBy("__h", "vec_id")
-    centroids = (
-        cand_c.withColumn("cell_id", (F.row_number().over(w_pick) - 1).cast("int"))
-        .filter(F.col("cell_id") < n_cells)
-        .select("cell_id", F.col("v").alias("c_v"), F.col("nrm").alias("c_nrm"))
+    # TakeOrderedAndProject pick (bounded heap per partition, no
+    # unpartitioned WindowExec), then a k-bounded collect to enumerate
+    # cell_ids — the centroid table is driver-materialized ANYWAY before
+    # being broadcast into the assignment crossJoin, so this moves zero
+    # extra data; only the tiny oversampled set is ever sorted.
+    picked = cand_c.orderBy("__h", "vec_id").limit(n_cells).select("v", "nrm").collect()
+    centroids = spark.createDataFrame(
+        [(i, list(r.v), float(r.nrm)) for i, r in enumerate(picked)],
+        "cell_id int, c_v array<double>, c_nrm double",
     )
 
     dot_vc = F.aggregate(

@@ -88,12 +88,11 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
     hsh = F.crc32(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
 
     def pick(cand):
-        return (
-            cand.withColumn("__rk", F.row_number().over(Window.orderBy("__h", "vec_id")))
-            .filter(F.col("__rk") <= k)
-            .select("v", "nrm")
-            .collect()
-        )
+        # orderBy(...).limit(k) -> TakeOrderedAndProject: same first-k-in-
+        # hash-order rows as a row_number window, but a per-partition
+        # bounded-heap merge instead of a single-partition WindowExec
+        # (and no unpartitioned-window warning in every bench run)
+        return cand.orderBy("__h", "vec_id").limit(k).select("v", "nrm").collect()
 
     seeds = pick(m.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2))
     if len(seeds) < k:

@@ -89,7 +89,6 @@ def pq_fit(
     on a hash sample and map-assign everything (same argument as
     kmeans_fit's docstring)."""
     from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
-    from pyspark.sql import Window
 
     dsub = _DIM // m_sub
     base = _normed_embeddings(spark, sf_dir).select("vec_id", "v", "nrm")
@@ -98,12 +97,10 @@ def pq_fit(
     hsh = F.crc32(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
 
     def pick(cand):
-        return (
-            cand.withColumn("__rk", F.row_number().over(Window.orderBy("__h", "vec_id")))
-            .filter(F.col("__rk") <= k)
-            .select("v", "nrm")
-            .collect()
-        )
+        # TakeOrderedAndProject pick (see ext_vectors2.kmeans seeding):
+        # same rows as the old row_number window, no unpartitioned
+        # WindowExec warning, bounded-heap merge instead of 1-partition sort
+        return cand.orderBy("__h", "vec_id").limit(k).select("v", "nrm").collect()
 
     seeds = pick(base.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2))
     if len(seeds) < k:

@@ -547,8 +547,10 @@ def agg_cube_grouping_id(spark, sf_dir):
     )
     SELECT event_type, n,
            round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
-           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                      / (n - 1)), 6) AS stddev
+           CASE WHEN n > 1 THEN
+             round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                        / (n - 1)), 6)
+           END AS stddev
     FROM m ORDER BY event_type
     """,
 )
@@ -578,5 +580,10 @@ def agg_value_moments(spark, sf_dir):
         "event_type",
         "n",
         F.round(s1 / n, 6).alias("mean"),
-        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev"),
+        # Singleton groups (n == 1) are an explicit NULL in both engines:
+        # 0/0 NaN-vs-null semantics differ between Spark and DuckDB (and
+        # flip under ANSI), so the sample-stddev undefined case is pinned.
+        F.when(n > 1, F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)).alias(
+            "stddev"
+        ),
     ).orderBy("event_type")

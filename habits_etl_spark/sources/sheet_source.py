@@ -25,6 +25,7 @@ HTTP calls and keep every other line. Payload rows cross as plain tuples
 from __future__ import annotations
 
 import csv
+import itertools
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -47,8 +48,24 @@ class _RangePartition(InputPartition):
 
 
 def _read_header(path: str) -> list[str]:
+    """Header row with duplicate names uniquified (``col``, ``col_1``,
+    ``col_2``, the usual sheet-connector convention). Without this, two
+    same-named columns would both resolve to the LAST index in the
+    reader's name→index map, so a pushed filter on the duplicated name
+    would test the wrong cell — and pushed filters are trusted, not
+    re-applied by Spark."""
     with open(path, newline="") as fh:
-        return next(csv.reader(fh))
+        raw = next(csv.reader(fh))
+    seen: dict[str, int] = {}
+    out = []
+    for h in raw:
+        if h in seen:
+            seen[h] += 1
+            out.append(f"{h}_{seen[h]}")
+        else:
+            seen[h] = 0
+            out.append(h)
+    return out
 
 
 def _read_rows(path: str) -> Iterator[list[str]]:
@@ -86,9 +103,11 @@ class WideSheetReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         idx = {c: i for i, c in enumerate(self.columns)}
-        for rownum, row in enumerate(_read_rows(self.path)):
-            if not (partition.start <= rownum < partition.end):
-                continue
+        # islice: skip to the slice cheaply and STOP at the end bound —
+        # each task's csv scan ends at its own range instead of running
+        # to EOF numPartitions times (O(N) total, not O(parts x N)).
+        sliced = itertools.islice(_read_rows(self.path), partition.start, partition.end)
+        for row in sliced:
             cells = [
                 row[i] if i < len(row) and row[i] != "" else None
                 for i in range(len(self.columns))
@@ -145,10 +164,29 @@ class WideSheetStreamReader(SimpleDataSourceStreamReader):
             )
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
-        # materialized list, not a generator: the runner pickles the
-        # prefetched batch into its offset-range cache
-        n_now = sum(1 for _ in _read_rows(self.path))
-        return list(self._rows_from(start["rows"], n_now)), {"rows": n_now}
+        # Single enumerate pass: count all rows AND collect the new slice
+        # in the same scan (was a count pass + a read pass). Materialized
+        # list, not a generator: the runner pickles the prefetched batch
+        # into its offset-range cache.
+        committed = start["rows"]
+        batch: list[tuple] = []
+        n_now = 0
+        for i, row in enumerate(_read_rows(self.path)):
+            n_now = i + 1
+            if i >= committed:
+                batch.append(
+                    tuple(
+                        row[j] if j < len(row) and row[j] != "" else None
+                        for j in range(self.n_cols)
+                    )
+                )
+        # Offset monotonicity: if the sheet shrank (rewrite/truncation —
+        # a violation of the append-only contract), clamp to the committed
+        # offset and emit nothing rather than regress the offset, which
+        # would wedge the streaming query.
+        if n_now < committed:
+            return [], {"rows": committed}
+        return batch, {"rows": n_now}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         return list(self._rows_from(start["rows"], end["rows"]))

@@ -93,8 +93,12 @@ def heavy_hitters_stream(
     streaming DF of per-shard sketch summaries (shard, item, est_count,
     max_err); the global top-k view is the union of shards ordered by
     est_count."""
+    # Nulls are dropped up front: a null would hash to a valid shard and
+    # then stringify to "None" inside the sketch, conflating genuine
+    # "None" strings with missing values.
     return (
         items_stream.select(F.col(item_col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
         .withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(n_shards)).cast("int"))
         .groupBy("shard")
         .applyInPandasWithState(
