@@ -59,13 +59,23 @@ def ext_seq_packing(spark, sf_dir):
     return seq_packing_over(t(spark, sf_dir, "documents"))
 
 
-def seq_packing_over(d):
+def seq_packing_over(d, n_tokens_col=None):
     """Packing manifest over any documents-like DataFrame (doc_id, source,
     text). Factored out so a composed pipeline can pack exactly the
     ADMITTED corpus — offsets computed over a superset would leave gaps
     for rejected docs' tokens and mis-place every sequence boundary
-    (examples/curation_pipeline.py)."""
-    n_tokens = F.size(_TOK_SPARK(F.col("text"))).cast("bigint")
+    (examples/curation_pipeline.py).
+
+    ``n_tokens_col``: optional Column of per-doc token counts to pack by
+    (e.g. BPE counts from functions/bpe.with_bpe_token_count — the
+    token-accurate convention a real pretraining loader needs). Default
+    stays the whitespace convention, which is what the DuckDB oracle
+    mirrors."""
+    n_tokens = (
+        n_tokens_col.cast("bigint")
+        if n_tokens_col is not None
+        else F.size(_TOK_SPARK(F.col("text"))).cast("bigint")
+    )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
