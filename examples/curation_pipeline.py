@@ -26,10 +26,9 @@ from habits_etl_spark.plans.ext_curation3 import gopher_rules_over
 from habits_etl_spark.session import get_spark
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_out"
-    spark = get_spark("curation_pipeline")
+def run_pipeline(spark, sf_dir: str, out: str) -> dict[str, int]:
+    """The full composition; returns the per-stage counts (pytest asserts
+    them at sf0.01 in tests/test_curation_pipeline.py)."""
 
     # 0. Gopher rule battery: a cheap structural gate (pure map, no
     # shuffle) whose verdicts are intersected with the admission decision
@@ -87,6 +86,19 @@ def main():
         f"docs={n_total} gopher_pass={n_gopher} admitted={n_admitted} "
         f"contaminated={n_contam} packed={n_final} -> {out}"
     )
+    return {
+        "docs": n_total,
+        "gopher_pass": n_gopher,
+        "admitted": n_admitted,
+        "contaminated": n_contam,
+        "packed": n_final,
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_out"
+    run_pipeline(get_spark("curation_pipeline"), sf_dir, out)
 
 
 if __name__ == "__main__":
