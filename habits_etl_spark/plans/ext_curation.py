@@ -226,3 +226,35 @@ def ext_repetition_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- BPE token counting (rows-only) -----------------------------------------
+
+
+@query("ext_token_count_bpe")  # rows-only: BPE apply is not SQL-expressible
+def ext_token_count_bpe(spark, sf_dir):
+    """Subword token counts from a REAL learned BPE merge table
+    (functions/bpe.py; Sennrich et al. 2016) next to the whitespace
+    convention — the token-accurate basis for packing/mixing budgets.
+
+    Rows-only by design (the rank-greedy merge loop has no DuckDB twin);
+    training determinism, executor-vs-driver application parity, and
+    cumsum-exact packing on these counts are asserted in tests/test_bpe.py.
+
+    Scale: training is one distributed pair-count aggregate per merge
+    round over the bounded word-frequency table; application is an
+    Arrow-batched map stage (broadcast ranks, per-task word cache) — no
+    shuffle beyond the output ORDER BY, which a pipeline consumer drops."""
+    from habits_etl_spark.functions.bpe import train_bpe_merges, with_bpe_token_count
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    merges = train_bpe_merges(spark, d, n_merges=64)
+    return (
+        with_bpe_token_count(d, merges)
+        .select(
+            "doc_id",
+            F.size(_TOK_SPARK(F.col("text"))).cast("bigint").alias("n_tokens_ws"),
+            "n_tokens_bpe",
+        )
+        .orderBy("doc_id")
+    )

@@ -492,10 +492,12 @@ def ext_admission_decision(spark, sf_dir):
     n_unique = F.size(F.array_distinct(toks)).cast("bigint")
     n_stop = _lang_score_spark(toks, _LANG_PROFILES["en"])
     g = F.greatest(n_tokens, F.lit(1).cast("bigint"))
+    # +1e-9 tie-nudge before round — see ext_text._QUALITY_SQL comment
     quality = F.round(
         F.lit(0.5) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
         + F.lit(0.3) * (n_unique.cast("double") / g)
-        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0)),
+        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0))
+        + F.lit(1e-9),
         4,
     )
     stage_q = (

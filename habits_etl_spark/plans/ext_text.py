@@ -162,11 +162,21 @@ def ext_lang_id(spark, sf_dir):
 
 # The combined quality formula, shared by ext_quality_score and the
 # CCNet-style per-language bucket routing (plans/ext_pipeline.py).
+#
+# The +1e-9 tie-nudge before round(., 4): the weighted sum is a rational
+# with denominator 100*n_tokens <= ~1e6, so values can land EXACTLY on a
+# 4th-decimal rounding boundary (e.g. 0.59625 at n_tokens=48) — where
+# Spark (BigDecimal HALF_UP on the double's shortest decimal repr) and
+# DuckDB (scaled-double rounding) disagree per-value. Nudging by 1e-9
+# rounds exact ties UP in both engines, and cannot move any non-tie:
+# legitimate values sit on a >= 1e-6 grid, 1000x coarser than the nudge.
+# (Found by the sf0.1 full-ledger gate: 9 of 50k docs hit ties that sf0.01
+# never sampled.)
 _QUALITY_SQL = (
     "round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)"
     " + 0.3 * (CAST(n_unique AS DOUBLE) / greatest(n_tokens, 1))"
-    " + 0.2 * least(10.0 * CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0),"
-    " 4)"
+    " + 0.2 * least(10.0 * CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0)"
+    " + 1e-9, 4)"
 )
 _QUALITY_INPUTS_DUCK = f"""CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct({_TOK_DUCK})) AS BIGINT) AS n_unique,
@@ -175,7 +185,8 @@ _QUALITY_INPUTS_DUCK = f"""CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens,
 
 
 def _quality_col():
-    """Spark twin of _QUALITY_SQL, from the raw text column."""
+    """Spark twin of _QUALITY_SQL, from the raw text column (incl. the
+    1e-9 tie-nudge — see the _QUALITY_SQL comment)."""
     toks = _TOK_SPARK(F.col("text"))
     n_tokens = F.size(toks).cast("bigint")
     n_unique = F.size(F.array_distinct(toks)).cast("bigint")
@@ -184,7 +195,8 @@ def _quality_col():
     return F.round(
         F.lit(0.5) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
         + F.lit(0.3) * (n_unique.cast("double") / g)
-        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0)),
+        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0))
+        + F.lit(1e-9),
         4,
     )
 
@@ -203,8 +215,8 @@ def _quality_col():
            round(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS chars_per_token,
            round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                  + 0.3 * (CAST(n_unique AS DOUBLE) / greatest(n_tokens, 1))
-                 + 0.2 * least(10.0 * CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0),
-                 4) AS quality
+                 + 0.2 * least(10.0 * CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0)
+                 + 1e-9, 4) AS quality
     FROM m
     """,
 )
@@ -219,10 +231,12 @@ def ext_quality_score(spark, sf_dir):
     n_stop = _lang_score_spark(toks, _LANG_PROFILES["en"])
     n_chars = F.length("text")
     g = F.greatest(n_tokens, F.lit(1).cast("bigint"))
+    # +1e-9 tie-nudge before round — see the _QUALITY_SQL comment
     quality = F.round(
         F.lit(0.5) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
         + F.lit(0.3) * (n_unique.cast("double") / g)
-        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0)),
+        + F.lit(0.2) * F.least(F.lit(10.0) * n_stop.cast("double") / g, F.lit(1.0))
+        + F.lit(1e-9),
         4,
     )
     return d.select(
