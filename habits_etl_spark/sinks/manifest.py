@@ -107,10 +107,16 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
     )
 
 
-def _commit(table_path: str, files: list[str], base_version: int) -> dict:
+def _commit(
+    table_path: str,
+    files: list[str],
+    base_version: int,
+    extra: dict | None = None,
+) -> dict:
     """Publish ``files`` as the next snapshot iff nobody committed since
     ``base_version``. Lock file serializes the check-and-swap so two
-    same-version writers cannot both win."""
+    same-version writers cannot both win. ``extra`` fields (e.g. the
+    streaming sink's last_batch_id) ride in the SAME atomic commit."""
     man_dir, data_dir = _paths(table_path)
     os.makedirs(man_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
@@ -135,6 +141,7 @@ def _commit(table_path: str, files: list[str], base_version: int) -> dict:
             "version": cur_version + 1,
             "files": files,
             "committed_unix": time.time(),
+            **(extra or {}),
         }
         name = f"{uuid.uuid4().hex}.json"
         mpath = os.path.join(man_dir, name)
@@ -248,3 +255,52 @@ def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:
         except OSError:
             pass
     return removed
+
+
+# --- streaming bridge --------------------------------------------------------
+
+
+def append_snapshot_batch(
+    spark: SparkSession, df: DataFrame, table_path: str, batch_id: int
+) -> dict | None:
+    """Idempotent micro-batch append for ``foreachBatch`` sinks.
+
+    Structured Streaming replays the last uncommitted batch after a crash
+    (foreachBatch is at-least-once); recording the committing ``batch_id``
+    in the manifest and refusing batches at-or-below it upgrades the sink
+    to exactly-once — the same epoch-dedup contract Delta's streaming
+    sink implements with its txn table. Returns the new manifest, or None
+    when the batch was already committed (the replay case)."""
+    cur = current_manifest(table_path)
+    last = cur.get("last_batch_id", -1) if cur else -1
+    if batch_id <= last:
+        return None  # replayed batch: already durable, skip
+    base = cur["version"] if cur else 0
+    old_files = cur["files"] if cur else []
+    files = _write_data_files(df, table_path)
+    # the batch id commits ATOMICALLY with the file list: there is no
+    # window where the data is published but the id is not (which a crash
+    # could turn into a double-append on replay)
+    return _commit(
+        table_path, old_files + files, base, extra={"last_batch_id": batch_id}
+    )
+
+
+def manifest_stream_sink(stream_df: DataFrame, table_path: str, checkpoint: str, trigger: dict | None = None):
+    """writeStream -> snapshot-manifest table, exactly-once.
+
+    foreachBatch appends each micro-batch through append_snapshot_batch;
+    on restart, a replayed batch is a no-op (batch-id dedup), so readers
+    of the manifest never see doubled rows even across crash/restart —
+    proven in tests/test_manifest_stream.py by killing between the data
+    write and the offset-log commit."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_snapshot_batch(batch_df.sparkSession, batch_df, table_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
