@@ -36,12 +36,14 @@ instead, which is exactly what Delta does):
   concurrency shape as Delta; at one-writer-per-table (the reference's
   topology, etl/etl_habits.py:45) the conflict path never fires.
 
-At 100 TB: the manifest holds file PATHS + row counts, a few KB per
-thousand files; reads plan from the manifest (no directory listing —
-object-store LIST is the scaling bottleneck this kills); time travel is
-"read an old manifest". Partition pruning would move the partition
-values into the manifest entries (Iceberg's manifest-entry stats) — not
-needed for the gate, noted for parity.
+At 100 TB: the manifest holds file PATHS + per-file column stats, a few
+KB per thousand files; reads plan from the manifest (no directory
+listing — object-store LIST is the scaling bottleneck this kills); time
+travel is "read an old manifest". ``read_snapshot(where=...)`` does
+Iceberg-style manifest-entry pruning: per-file min/max (harvested from
+the parquet footers at commit time) skip whole files BEFORE Spark ever
+sees them — the planner-side rung above row-group skipping, and the one
+that matters on object stores where every opened file is a round trip.
 """
 
 from __future__ import annotations
@@ -80,14 +82,97 @@ def current_manifest(table_path: str) -> dict | None:
         return json.load(fh)
 
 
-def read_snapshot(spark: SparkSession, table_path: str) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    where: dict[str, tuple] | None = None,
+) -> DataFrame:
     """Read the table at its current committed snapshot. The resolved
     file list is immutable — concurrent commits cannot change or
-    partially apply to this DataFrame's input split set."""
+    partially apply to this DataFrame's input split set.
+
+    ``where``: optional {column: (lo, hi)} closed ranges. Files whose
+    manifest stats PROVE no row can match are dropped from the scan
+    (manifest-entry pruning); the predicate itself is NOT applied to the
+    surviving rows — callers keep their own ``.filter`` (which Spark then
+    also pushes into row-group stats; the two rungs compose)."""
     m = current_manifest(table_path)
     if m is None or not m["files"]:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
-    return spark.read.parquet(*m["files"])
+    files = m["files"] if not where else prune_files(m, where)
+    if not files:  # every file provably excluded: empty frame, same schema
+        return spark.read.parquet(*m["files"]).limit(0)
+    return spark.read.parquet(*files)
+
+
+def prune_files(manifest: dict, where: dict[str, tuple]) -> list[str]:
+    """Manifest-entry file skipping: keep a file unless its [min, max]
+    for some predicate column is provably disjoint from the asked range.
+    Files without stats for a column (old commits, unsupported types)
+    are conservatively KEPT."""
+    stats: dict[str, dict] = manifest.get("stats", {})
+    out = []
+    for f in manifest["files"]:
+        fstats = stats.get(f)
+        keep = True
+        if fstats:
+            for col, (lo, hi) in where.items():
+                cs = fstats.get(col)
+                if not cs:
+                    continue
+                fmin, fmax = cs
+                if fmin is None or fmax is None:
+                    continue
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    keep = False
+                    break
+        if keep:
+            out.append(f)
+    return out
+
+
+# Stats are harvested for these parquet physical types only (min/max on
+# strings/binary are truncation-prone across writers; numeric and
+# date/time stats are exact).
+_STATS_TYPES = ("INT32", "INT64", "FLOAT", "DOUBLE")
+
+
+def _collect_file_stats(files: list[str]) -> dict[str, dict]:
+    """{file: {column: [min, max]}} from the parquet footers — one
+    metadata read per file at COMMIT time (the writer just produced these
+    files; the footers are hot). Row-group mins/maxes fold to file level."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for path in files:
+        try:
+            meta = pq.ParquetFile(path).metadata
+        except Exception:
+            continue  # stats are an optimization; never fail the commit
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                s = c.statistics
+                if (
+                    s is None
+                    or not s.has_min_max
+                    or c.physical_type not in _STATS_TYPES
+                ):
+                    continue
+                name = c.path_in_schema
+                mn, mx = s.min, s.max
+                if name in cols:
+                    cols[name][0] = min(cols[name][0], mn)
+                    cols[name][1] = max(cols[name][1], mx)
+                else:
+                    cols[name] = [mn, mx]
+        if cols:
+            out[path] = cols
+    return out
 
 
 def snapshot_files(table_path: str) -> list[str]:
@@ -163,13 +248,23 @@ def _commit(
         os.unlink(lock)
 
 
+def _merged_stats(cur: dict | None, new_files: list[str]) -> dict:
+    """Carried-over stats for still-referenced files + footer stats for
+    the new ones."""
+    old = dict(cur.get("stats", {})) if cur else {}
+    old.update(_collect_file_stats(new_files))
+    return old
+
+
 def overwrite_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> dict:
     """Replace the table contents with ``df`` in one atomic commit."""
     cur = current_manifest(table_path)
     base = cur["version"] if cur else 0
     os.makedirs(os.path.join(table_path, _DATA), exist_ok=True)
     files = _write_data_files(df, table_path)
-    return _commit(table_path, files, base)
+    return _commit(
+        table_path, files, base, extra={"stats": _collect_file_stats(files)}
+    )
 
 
 def append_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> dict:
@@ -179,7 +274,12 @@ def append_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> dict
     base = cur["version"] if cur else 0
     old_files = cur["files"] if cur else []
     files = _write_data_files(df, table_path)
-    return _commit(table_path, old_files + files, base)
+    return _commit(
+        table_path,
+        old_files + files,
+        base,
+        extra={"stats": _merged_stats(cur, files)},
+    )
 
 
 def upsert_snapshot(
@@ -201,7 +301,9 @@ def upsert_snapshot(
     existing = spark.read.parquet(*cur["files"])
     merged = upsert_keyed(existing, incoming, keys, set_cols, coalesce_cols)
     files = _write_data_files(merged, table_path)
-    return _commit(table_path, files, cur["version"])
+    return _commit(
+        table_path, files, cur["version"], extra={"stats": _collect_file_stats(files)}
+    )
 
 
 def compact_snapshot(
@@ -216,7 +318,9 @@ def compact_snapshot(
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     df = spark.read.parquet(*cur["files"]).coalesce(target_files)
     files = _write_data_files(df, table_path)
-    return _commit(table_path, files, cur["version"])
+    return _commit(
+        table_path, files, cur["version"], extra={"stats": _collect_file_stats(files)}
+    )
 
 
 def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:
@@ -282,7 +386,10 @@ def append_snapshot_batch(
     # window where the data is published but the id is not (which a crash
     # could turn into a double-append on replay)
     return _commit(
-        table_path, old_files + files, base, extra={"last_batch_id": batch_id}
+        table_path,
+        old_files + files,
+        base,
+        extra={"last_batch_id": batch_id, "stats": _merged_stats(cur, files)},
     )
 
 

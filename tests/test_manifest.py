@@ -166,3 +166,42 @@ def test_upsert_snapshot_merge_semantics(spark, tmp_path):
         if f.endswith(".json")
     )
     assert versions == [1, 2]
+
+
+def test_manifest_entry_pruning_skips_disjoint_files(spark, tmp_path):
+    """Iceberg-style file skipping: per-file min/max from the parquet
+    footers prune files whose range is provably disjoint from the
+    predicate — and never change query results."""
+    path = str(tmp_path / "t")
+    # three appends with disjoint k-ranges -> three file sets with
+    # distinguishable stats
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 50).select(F.col("id").alias("k")).coalesce(1)
+        if lo == 0:
+            M.overwrite_snapshot(spark, df, path)
+        else:
+            M.append_snapshot(spark, df, path)
+    m = M.current_manifest(path)
+    assert len(m["files"]) == 3 and set(m["stats"]) == set(m["files"])
+
+    # range [120, 130]: only the middle file can contain matches
+    pruned = M.prune_files(m, {"k": (120, 130)})
+    assert len(pruned) == 1
+    got = sorted(
+        r.k
+        for r in M.read_snapshot(spark, path, where={"k": (120, 130)})
+        .filter("k between 120 and 130")
+        .collect()
+    )
+    assert got == list(range(120, 131))
+
+    # fully out of range: zero files, empty result, schema preserved
+    assert M.prune_files(m, {"k": (1000, 2000)}) == []
+    empty = M.read_snapshot(spark, path, where={"k": (1000, 2000)})
+    assert empty.count() == 0 and empty.columns == ["k"]
+
+    # open-ended ranges: (lo, None) keeps files with max >= lo
+    # (file ranges are 0-49 / 100-149 / 200-249: lo=140 keeps the last two)
+    assert len(M.prune_files(m, {"k": (140, None)})) == 2
+    # a column with no stats is conservatively kept
+    assert len(M.prune_files(m, {"nope": (0, 1)})) == 3
