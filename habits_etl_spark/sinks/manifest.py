@@ -165,6 +165,13 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict]:
                     continue
                 name = c.path_in_schema
                 mn, mx = s.min, s.max
+                # JSON-safe values only: INT64 TIMESTAMP logical stats
+                # surface as datetime objects — recording those would
+                # crash the manifest serialization at commit time
+                if not isinstance(mn, (int, float)) or not isinstance(
+                    mx, (int, float)
+                ):
+                    continue
                 if name in cols:
                     cols[name][0] = min(cols[name][0], mn)
                     cols[name][1] = max(cols[name][1], mx)
