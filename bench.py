@@ -152,9 +152,10 @@ def main():
     # Non-headline: skew-stress section (hot-key join, AQE vs salted;
     # see habits_etl_spark/plans/skew_stress.py). Reported, not part of
     # the headline total — it measures the skew machinery, not a query.
-    from habits_etl_spark.plans.skew_stress import skew_stress_report
+    from habits_etl_spark.plans.skew_stress import skew_agg_report, skew_stress_report
 
     skew = skew_stress_report(spark, bench_dir)
+    skew_agg = skew_agg_report(spark, bench_dir)
 
     # Non-headline: curation-op timings (round-3 additions). Reported for
     # scale evidence; excluded from the headline total so the headline
@@ -184,6 +185,7 @@ def main():
                 "steal_queries": steal_queries,
                 "layout_prep_sec": prep_sec,
                 "skew_stress": skew,
+                "skew_agg": skew_agg,
                 "curation": curation,
                 "curation_repetitions": curation_reps,
                 "sf": sf,

@@ -131,3 +131,40 @@ def skew_stress_report(
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
     return out
+
+
+def skew_agg_report(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Aggregation-skew section: holistic vs sketch aggregate on the same
+    hot-keyed facts.
+
+    Spark's built-in rewrite already makes count_distinct skew-proof (the
+    Expand puts (key, value) on the shuffle key), so the aggregation that
+    genuinely straggles under a hot key is a HOLISTIC one — exact
+    ``percentile`` buffers every value of the key in one reducer, so the
+    whale user's half of the table lands on a single task (rows shuffled
+    ~ table size). The scale answer is not salting (medians of salted
+    sub-groups do not compose) but a MERGEABLE SKETCH: percentile_approx
+    partials fold map-side and the shuffle carries one sketch per
+    (partition, key) — constant bytes per key regardless of skew, the
+    same replace-holistic-with-mergeable move as the HLL/space-saving
+    paths. Reported per variant: wall seconds and the exact/approx p50
+    agreement on the whale key (the accuracy price of the balanced plan).
+    """
+    facts, _ = skewed_inputs(spark, sf_dir)
+    out: dict[str, dict[str, float]] = {}
+    p50 = {}
+    for label, expr in (
+        ("holistic_percentile", "percentile(value, 0.5)"),
+        ("sketch_percentile_approx", "percentile_approx(value, 0.5, 1000)"),
+    ):
+        agg = facts.groupBy("user_id").agg(F.expr(expr).cast("double").alias("p50"))
+        t0 = time.perf_counter()
+        agg.write.format("noop").mode("overwrite").save()
+        sec = time.perf_counter() - t0
+        hot = agg.filter(F.col("user_id") == HOT_USER).collect()
+        p50[label] = hot[0]["p50"] if hot else None
+        out[label] = {"sec": round(sec, 3)}
+    if p50.get("holistic_percentile") and p50.get("sketch_percentile_approx"):
+        exact, approx = p50["holistic_percentile"], p50["sketch_percentile_approx"]
+        out["hot_key_p50_rel_err"] = round(abs(approx - exact) / max(abs(exact), 1e-12), 6)
+    return out

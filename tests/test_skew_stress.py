@@ -40,3 +40,13 @@ def test_salted_join_matches_plain_result(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_skew_agg_sketch_matches_holistic_on_hot_key(spark, sf_dir):
+    from habits_etl_spark.plans.skew_stress import skew_agg_report
+
+    rep = skew_agg_report(spark, sf_dir)
+    assert set(rep) >= {"holistic_percentile", "sketch_percentile_approx"}
+    # the sketch's whale-key median is within 5% of the exact one
+    # (percentile_approx accuracy=1000 on a smooth value distribution)
+    assert rep["hot_key_p50_rel_err"] < 0.05
