@@ -82,10 +82,26 @@ def current_manifest(table_path: str) -> dict | None:
         return json.load(fh)
 
 
+def manifest_at(table_path: str, version: int) -> dict:
+    """The manifest that committed ``version`` — time travel. Raises
+    KeyError when that version is gone (vacuumed past) or never existed."""
+    man_dir, _ = _paths(table_path)
+    if os.path.isdir(man_dir):
+        for f in os.listdir(man_dir):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(man_dir, f)) as fh:
+                m = json.load(fh)
+            if m["version"] == version:
+                return m
+    raise KeyError(f"no manifest for version {version} at {table_path}")
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
     where: dict[str, tuple] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Read the table at its current committed snapshot. The resolved
     file list is immutable — concurrent commits cannot change or
@@ -95,8 +111,15 @@ def read_snapshot(
     manifest stats PROVE no row can match are dropped from the scan
     (manifest-entry pruning); the predicate itself is NOT applied to the
     surviving rows — callers keep their own ``.filter`` (which Spark then
-    also pushes into row-group stats; the two rungs compose)."""
-    m = current_manifest(table_path)
+    also pushes into row-group stats; the two rungs compose).
+
+    ``version``: optional time travel — read the table as of that commit
+    (any version the vacuum retention window still holds)."""
+    m = (
+        manifest_at(table_path, version)
+        if version is not None
+        else current_manifest(table_path)
+    )
     if m is None or not m["files"]:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     files = m["files"] if not where else prune_files(m, where)

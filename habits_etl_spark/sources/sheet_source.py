@@ -13,9 +13,10 @@ the pieces that matter at scale are all present and tested:
   input partitions, each task reading only its slice — a sheets API
   connector would map these to ranged ``values.get`` calls;
 - **filter pushdown INTO the Python source** (``pushFilters``): EqualTo
-  / IsNotNull on string columns are applied inside the partition read so
-  non-matching rows never cross into the JVM; everything else is
-  returned to Spark to re-apply (the contract's safety valve).
+  / IsNotNull / null-free In / string-range comparisons are applied
+  inside the partition read so non-matching rows never cross into the
+  JVM; everything else is returned to Spark to re-apply (the contract's
+  safety valve).
 
 A real Sheets connector would swap ``_read_rows``'s file I/O for the
 HTTP calls and keep every other line. Payload rows cross as plain tuples
@@ -34,8 +35,13 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StringType, StructField, StructType
@@ -82,13 +88,32 @@ class WideSheetReader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]
         self.eq: dict[str, str] = {}
         self.not_null: set[str] = set()
+        self.in_sets: dict[str, set[str]] = {}
+        # (column, op) -> bound; every cell is a STRING, so ranges push
+        # only for string-typed comparisons (which is what the source
+        # schema declares — Spark only hands us string-comparison filters)
+        self.ranges: list[tuple[str, str, str]] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        ops = {
+            GreaterThan: "gt",
+            GreaterThanOrEqual: "ge",
+            LessThan: "lt",
+            LessThanOrEqual: "le",
+        }
         for f in filters:
             if isinstance(f, EqualTo) and len(f.attribute) == 1:
                 self.eq[f.attribute[0]] = str(f.value)
             elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
                 self.not_null.add(f.attribute[0])
+            elif (
+                isinstance(f, In)
+                and len(f.attribute) == 1
+                and all(v is not None for v in f.value)
+            ):
+                self.in_sets[f.attribute[0]] = {str(v) for v in f.value}
+            elif type(f) in ops and len(f.attribute) == 1 and isinstance(f.value, str):
+                self.ranges.append((f.attribute[0], ops[type(f)], f.value))
             else:
                 yield f  # unsupported: Spark re-applies it post-scan
 
@@ -107,6 +132,12 @@ class WideSheetReader(DataSourceReader):
         # each task's csv scan ends at its own range instead of running
         # to EOF numPartitions times (O(N) total, not O(parts x N)).
         sliced = itertools.islice(_read_rows(self.path), partition.start, partition.end)
+        _cmp = {
+            "gt": lambda x, b: x is not None and x > b,
+            "ge": lambda x, b: x is not None and x >= b,
+            "lt": lambda x, b: x is not None and x < b,
+            "le": lambda x, b: x is not None and x <= b,
+        }
         for row in sliced:
             cells = [
                 row[i] if i < len(row) and row[i] != "" else None
@@ -115,6 +146,10 @@ class WideSheetReader(DataSourceReader):
             if any(cells[idx[c]] != v for c, v in self.eq.items()):
                 continue
             if any(cells[idx[c]] is None for c in self.not_null):
+                continue
+            if any(cells[idx[c]] not in s for c, s in self.in_sets.items()):
+                continue
+            if any(not _cmp[op](cells[idx[c]], b) for c, op, b in self.ranges):
                 continue
             yield tuple(cells)
 

@@ -205,3 +205,21 @@ def test_manifest_entry_pruning_skips_disjoint_files(spark, tmp_path):
     assert len(M.prune_files(m, {"k": (140, None)})) == 2
     # a column with no stats is conservatively kept
     assert len(M.prune_files(m, {"nope": (0, 1)})) == 3
+
+
+def test_time_travel_reads_old_versions(spark, tmp_path):
+    path = _table(spark, tmp_path, n=10)
+    M.append_snapshot(spark, spark.range(10, 20).select(F.col("id").alias("v")), path)
+    M.overwrite_snapshot(spark, spark.range(5).select(F.col("id").alias("v")), path)
+
+    assert _vals(M.read_snapshot(spark, path)) == list(range(5))
+    assert _vals(M.read_snapshot(spark, path, version=1)) == list(range(10))
+    assert _vals(M.read_snapshot(spark, path, version=2)) == list(range(20))
+    with pytest.raises(KeyError):
+        M.manifest_at(path, 99)
+    # vacuum past v1 removes its manifest: time travel there now fails,
+    # the newer versions still resolve
+    M.vacuum(path, retain_versions=2)
+    with pytest.raises(KeyError):
+        M.manifest_at(path, 1)
+    assert _vals(M.read_snapshot(spark, path, version=3)) == list(range(5))

@@ -143,3 +143,34 @@ def test_streaming_sheet_ingests_only_appended_rows(spark, sheet_path, tmp_path)
 def _load_stream(spark, path):
     spark.dataSource.register(WideSheetDataSource)
     return spark.readStream.format("wide_sheet").option("path", path).load()
+
+
+def test_range_and_in_filters_push_into_source(spark, sheet_path):
+    """Round-4 pushdown widening: In and string-range comparisons applied
+    inside the Python reader; null-ful In sets and non-string bounds are
+    yielded back to Spark."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, In, LessThan
+
+    df = _load(spark, sheet_path).filter(
+        F.col("Email Address").isin("a@x.com", "c@x.com") & (F.col("Mood") >= "2")
+    )
+    got = sorted(r["Mood"] for r in df.collect())
+    assert got == ["4", "5"]  # c@x.com has mood "1" (string-compared)
+
+    rdr = WideSheetReader(
+        _load(spark, sheet_path).schema, {"path": sheet_path, "numPartitions": "1"}
+    )
+    unsupported = list(
+        rdr.pushFilters(
+            [
+                In(("Email Address",), ("a@x.com", "c@x.com")),
+                GreaterThanOrEqual(("Mood",), "2"),
+                LessThan(("Mood",), "9"),
+                In(("Notes",), ("good", None)),  # null-ful: NOT pushed
+                GreaterThanOrEqual(("Mood",), 2),  # non-string: NOT pushed
+            ]
+        )
+    )
+    assert len(unsupported) == 2
+    out = list(rdr.read(_RangePartition(0, 5)))
+    assert sorted(r[3] for r in out) == ["4", "5"]
