@@ -198,11 +198,13 @@ class WideSheetStreamReader(SimpleDataSourceStreamReader):
                 for j in range(self.n_cols)
             )
 
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         # Single enumerate pass: count all rows AND collect the new slice
-        # in the same scan (was a count pass + a read pass). Materialized
-        # list, not a generator: the runner pickles the prefetched batch
-        # into its offset-range cache.
+        # in the same scan (was a count pass + a read pass). The batch is
+        # materialized eagerly but returned as an ITERATOR: when the
+        # offset does not advance, the runner validates emptiness with
+        # next(it) (datasource_internal.add_result_to_cache), which a
+        # bare list breaks — any no-new-rows poll would crash.
         committed = start["rows"]
         batch: list[tuple] = []
         n_now = 0
@@ -220,8 +222,8 @@ class WideSheetStreamReader(SimpleDataSourceStreamReader):
         # offset and emit nothing rather than regress the offset, which
         # would wedge the streaming query.
         if n_now < committed:
-            return [], {"rows": committed}
-        return batch, {"rows": n_now}
+            return iter(()), {"rows": committed}
+        return iter(batch), {"rows": n_now}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         return list(self._rows_from(start["rows"], end["rows"]))

@@ -174,3 +174,43 @@ def test_range_and_in_filters_push_into_source(spark, sheet_path):
     assert len(unsupported) == 2
     out = list(rdr.read(_RangePartition(0, 5)))
     assert sorted(r[3] for r in out) == ["4", "5"]
+
+
+def test_streaming_sheet_shrink_does_not_regress_offset(spark, sheet_path, tmp_path):
+    """ADVICE r3: a sheet REWRITE that drops rows must not move the
+    streaming offset backwards (which wedges the query). The reader
+    clamps to the committed offset, emits nothing for the shrunken state,
+    and resumes cleanly once the sheet grows past it again."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        q = (
+            _load_stream(spark, sheet_path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    assert spark.read.parquet(out).count() == 5
+
+    # truncate: keep header + first 2 rows (3 rows gone)
+    lines = open(sheet_path).read().splitlines()
+    with open(sheet_path, "w") as fh:
+        fh.write("\n".join(lines[:3]) + "\n")
+    run_batch()  # must neither crash nor re-emit anything
+    assert spark.read.parquet(out).count() == 5
+
+    # grow back past the committed offset: only rows BEYOND it are new
+    with open(sheet_path, "a") as fh:
+        for i in range(4):
+            fh.write(f"n{i}@x.com,1/9/2024,TRUE,{i},back\n")
+    run_batch()
+    rows = spark.read.parquet(out).collect()
+    # committed offset was 5; sheet now has 6 data rows -> exactly 1 new
+    assert len(rows) == 6
+    assert sum(1 for r in rows if r["Notes"] == "back") == 1
