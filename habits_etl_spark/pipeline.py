@@ -34,7 +34,13 @@ def _events_path(warehouse: str) -> str:
     return os.path.join(warehouse, "habit_events")
 
 
-def read_events_table(spark: SparkSession, warehouse: str) -> DataFrame:
+def read_events_table(
+    spark: SparkSession, warehouse: str, table_format: str = "parquet"
+) -> DataFrame:
+    if table_format == "manifest":
+        from habits_etl_spark.sinks.manifest import read_snapshot
+
+        return read_snapshot(spark, _events_path(warehouse))
     return spark.read.parquet(_events_path(warehouse))
 
 
@@ -44,8 +50,20 @@ def run_ingest(
     cfg: PipelineConfig,
     warehouse: str,
     land_raw_payloads: bool = True,
+    table_format: str = "parquet",
 ) -> None:
-    """One ingest run (the reference's 15-minute CronJob body)."""
+    """One ingest run (the reference's 15-minute CronJob body).
+
+    ``table_format``: ``"parquet"`` (default) keeps the date-partitioned
+    layout with dynamic partition overwrite — correct under the
+    reference's single-writer CronJob topology. ``"manifest"`` routes the
+    merge through ``sinks/manifest.upsert_snapshot``: one atomic pointer
+    swap per ingest, so readers CONCURRENT with the CronJob get snapshot
+    isolation (and time travel / manifest-entry pruning), at the cost of
+    merging against the whole snapshot rather than only the affected
+    date partitions — pick it when concurrent readers matter more than
+    merge locality (partition-scoped manifest merges = Iceberg partition
+    overwrite, out of scope here)."""
     if isinstance(wide, str):
         wide = read_wide_csv(spark, wide)
 
@@ -67,6 +85,19 @@ def run_ingest(
     incoming = incoming.withColumn("event_date", F.col("ts").cast("date"))
 
     events_path = _events_path(warehouse)
+    if table_format == "manifest":
+        from habits_etl_spark.sinks.manifest import upsert_snapshot
+
+        upsert_snapshot(
+            spark,
+            incoming,
+            events_path,
+            keys=EVENT_KEYS,
+            set_cols=["value"],
+            coalesce_cols=["notes"],
+            keep_old_cols=["source", "event_date"],
+        )
+        return
     if not os.path.exists(events_path):
         merged = incoming
     else:

@@ -319,6 +319,7 @@ def upsert_snapshot(
     keys: list[str],
     set_cols: list[str],
     coalesce_cols: list[str],
+    keep_old_cols: list[str] | None = None,
 ) -> dict:
     """MERGE against the current snapshot (sinks/upsert.py semantics),
     publish the merged result atomically. Readers concurrent with the
@@ -329,7 +330,9 @@ def upsert_snapshot(
     if cur is None:
         return overwrite_snapshot(spark, incoming, table_path)
     existing = spark.read.parquet(*cur["files"])
-    merged = upsert_keyed(existing, incoming, keys, set_cols, coalesce_cols)
+    merged = upsert_keyed(
+        existing, incoming, keys, set_cols, coalesce_cols, keep_old_cols
+    )
     files = _write_data_files(merged, table_path)
     return _commit(
         table_path, files, cur["version"], extra={"stats": _collect_file_stats(files)}

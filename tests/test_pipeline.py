@@ -102,3 +102,39 @@ def test_landing_append_once(spark, wh):
     landing = spark.read.parquet(os.path.join(wh, "habits_raw"))
     assert landing.count() == 1  # duplicate payload landed once
     assert set(landing.columns) == {"row_hash", "ingested_at", "payload"}
+
+
+def test_ingest_through_manifest_table(spark, wh):
+    """table_format='manifest': the same reference upsert semantics, but
+    every ingest is one atomic snapshot commit — a reader pinned before
+    the second CronJob run keeps the first run's data."""
+    from habits_etl_spark.sinks import manifest as M
+
+    run_ingest(
+        spark,
+        wide(spark, [("08/20/2025", "a@x.com", "Yes", "8", "original note")]),
+        CFG,
+        wh,
+        table_format="manifest",
+    )
+    table = f"{wh}/habit_events"
+    pinned = M.read_snapshot(spark, table)
+    v1 = M.current_manifest(table)["version"]
+
+    run_ingest(
+        spark,
+        wide(spark, [("08/20/2025", "a@x.com", "No", "3", None)]),
+        CFG,
+        wh,
+        table_format="manifest",
+    )
+    # merge semantics identical to the parquet path
+    df = read_events_table(spark, wh, table_format="manifest")
+    s = {r.habit: r for r in df.collect()}
+    assert s["workout"].value == 0.0
+    assert s["mood_score"].value == 3.0
+    assert s["workout"].notes == "Notes: original note"
+    assert all(r.source == "sheets" for r in df.collect())
+    # snapshot isolation across CronJob runs
+    assert M.current_manifest(table)["version"] == v1 + 1
+    assert {r.habit: r.value for r in pinned.collect()}["workout"] == 1.0
