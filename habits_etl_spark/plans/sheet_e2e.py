@@ -84,6 +84,12 @@ def ensure_wide_sheet_fixture() -> str:
     return FIXTURE_PATH
 
 
+# Materialize at import: the DuckDB oracle reads this CSV path directly,
+# and a harness is free to run oracle SQL before (or without) the Spark
+# query — collecting oracle_sql() imports this module, so the file is
+# guaranteed present first. Idempotent, atomic, ~30 KB.
+ensure_wide_sheet_fixture()
+
 _REGISTERED: set[str] = set()
 
 
