@@ -94,3 +94,28 @@ def test_token_accurate_packing_vs_whitespace(spark, sf_dir):
     # subword counts are never below the whitespace word count for docs
     # whose words aren't fully merged; at minimum they're all positive
     assert all(v >= 0 for v in bpe_counts.values())
+
+
+def test_apply_bpe_invariants_property(spark):
+    """Hypothesis: for ANY merge table learned from any corpus, applying
+    BPE to any pretoken yields 1..len(word)+1 tokens, and applying the
+    merges is idempotent with respect to the learned ranks (same input,
+    same count)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    docs = spark.createDataFrame(
+        [(i, "s", "banana band bandana ban " * 3) for i in range(5)],
+        "doc_id long, source string, text string",
+    )
+    merges = train_bpe_merges(spark, docs, n_merges=12)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abndx", min_size=1, max_size=12))
+    def check(word):
+        n = _apply_bpe(word, ranks)
+        assert 1 <= n <= len(word) + 1
+        assert _apply_bpe(word, ranks) == n  # deterministic
+
+    check()

@@ -96,3 +96,20 @@ def test_snapshot_reader_isolated_from_stream(spark, dirs):
 
     assert sorted(r.k for r in pinned.collect()) == list(range(10))
     assert _keys(spark, dirs) == list(range(10)) + [100, 101]
+
+
+def test_vacuum_between_stream_batches_keeps_exactly_once(spark, dirs):
+    """Vacuuming old versions between micro-batch runs must not disturb
+    the batch-id dedup (last_batch_id rides the CURRENT manifest, which
+    vacuum always retains)."""
+    _write_batch(dirs, "b1.json", [(1, 1.0)])
+    _run_once(spark, dirs)
+    _write_batch(dirs, "b2.json", [(2, 2.0)])
+    _run_once(spark, dirs)
+    M.vacuum(dirs["table"], retain_versions=1)
+    # restart over the same checkpoint: nothing new -> no commit, no dupes
+    _run_once(spark, dirs)
+    assert _keys(spark, dirs) == [1, 2]
+    _write_batch(dirs, "b3.json", [(3, 3.0)])
+    _run_once(spark, dirs)
+    assert _keys(spark, dirs) == [1, 2, 3]
