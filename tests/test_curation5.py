@@ -1,0 +1,148 @@
+"""Invariant + reference-equivalence tests for curation wave 8
+(char entropy, bigram LM, hash split, temperature mix, Zipf fit)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import t
+from habits_etl_spark.plans.ext_curation5 import (
+    _ALPHABET,
+    _LM_LAMBDA,
+    _MIX_ALPHA,
+    _MIX_BUDGET,
+    _TRAIN_PCT,
+    _VAL_PCT,
+    ext_bigram_lm_score,
+    ext_char_entropy,
+    ext_domain_temperature_mix,
+    ext_hash_split,
+    ext_zipf_fit,
+)
+
+
+def _texts(spark, sf_dir):
+    return {
+        r.doc_id: r.text
+        for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+
+def _py_entropy(text: str) -> tuple[int, float]:
+    s = text.lower()
+    counts = [s.count(ch) for ch in _ALPHABET]
+    n = sum(counts)
+    if n == 0:
+        return 0, None
+    # same left-to-right summation order as the generated SQL chain
+    acc = 0.0
+    for c in counts:
+        acc += -(c / n) * math.log(c / n) if c > 0 else 0.0
+    return n, round(acc / math.log(2.0), 6)
+
+
+def test_char_entropy_matches_python_reference(spark, sf_dir):
+    rows = {r.doc_id: r for r in ext_char_entropy(spark, sf_dir).collect()}
+    texts = _texts(spark, sf_dir)
+    assert rows.keys() == texts.keys()
+    for doc_id, text in texts.items():
+        n, ent = _py_entropy(text)
+        assert rows[doc_id].n_alpha == n
+        assert abs(rows[doc_id].entropy_bits - ent) < 1e-9
+        # hard bounds: 0 <= H <= log2(|alphabet|)
+        assert 0.0 <= rows[doc_id].entropy_bits <= math.log2(len(_ALPHABET)) + 1e-9
+
+
+def test_bigram_lm_matches_python_reference(spark, sf_dir):
+    texts = _texts(spark, sf_dir)
+    toks = {d: txt.strip().split() for d, txt in texts.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    n_total = sum(uni.values())
+    bg = Counter()
+    ctx = Counter()
+    for ws in toks.values():
+        for w1, w2 in zip(ws, ws[1:]):
+            bg[(w1, w2)] += 1
+            ctx[w1] += 1
+    rows = {r.doc_id: r for r in ext_bigram_lm_score(spark, sf_dir).collect()}
+    for doc_id, ws in toks.items():
+        if len(ws) < 2:
+            assert doc_id not in rows
+            continue
+        nlls = [
+            -math.log(
+                _LM_LAMBDA * (bg[(w1, w2)] / ctx[w1])
+                + (1 - _LM_LAMBDA) * (uni[w2] / n_total)
+            )
+            for w1, w2 in zip(ws, ws[1:])
+        ]
+        assert rows[doc_id].n_bigrams == len(ws) - 1
+        assert abs(rows[doc_id].bigram_nll - sum(nlls) / len(nlls)) < 1e-6
+        assert rows[doc_id].bigram_nll > 0
+
+
+def test_hash_split_partitions_and_is_deterministic(spark, sf_dir):
+    out = ext_hash_split(spark, sf_dir).collect()
+    total_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in out) == total_docs
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    shares = sum(r.doc_share for r in out)
+    assert abs(shares - 1.0) < 1e-3
+    train = sum(r.n_docs for r in out if r.split == "train") / total_docs
+    # 90% target with hash-binomial spread on a small corpus
+    assert 0.75 <= train <= 0.99, train
+    again = ext_hash_split(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hash_split_stable_under_corpus_growth(spark, sf_dir):
+    """A doc's split never changes when other docs are added/removed:
+    the bucket depends only on doc_id (salted md5), by construction."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    full = {r.doc_id: r.b for r in d.select("doc_id", bucket.alias("b")).collect()}
+    half = {
+        r.doc_id: r.b
+        for r in d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", bucket.alias("b"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_temperature_mix_weights_normalize_and_flatten(spark, sf_dir):
+    out = ext_domain_temperature_mix(spark, sf_dir).collect()
+    assert abs(sum(r.mix_weight for r in out) - 1.0) < 1e-3
+    assert abs(sum(r.expected_docs for r in out) - _MIX_BUDGET) < _MIX_BUDGET * 1e-3
+    # alpha < 1 flattens: every domain's weight share is >= its natural
+    # share when below-average, <= when above (strict for unequal sizes)
+    assert _MIX_ALPHA < 1
+    for r in out:
+        if r.p_source < 1.0 / len(out):
+            assert r.mix_weight >= r.p_source - 1e-9
+        elif r.p_source > 1.0 / len(out):
+            assert r.mix_weight <= r.p_source + 1e-9
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    row = ext_zipf_fit(spark, sf_dir).collect()[0]
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n")
+    ).collect()[0].n
+    assert row.n_tokens == n_tokens
+    assert row.n_types >= 1
+    # frequencies are non-increasing in rank -> LS slope on (ln r, ln f) <= 0
+    assert row.zipf_slope <= 0
+    # intercept ~ ln(top frequency) for a Zipf-ish curve: just require finite/positive
+    assert row.zipf_intercept > 0
