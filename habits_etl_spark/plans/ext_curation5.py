@@ -354,6 +354,99 @@ def ext_domain_temperature_mix(spark, sf_dir):
     )
 
 
+# --- broadcast-weights quality classifier -----------------------------------
+
+# Stand-in coefficients for a trained quality model (fasttext / logistic
+# regression). In production the weight vector is the broadcast artifact of
+# a training job; scoring is ALWAYS this same map-only shape regardless of
+# where the weights came from, which is what this operator demonstrates.
+_QC_W0 = -3.0
+_QC_W_LOGTOK = 0.45  # ln(1 + n_tokens): longer docs score higher
+_QC_W_TOKLEN = 0.30  # mean token length: very short tokens = fragmenty text
+_QC_W_STOP = 2.2  # stopword fraction: function words = natural language
+_QC_W_TTR = -1.1  # type/token ratio: extreme novelty = noise
+_QC_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@query(
+    "ext_quality_classifier",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, {_TOK_DUCK} AS w,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars_nws
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             ln(1 + len(w)) AS f_logtok,
+             CAST(n_chars_nws AS DOUBLE) / len(w) AS f_toklen,
+             CAST(len(list_filter(w, x -> x IN {_QC_STOPWORDS!r})) AS DOUBLE)
+               / len(w) AS f_stop,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS f_ttr
+      FROM w WHERE len(w) > 0
+    ),
+    z AS (
+      SELECT doc_id, lang,
+             {_QC_W0} + {_QC_W_LOGTOK} * f_logtok + {_QC_W_TOKLEN} * f_toklen
+               + {_QC_W_STOP} * f_stop + {_QC_W_TTR} * f_ttr AS z
+      FROM f
+    )
+    SELECT doc_id, lang, round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+           CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 'keep' ELSE 'drop' END
+             AS quality_label
+    FROM z ORDER BY doc_id
+    """,
+)
+def ext_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring, the way a real pipeline applies a
+    fasttext/logistic quality classifier at 100 TB: the trained weight
+    vector is a tiny broadcast artifact and scoring is a PURE MAP over
+    the corpus — featurize (token count, mean token length, stopword
+    fraction, type/token ratio), dot with the weights, sigmoid,
+    threshold. Complements the rule batteries (ext_gopher_rules,
+    ext_quality_score) with the learned-model slot of the RefinedWeb /
+    CCNet stack.
+
+    Scale: zero shuffles before the presentation sort; all features come
+    from one array projection inside whole-stage codegen. The sigmoid's
+    exp() is evaluated per row on identical inputs in both engines and
+    the output rounded to 6 dp (same libm-tolerance argument as
+    ext_domain_temperature_mix's power())."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "lang",
+        _TOK_SPARK(F.col("text")).alias("w"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_chars_nws"),
+    ).filter(F.size("w") > 0)
+    in_list = ", ".join(f"'{s}'" for s in _QC_STOPWORDS)
+    f = w.select(
+        "doc_id",
+        "lang",
+        F.log(1 + F.size("w")).alias("f_logtok"),
+        (F.col("n_chars_nws").cast("double") / F.size("w")).alias("f_toklen"),
+        (
+            F.expr(f"size(filter(w, x -> x IN ({in_list})))").cast("double")
+            / F.size("w")
+        ).alias("f_stop"),
+        (F.size(F.array_distinct("w")).cast("double") / F.size("w")).alias("f_ttr"),
+    )
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_LOGTOK) * F.col("f_logtok")
+        + F.lit(_QC_W_TOKLEN) * F.col("f_toklen")
+        + F.lit(_QC_W_STOP) * F.col("f_stop")
+        + F.lit(_QC_W_TTR) * F.col("f_ttr")
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return f.select(
+        "doc_id",
+        "lang",
+        F.round(prob, 6).alias("quality_prob"),
+        F.when(prob >= 0.5, "keep").otherwise("drop").alias("quality_label"),
+    ).orderBy("doc_id")
+
+
 # --- Zipf rank-frequency fit -------------------------------------------------
 
 _ZIPF_TOP_V = 1000  # fit over the top-V types; bounds the window + the fit

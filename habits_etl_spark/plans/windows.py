@@ -161,3 +161,91 @@ def win_cumulative_uniques(spark, sf_dir):
         )
         .orderBy("day_s")
     )
+
+
+_ZS_MIN_N = 5  # history needed before a z-score is meaningful
+_ZS_THRESHOLD = 3.0
+
+
+@query(
+    "win_zscore_anomaly",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             count(*) OVER w AS n_prev,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sxx
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, event_id, ts, value, n_prev,
+             (value - sx / n_prev)
+               / sqrt((sxx - sx * sx / n_prev) / (n_prev - 1)) AS z
+      FROM s
+      WHERE n_prev >= {_ZS_MIN_N} AND (sxx - sx * sx / n_prev) / (n_prev - 1) > 0
+    )
+    SELECT event_id, user_id, strftime(ts, '{{TS_FMT_DUCK}}') AS ts_s,
+           value, round(z, 6) AS z, CAST(n_prev AS BIGINT) AS n_history
+    FROM z WHERE abs(z) > {_ZS_THRESHOLD} ORDER BY event_id
+    """.replace("{TS_FMT_DUCK}", "%Y-%m-%d %H:%M:%S.%f"),
+)
+def win_zscore_anomaly(spark, sf_dir):
+    """Batch twin of the streaming z-score anomaly detector
+    (streaming/anomaly.py): for every event, score its value against the
+    user's PRIOR history — mean/std over the preceding frame — and keep
+    rows beyond {_ZS_THRESHOLD} sigma with at least {_ZS_MIN_N} prior
+    observations. The batch/stream pair mirrors funnel and retention:
+    same semantics, window frame in batch, Welford state in streaming
+    (tests/test_stream_anomaly.py asserts the two agree).
+
+    Scale: one shuffle on user_id; the frame sums are incremental within
+    each partition-local sort. Determinism: mean/variance come from
+    DECIMAL exact frame sums (rule 1) so partial order can't move z; the
+    remaining double arithmetic is the identical expression in both
+    engines."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    from habits_etl_spark.plans.common import dec, fmt_ts
+
+    s = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum(dec(F.col("value"), 28, 12)).over(w).cast("double").alias("sx"),
+        F.sum(dec(F.col("value") * F.col("value"), 28, 12))
+        .over(w)
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_prev")) / (
+        F.col("n_prev") - 1
+    )
+    z = (F.col("value") - F.col("sx") / F.col("n_prev")) / F.sqrt(var)
+    return (
+        s.filter((F.col("n_prev") >= _ZS_MIN_N) & (var > 0))
+        .withColumn("__z_raw", z)
+        # threshold on the UNROUNDED z exactly like the oracle's WHERE —
+        # filtering on the rounded output would diverge for |z| within
+        # half an ulp-of-6dp of the threshold
+        .filter(F.abs(F.col("__z_raw")) > _ZS_THRESHOLD)
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts(F.col("ts")).alias("ts_s"),
+            "value",
+            F.round(F.col("__z_raw"), 6).alias("z"),
+            F.col("n_prev").cast("bigint").alias("n_history"),
+        )
+        .orderBy("event_id")
+    )
