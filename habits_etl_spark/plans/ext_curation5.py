@@ -538,3 +538,32 @@ def ext_zipf_fit(spark, sf_dir):
             "zipf_intercept"
         ),
     )
+
+
+# --- PageRank centrality over the near-dup graph ----------------------------
+
+
+@query("ext_pagerank_dupgraph")  # no oracle: iterative fixpoint (like ext_dup_clusters' CC)
+def ext_pagerank_dupgraph(spark, sf_dir):
+    """Document centrality in the near-duplicate candidate graph
+    (operators/pagerank.py): MinHash pair edges, symmetrized, power-
+    iterated with damping. High-rank docs are the hubs of duplicate
+    neighborhoods — the 'canonical member' signal a keep-policy can use
+    instead of min-id (ext_dedup_keep_policy), and the same machinery
+    ranks hosts for source-quality weighting at 100 TB.
+
+    rows-only driver check; exact semantics pinned in
+    tests/test_pagerank.py against a Python reference."""
+    from habits_etl_spark.operators.pagerank import pagerank
+    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+
+    docs = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    return (
+        pagerank(docs, sym)
+        .select(F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "doc_id")
+    )

@@ -343,3 +343,46 @@ def join_q21_sole_late_supplier(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "agg_q12_late_by_priority",
+    f"""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_q12_late_by_priority(spark, sf_dir):
+    """Late-shipment priority split (TPC-H Q12 family): among lineitems
+    shipped late, how many belong to high- vs low-priority orders, per
+    ship year. Q12's l_shipmode dimension and commit/receipt dates are
+    absent from this dataset (see module docstring), so the PATTERN is
+    kept — fact-to-fact join + disjoint conditional counts — anchored on
+    ship year and the orderdate-lateness stand-in.
+
+    Scale: the lateness predicate needs both sides, so it applies at the
+    join, not the scan — but the join itself is the one shuffle (orders
+    is fact-sized: no broadcast hint; AQE picks the strategy), and the
+    final agg is |years| groups with map-side partials."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAY")
+        )
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
