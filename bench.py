@@ -65,6 +65,12 @@ CURATION = [
     "stream_sliding_window",
     "join_q5_local_supplier_volume",
     "agg_q7_nation_trade",
+    # wave 8 (round 4)
+    "ext_char_entropy",
+    "ext_bigram_lm_score",
+    "ext_quality_classifier",
+    "win_zscore_anomaly",
+    "agg_q12_late_by_priority",
 ]
 
 
