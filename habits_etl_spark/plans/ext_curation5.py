@@ -567,3 +567,117 @@ def ext_pagerank_dupgraph(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank"))
         .orderBy(F.col("rank").desc(), "doc_id")
     )
+
+
+# --- asymmetric containment (quote / subset detection) ----------------------
+
+_CONT_N = 3  # word-shingle width
+_CONT_THRESHOLD = 0.1
+
+
+@query(
+    "ext_containment_blocked",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(generate_series(1, len(w) - {_CONT_N - 1}),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS gram
+      FROM (SELECT doc_id, source, {_TOK_DUCK} AS w FROM documents)
+      WHERE len(w) >= {_CONT_N}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    blocks AS (SELECT DISTINCT doc_id, source FROM g),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / sa.n, 4) AS cont_a_in_b,
+           round(CAST(i.n_common AS DOUBLE) / sb.n, 4) AS cont_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= {_CONT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ext_containment_blocked(spark, sf_dir):
+    """Asymmetric set CONTAINMENT over word {_CONT_N}-gram shingles —
+    the quote/subset detector Jaccard misses: a short doc fully embedded
+    in a long one has tiny Jaccard (union is huge) but containment
+    |A∩B|/|A| = 1. Both directions are reported per candidate pair; the
+    gate is on the max direction (equivalently n_common / min size).
+    Same blocking convention as ext_ngram_jaccard_blocked (source
+    blocks), same posting-list intersection shape — no all-pairs scan.
+
+    Scale: distinct-shingle explode -> block-bounded candidate join ->
+    gram-equijoin intersection counted in one hash-agg. At 100 TB the
+    block key becomes the LSH band bucket (ext_near_dedup_minhash's
+    banding) instead of source; everything downstream is unchanged."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source", _TOK_SPARK(F.col("text")).alias("w")).filter(
+        F.size("w") >= _CONT_N
+    )
+    g = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_CONT_N - 1}), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), "
+                    "' ', element_at(w, i + 2)))"
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    blocks = g.select("doc_id", "source").distinct()
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    ga, gb = g.alias("ga"), g.alias("gb")
+    inter = (
+        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(
+            gb,
+            (F.col("gb.doc_id") == F.col("doc_b"))
+            & (F.col("gb.gram") == F.col("ga.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.selectExpr("doc_id AS doc_a", "n AS na")
+    sb = sizes.selectExpr("doc_id AS doc_b", "n AS nb")
+    return (
+        # sizes is corpus-sized (a row per doc): no broadcast hint — the
+        # intersection output is collision-scale, so AQE broadcasts THAT
+        # side when small instead
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_common").cast("double") / F.least("na", "nb")
+            >= _CONT_THRESHOLD
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common").cast("double") / F.col("na"), 4).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("n_common").cast("double") / F.col("nb"), 4).alias(
+                "cont_b_in_a"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

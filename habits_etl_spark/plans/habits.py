@@ -27,6 +27,7 @@ from habits_etl_spark.functions.datetime_ops import (
 from habits_etl_spark.functions.hashing import canonical_hash_expr
 from habits_etl_spark.plans.common import (
     TS_FMT_DUCK,
+    day_of,
     day_str,
     davg,
     dsum,
@@ -646,4 +647,63 @@ def sink_upsert_events(spark, sf_dir):
     )
     return merged.select(
         "user_id", "event_type", fmt_ts(F.col("ts")).alias("ts_s"), "value", "notes"
+    )
+
+
+@query(
+    "fn_time_bucket_gapfill",
+    f"""
+    WITH c AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value
+      FROM events WHERE event_type = 'click'
+    ),
+    agg AS (
+      SELECT user_id, day, {sql_dsum('value')} AS sum_value
+      FROM c GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM c GROUP BY 1),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                  CAST(d1 AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day_s,
+           coalesce(a.sum_value, 0.0) AS sum_value,
+           CAST(CASE WHEN a.sum_value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM spine s LEFT JOIN agg a ON a.user_id = s.user_id AND a.day = s.day
+    ORDER BY 1, 2
+    """,
+)
+def fn_time_bucket_gapfill(spark, sf_dir):
+    """Calendar densification — TimescaleDB's time_bucket_gapfill shape,
+    the habit-tracker's 'which days did the user MISS' view that a plain
+    GROUP BY cannot produce (absent days have no rows to group): per
+    user, a continuous day spine from their first to last click day,
+    left-joined to the daily sums, gaps filled with 0 and flagged.
+
+    Scale: the spine comes from one sequence() explode over |users|
+    rows — output is bounded by |users| x |calendar days|, which grows
+    with time, not data volume; the join back is a shuffle on
+    (user_id, day), the same key the rollup already aggregated on."""
+    c = t(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
+        "user_id", day_of(F.col("ts")).alias("day"), "value"
+    )
+    agg = c.groupBy("user_id", "day").agg(dsum("value").alias("sum_value"))
+    span = c.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return (
+        spine.join(agg, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+            F.when(F.col("sum_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+        .orderBy("user_id", "day_s")
     )

@@ -146,3 +146,85 @@ def test_zipf_fit_shape(spark, sf_dir):
     assert row.zipf_slope <= 0
     # intercept ~ ln(top frequency) for a Zipf-ish curve: just require finite/positive
     assert row.zipf_intercept > 0
+
+
+def test_quality_classifier_bounds_and_label_consistency(spark, sf_dir):
+    from habits_etl_spark.plans.ext_curation5 import ext_quality_classifier
+
+    rows = ext_quality_classifier(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.quality_prob < 1.0
+        assert r.quality_label == ("keep" if r.quality_prob >= 0.5 else "drop")
+
+
+def test_containment_matches_bruteforce(spark, sf_dir):
+    from habits_etl_spark.plans.ext_curation5 import (
+        _CONT_N,
+        _CONT_THRESHOLD,
+        ext_containment_blocked,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    sh = {}
+    src = {}
+    for r in docs:
+        w = r.text.strip().split()
+        if len(w) < _CONT_N:
+            continue
+        sh[r.doc_id] = {
+            " ".join(w[i : i + _CONT_N]) for i in range(len(w) - _CONT_N + 1)
+        }
+        src[r.doc_id] = r.source
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if src[a] != src[b]:
+                continue
+            common = len(sh[a] & sh[b])
+            if common and common / min(len(sh[a]), len(sh[b])) >= _CONT_THRESHOLD:
+                want[(a, b)] = (
+                    round(common / len(sh[a]), 4),
+                    round(common / len(sh[b]), 4),
+                )
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in ext_containment_blocked(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_gapfill_spines_are_contiguous_and_zero_filled(spark, sf_dir):
+    import datetime
+
+    from pyspark.sql import functions as FF
+
+    from habits_etl_spark.plans.habits import fn_time_bucket_gapfill
+
+    out = fn_time_bucket_gapfill(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    clicks = (
+        t(spark, sf_dir, "events")
+        .filter(FF.col("event_type") == "click")
+        .select("user_id", FF.date_format(FF.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .collect()
+    )
+    active = {}
+    for r in clicks:
+        active.setdefault(r.user_id, set()).add(r.d)
+    assert set(by_user) == set(active)
+    for uid, rows in by_user.items():
+        days = sorted(r.day_s for r in rows)
+        d0 = datetime.date.fromisoformat(days[0])
+        d1 = datetime.date.fromisoformat(days[-1])
+        assert len(rows) == (d1 - d0).days + 1  # contiguous spine
+        assert len(set(days)) == len(days)
+        for r in rows:
+            if r.is_gap:
+                assert r.sum_value == 0.0 and r.day_s not in active[uid]
+            else:
+                assert r.day_s in active[uid]
