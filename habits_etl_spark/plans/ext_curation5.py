@@ -617,10 +617,12 @@ def ext_containment_blocked(spark, sf_dir):
     Same blocking convention as ext_ngram_jaccard_blocked (source
     blocks), same posting-list intersection shape — no all-pairs scan.
 
-    Scale: distinct-shingle explode -> block-bounded candidate join ->
-    gram-equijoin intersection counted in one hash-agg. At 100 TB the
-    block key becomes the LSH band bucket (ext_near_dedup_minhash's
-    banding) instead of source; everything downstream is unchanged."""
+    Scale: distinct-shingle explode -> posting-list self-join on
+    (gram, block) -> one hash-agg; cost is sum(freq^2) per gram, never
+    |block|^2. At 100 TB the block key becomes the LSH band bucket
+    (ext_near_dedup_minhash's banding) instead of source, and a
+    stop-gram cut (drop grams above a frequency cap) bounds the worst
+    posting list; everything downstream is unchanged."""
     d = t(spark, sf_dir, "documents")
     w = d.select("doc_id", "source", _TOK_SPARK(F.col("text")).alias("w")).filter(
         F.size("w") >= _CONT_N
@@ -639,22 +641,21 @@ def ext_containment_blocked(spark, sf_dir):
         ).alias("gram"),
     )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    blocks = g.select("doc_id", "source").distinct()
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # posting-list self-join on (gram, source): cost is sum over grams of
+    # freq^2 — pairs sharing ZERO grams never materialize, unlike a
+    # block-pairs-first plan whose intermediate is |block|^2 x |grams|
+    # rows before any intersection test (measured 4x slower at sf0.1)
     ga, gb = g.alias("ga"), g.alias("gb")
     inter = (
-        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
-        .join(
+        ga.join(
             gb,
-            (F.col("gb.doc_id") == F.col("doc_b"))
-            & (F.col("gb.gram") == F.col("ga.gram")),
+            (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.source") == F.col("gb.source"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.selectExpr("doc_id AS doc_a", "n AS na")
