@@ -143,3 +143,47 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
             ).alias("frame_no", "frame_bytes"),
         )
     )
+
+
+# Magic-byte signatures at offset 0 (hex, uppercase) -> MIME type. The
+# container-format cases (RIFF, ISO-BMFF) need a second probe at a fixed
+# offset and are handled explicitly in sniff_mime.
+_MAGIC_PREFIX = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("494433", "audio/mpeg"),  # ID3-tagged MP3
+    ("4F676753", "audio/ogg"),
+    ("664C6143", "audio/flac"),
+    ("1A45DFA3", "video/webm"),  # EBML (webm/mkv)
+]
+
+
+def sniff_mime(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Content-sniffed MIME type from magic bytes — metadata WITHOUT a
+    decode: pure JVM-side hex/substring expressions inside whole-stage
+    codegen, so classifying 100 TB of payloads costs one scan and zero
+    Python. The declared ``mime`` column (untrusted, upload-supplied in
+    real pipelines) can then be cross-checked against ``sniffed_mime``.
+
+    Handles prefix signatures plus the two probe-at-offset container
+    formats: RIFF (bytes 8-11 distinguish WAVE vs AVI) and ISO-BMFF
+    (bytes 4-7 'ftyp' => MP4 family). Unknown payloads fall back to
+    application/octet-stream."""
+    h = F.hex(F.col(content_col))
+    expr = None
+    riff = F.substring(h, 1, 8) == "52494646"
+    cases = [
+        (riff & (F.substring(h, 17, 8) == "57415645"), "audio/wav"),
+        (riff & (F.substring(h, 17, 8) == "41564920"), "video/avi"),
+        (F.substring(h, 9, 8) == "66747970", "video/mp4"),
+    ] + [
+        (F.substring(h, 1, len(sig)) == sig, mime) for sig, mime in _MAGIC_PREFIX
+    ]
+    for cond, mime in cases:
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    return df.withColumn(
+        "sniffed_mime", expr.otherwise("application/octet-stream")
+    )

@@ -141,10 +141,11 @@ def ext_bigram_lm_score(spark, sf_dir):
     nll = locally-coherent text; high nll = shuffled/garbled word salad
     that a unigram model cannot see.
 
-    Scale: the bigram/context/unigram count relations are one
-    hash-aggregate each over the token stream and are vocab-bounded
-    (top-V cut at 100 TB, OOV at a floor probability, like
-    ext_unigram_lm_score), so they BROADCAST into the scoring scan; the
+    Scale: the count relations are one hash-aggregate each over the
+    token stream. Context/unigram tables are vocab-bounded (top-V cut at
+    100 TB, OOV at a floor probability, like ext_unigram_lm_score) and
+    broadcast; the BIGRAM table is top-V^2 worst case — unbounded — so
+    it keeps a plain shuffle join and AQE upgrades it when small; the
     per-doc reduce is a doc_id hash-agg with decimal exact sums
     (rule 1). No self-joins: bigrams come from one array transform in
     the map stage."""
@@ -175,7 +176,10 @@ def ext_bigram_lm_score(spark, sf_dir):
         + (1 - _LM_LAMBDA) * (F.col("c_uni").cast("double") / F.col("n_total"))
     )
     return (
-        bi.join(F.broadcast(cb), "bg")
+        # no broadcast hint on cb: BIGRAM vocab is top-V^2 worst case —
+        # unbounded at corpus scale, unlike the unigram/context tables
+        # below (top-V cut). AQE broadcasts it when it is in fact small.
+        bi.join(cb, "bg")
         .join(F.broadcast(cctx), "w1")
         .join(F.broadcast(cuni), bi["w2"] == cuni["tok"])
         .crossJoin(F.broadcast(tot))

@@ -74,3 +74,38 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
         assert r.n_bytes == len(payload)
         assert 0.0 < r.f_norm <= 4.0  # 16 dims in [0, 1]
         assert r.kind in ("image", "audio", "video")
+
+
+def test_sniff_mime_detects_real_signatures(spark):
+    payloads = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"rest", "image/png"),
+        (2, bytes.fromhex("FFD8FFE0") + b"jfif", "image/jpeg"),
+        (3, b"GIF89a" + b"x" * 4, "image/gif"),
+        (4, b"RIFF" + b"\x10\x00\x00\x00" + b"WAVEfmt ", "audio/wav"),
+        (5, b"RIFF" + b"\x10\x00\x00\x00" + b"AVI LIST", "video/avi"),
+        (6, b"\x00\x00\x00\x18ftypisom" + b"x" * 8, "video/mp4"),
+        (7, b"ID3\x04" + b"x" * 8, "audio/mpeg"),
+        (8, b"OggS" + b"x" * 8, "audio/ogg"),
+        (9, b"fLaC" + b"x" * 8, "audio/flac"),
+        (10, b"%PDF-1.7" + b"x" * 8, "application/pdf"),
+        (11, b"\x1a\x45\xdf\xa3" + b"x" * 8, "video/webm"),
+        (12, b"just some text bytes", "application/octet-stream"),
+        (13, b"RIFF\x10\x00\x00\x00JUNK....", "application/octet-stream"),
+    ]
+    from habits_etl_spark.multimodal import sniff_mime
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in payloads], "media_id long, content binary"
+    )
+    got = {r.media_id: r.sniffed_mime for r in sniff_mime(df).collect()}
+    for i, _, want in payloads:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_sniff_mime_on_synthetic_media_is_octet_stream(spark):
+    from habits_etl_spark.multimodal import sniff_mime, synthetic_media
+
+    out = sniff_mime(synthetic_media(spark, 30)).collect()
+    # the fake payloads carry no real magic bytes: sniffing must NOT
+    # trust the declared kind/mime columns
+    assert all(r.sniffed_mime == "application/octet-stream" for r in out)
