@@ -587,3 +587,139 @@ def agg_value_moments(spark, sf_dir):
             "stddev"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "op_table_diff",
+    """
+    WITH a AS (SELECT event_id, event_type, value FROM events),
+    b AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN value * 2 ELSE value END AS value
+      FROM events WHERE user_id % 97 <> 0
+      UNION ALL
+      SELECT event_id + 10000000, event_type, value
+      FROM events WHERE user_id % 89 = 0
+    ),
+    j AS (
+      SELECT coalesce(a.event_id, b.event_id) AS event_id,
+             CASE WHEN b.event_id IS NULL THEN 'removed'
+                  WHEN a.event_id IS NULL THEN 'added'
+                  WHEN a.value IS DISTINCT FROM b.value
+                       OR a.event_type IS DISTINCT FROM b.event_type THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def op_table_diff(spark, sf_dir):
+    """Snapshot reconciliation — the data-diff audit run between two
+    versions of a table (e.g. yesterday's manifest snapshot vs today's,
+    sinks/manifest.py time travel): per-key classification into
+    added / removed / changed / same via one FULL OUTER join on the key,
+    null-safe comparison (IS DISTINCT FROM) on the payload. The 'B' side
+    here is a deterministic perturbation of events (drops, doubled
+    values, injected keys) so the query is self-contained and
+    oracle-checkable.
+
+    Scale: one shuffle on the key for the full-outer hash join; the
+    classification is a map over the joined row; output is 4 rows. A
+    manifest-backed diff additionally prunes unchanged FILES first
+    (identical file lists diff to zero cost)."""
+    e = t(spark, sf_dir, "events")
+    a = e.select("event_id", "event_type", "value")
+    b = e.filter(F.col("user_id") % 97 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    ).unionByName(
+        e.filter(F.col("user_id") % 89 == 0).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "event_type",
+            "value",
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("b.event_id").isNull(), "removed")
+        .when(F.col("a.event_id").isNull(), "added")
+        .when(
+            ~F.col("a.value").eqNullSafe(F.col("b.value"))
+            | ~F.col("a.event_type").eqNullSafe(F.col("b.event_type")),
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "agg_corr_value_hour",
+    """
+    WITH v AS (
+      SELECT event_type, value AS x, CAST(hour(ts) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+      FROM v GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0),
+                 6) AS corr_value_hour
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_corr_value_hour(spark, sf_dir):
+    """Per-group Pearson correlation (value vs hour-of-day) from exact
+    decimal power sums — the deterministic twin of F.corr, which folds
+    doubles in partition order and is bit-unstable across engines and
+    parallelism (same reasoning as agg_value_moments' stddev). A
+    diurnal-pattern audit: does the metric depend on time of day?
+
+    Scale: one hash-agg with map-side partials; five sums per group,
+    O(|event_types|) output. Degenerate variance (constant x or y) is an
+    explicit NULL via nullif in both engines."""
+    from habits_etl_spark.plans.common import dec
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("x"), 28, 12)).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"), 28, 12)).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"), 28, 12)).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"), 28, 12)).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"), 28, 12)).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr_value_hour"),
+    ).orderBy("event_type")

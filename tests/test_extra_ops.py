@@ -51,3 +51,49 @@ def test_hll_partial_merge_tracks_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(0.02 * ex, 1), (et, approx[et], ex)
+
+
+def test_table_diff_counts_match_perturbation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t
+    from habits_etl_spark.plans.extra import op_table_diff
+
+    e = t(spark, sf_dir, "events")
+    got = {r.status: r.n_rows for r in op_table_diff(spark, sf_dir).collect()}
+    removed = e.filter(F.col("user_id") % 97 == 0).count()
+    added = e.filter(F.col("user_id") % 89 == 0).count()
+    changed = e.filter(
+        (F.col("user_id") % 97 != 0)
+        & (F.col("event_id") % 11 == 0)
+        & (F.col("value") != 0)
+    ).count()
+    total = e.count()
+    assert got.get("removed", 0) == removed
+    assert got.get("added", 0) == added
+    assert got.get("changed", 0) == changed
+    assert sum(got.values()) == total + added
+
+
+def test_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t
+    from habits_etl_spark.plans.extra import agg_corr_value_hour
+
+    rows = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.hour("ts").alias("h"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.value, r.h))
+    got = {r.event_type: r.corr_value_hour for r in agg_corr_value_hour(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, pairs in by_type.items():
+        x, y = zip(*pairs)
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert abs(got[et] - want) < 1e-6, (et, got[et], want)
