@@ -723,3 +723,141 @@ def agg_corr_value_hour(spark, sf_dir):
         "n",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr_value_hour"),
     ).orderBy("event_type")
+
+
+_HIST_BUCKETS = 4
+
+
+@query(
+    "agg_equidepth_hist",
+    f"""
+    WITH v AS (
+      SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, value,
+             ntile({_HIST_BUCKETS}) OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS bucket
+      FROM v
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def agg_equidepth_hist(spark, sf_dir):
+    """Exact equi-depth histogram ({_HIST_BUCKETS} buckets) per group —
+    the precise complement of agg_approx_percentiles' sketch: bucket
+    boundaries from an ntile over a TOTAL order (value with event_id
+    tie-break, so both engines tile identically even with duplicate
+    values). Equi-depth bounds are what a CBO stores and what a
+    skew-aware partitioner samples.
+
+    Scale: one shuffle partitioned by group; within-group sort. For a
+    single giant group the exact tile becomes the sketch path
+    (percentile_approx) — that trade is the documented reason both
+    queries exist."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = e.select(
+        "event_type",
+        "value",
+        F.ntile(_HIST_BUCKETS)
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .cast("bigint")  # DuckDB's ntile returns BIGINT; Spark's INT
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "win_first_touch_attribution",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             CASE WHEN (epoch(ts) - epoch(lag(ts) OVER w)) > {_SESSION_GAP_MIN * 60}
+                       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ev
+    ),
+    first_click AS (
+      SELECT user_id, session_no, min(ts) AS first_click_ts
+      FROM sess WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{{TS_FMT_DUCK}}') AS purchase_ts_s,
+           strftime(f.first_click_ts, '{{TS_FMT_DUCK}}') AS first_touch_ts_s,
+           p.value
+    FROM sess p
+    LEFT JOIN first_click f
+      ON f.user_id = p.user_id AND f.session_no = p.session_no
+         AND f.first_click_ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """.replace("{{TS_FMT_DUCK}}", "{TS_FMT_DUCK}").format(TS_FMT_DUCK=TS_FMT_DUCK),
+)
+def win_first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: each purchase credited to the FIRST click
+    of its own session ({_SESSION_GAP_MIN}-minute inactivity gap —
+    ext_sessionize's convention), NULL when the session had no click at
+    or before the purchase. The marketing-analytics composition of
+    gaps-and-islands sessionization + a session-grain min + one
+    enrichment join.
+
+    Scale: both windows and the join key share the user_id partitioning
+    — ONE shuffle serves sessionization, the session min, and the join
+    (the session aggregate is |sessions| rows, far smaller than the
+    fact). No as-of scan: session boundaries bound the lookback."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > _SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    first_click = (
+        sess.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    p = sess.filter(F.col("event_type") == "purchase").alias("p")
+    f = first_click.alias("f")
+    return (
+        p.join(
+            f,
+            (F.col("f.user_id") == F.col("p.user_id"))
+            & (F.col("f.session_no") == F.col("p.session_no"))
+            & (F.col("f.first_click_ts") <= F.col("p.ts")),
+            "left",
+        )
+        .select(
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.user_id").alias("user_id"),
+            fmt_ts(F.col("p.ts")).alias("purchase_ts_s"),
+            fmt_ts(F.col("f.first_click_ts")).alias("first_touch_ts_s"),
+            F.col("p.value").alias("value"),
+        )
+        .orderBy("event_id")
+    )

@@ -97,3 +97,74 @@ def test_corr_matches_numpy(spark, sf_dir):
         x, y = zip(*pairs)
         want = float(np.corrcoef(x, y)[0, 1])
         assert abs(got[et] - want) < 1e-6, (et, got[et], want)
+
+
+def test_equidepth_hist_bucket_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t
+    from habits_etl_spark.plans.extra import _HIST_BUCKETS, agg_equidepth_hist
+
+    rows = agg_equidepth_hist(spark, sf_dir).collect()
+    counts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    totals = {r.event_type: r["count"] for r in counts}
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, bs in by_type.items():
+        bs.sort(key=lambda r: r.bucket)
+        assert [b.bucket for b in bs] == list(range(1, _HIST_BUCKETS + 1))
+        assert sum(b.n_rows for b in bs) == totals[et]
+        assert max(b.n_rows for b in bs) - min(b.n_rows for b in bs) <= 1  # equi-depth
+        for a, b in zip(bs, bs[1:]):
+            assert a.hi <= b.lo + 1e-9  # value-ordered tiles
+            assert a.lo <= a.hi
+
+
+def test_first_touch_attribution_matches_python(spark, sf_dir):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t
+    from habits_etl_spark.plans.extra import (
+        _SESSION_GAP_MIN,
+        win_first_touch_attribution,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        sess_no, prev = 0, None
+        first_click: dict[int, datetime.datetime] = {}
+        for r in rows:
+            if prev is None or (r.ts - prev).total_seconds() > _SESSION_GAP_MIN * 60:
+                sess_no += 1
+            prev = r.ts
+            if r.event_type == "click" and sess_no not in first_click:
+                first_click[sess_no] = r.ts
+            if r.event_type == "purchase":
+                ft = first_click.get(sess_no)
+                want[r.event_id] = ft if (ft is not None and ft <= r.ts) else None
+    got = {
+        r.event_id: r.first_touch_ts_s
+        for r in win_first_touch_attribution(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    for ev_id, ft in want.items():
+        assert got[ev_id] == (ft.strftime(fmt) if ft else None), ev_id
