@@ -861,3 +861,56 @@ def win_first_touch_attribution(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "op_profile_events",
+    f"""
+    WITH s AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count(event_id) AS BIGINT)   AS nulls_event_id,
+        CAST(count(*) - count(ts) AS BIGINT)         AS nulls_ts,
+        CAST(count(*) - count(user_id) AS BIGINT)    AS nulls_user_id,
+        CAST(count(*) - count(event_type) AS BIGINT) AS nulls_event_type,
+        CAST(count(*) - count(value) AS BIGINT)      AS nulls_value,
+        CAST(count(*) - count(props) AS BIGINT)      AS nulls_props,
+        CAST(count(DISTINCT user_id) AS BIGINT)      AS distinct_users,
+        CAST(count(DISTINCT event_type) AS BIGINT)   AS distinct_types,
+        round(min(value), 6) AS min_value,
+        round(max(value), 6) AS max_value,
+        strftime(min(ts), '{{TS_FMT_DUCK}}') AS min_ts_s,
+        strftime(max(ts), '{{TS_FMT_DUCK}}') AS max_ts_s
+      FROM events
+    )
+    SELECT * FROM s
+    """.replace("{TS_FMT_DUCK}", TS_FMT_DUCK),
+)
+def op_profile_events(spark, sf_dir):
+    """One-pass data-profiling summary — the ingest-gate audit a pipeline
+    runs before trusting a new drop: per-column null counts, key
+    cardinalities, value and time extrema. Everything folds into a
+    SINGLE aggregation over one scan (count(*) - count(col) is the
+    null-count idiom both engines share); contrast df.summary(), which
+    is driver-convenience, not a registered, oracle-checked artifact.
+
+    Scale: one scan, one reduce to a single row; the two exact DISTINCTs
+    expand to two extra shuffles (Spark's multi-distinct Expand) — at
+    100 TB swap them for approx_count_distinct (agg_approx_distinct's
+    documented trade)."""
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("event_id")).cast("bigint").alias("nulls_event_id"),
+        (F.count(F.lit(1)) - F.count("ts")).cast("bigint").alias("nulls_ts"),
+        (F.count(F.lit(1)) - F.count("user_id")).cast("bigint").alias("nulls_user_id"),
+        (F.count(F.lit(1)) - F.count("event_type")).cast("bigint").alias("nulls_event_type"),
+        (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias("nulls_value"),
+        (F.count(F.lit(1)) - F.count("props")).cast("bigint").alias("nulls_props"),
+        F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+        F.countDistinct("event_type").cast("bigint").alias("distinct_types"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        fmt_ts(F.min("ts")).alias("min_ts_s"),
+        fmt_ts(F.max("ts")).alias("max_ts_s"),
+    )

@@ -73,7 +73,13 @@ def test_quantile_zorder_discriminates_skewed_hot_range(spark, tmp_path):
     uniform y. Uniform bucketing collapses the hot range into bucket 0,
     so nearly every file's [min,max] covers a hot value and a point query
     there prunes nothing; quantile mapping gives hot values their own
-    buckets and bounds the covering-file fraction."""
+    buckets and bounds the covering-file fraction.
+
+    Load sensitivity: file-boundary placement shifts slightly under heavy
+    EXTERNAL host contention (observed one marginal failure with several
+    unrelated Spark sessions competing for the same cores; 0 failures in
+    repeated isolated and clean full-suite runs). If this fails on a
+    loaded host, rerun alone before suspecting a regression."""
     from habits_etl_spark.sinks.zorder import zorder_by_quantile
 
     n = 1 << 14
