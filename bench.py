@@ -66,6 +66,7 @@ CURATION = [
     "join_q5_local_supplier_volume",
     "agg_q7_nation_trade",
     # wave 8 (round 4)
+    "ext_near_dedup_minhash_fast",  # xxhash64 twin of the headline md5 op
     "ext_char_entropy",
     "ext_bigram_lm_score",
     "ext_quality_classifier",

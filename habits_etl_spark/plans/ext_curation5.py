@@ -686,3 +686,79 @@ def ext_containment_blocked(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- quality-weighted corpus subsampling ------------------------------------
+
+_WS_PER_LANG = 20  # sampled docs per language stratum
+
+
+@query(
+    "ext_weighted_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_TOK_DUCK} AS w,
+             (CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0 AS u
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             -ln(u) / greatest(len(w), 1) AS es_key
+      FROM q WHERE len(w) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, es_key,
+             row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rk
+      FROM scored
+    )
+    SELECT lang, doc_id, round(es_key, 9) AS es_key
+    FROM ranked WHERE rk <= {_WS_PER_LANG} ORDER BY lang, doc_id
+    """,
+)
+def ext_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement per language stratum —
+    Efraimidis-Spirakis A-ES: draw u ~ Uniform(0,1], keep the k smallest
+    -ln(u)/w keys, giving inclusion probability proportional to weight w
+    (here w = token count: longer docs are worth more sampling mass;
+    swap in a quality score for quality-weighted subsampling). The
+    'random' u is a salted md5 of the doc id — deterministic,
+    engine-portable, reproducible across runs, and independent of the
+    weight.
+
+    Scale: one map to keys, one shuffle on the stratum for the per-lang
+    top-k window (bounded partitions — strata, not corpus); at extreme
+    stratum sizes the rank window becomes per-partition heaps + merge
+    (TakeOrdered per stratum). No collect, no RNG state."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(4294967297.0)
+    )
+    w = _TOK_SPARK(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (-F.log(u) / F.greatest(F.size(w), F.lit(1))).alias("es_key"),
+        F.size(w).alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("lang").orderBy("es_key", "doc_id"))
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _WS_PER_LANG)
+        .select("lang", "doc_id", F.round("es_key", 9).alias("es_key"))
+        .orderBy("lang", "doc_id")
+    )

@@ -228,3 +228,35 @@ def test_gapfill_spines_are_contiguous_and_zero_filled(spark, sf_dir):
                 assert r.sum_value == 0.0 and r.day_s not in active[uid]
             else:
                 assert r.day_s in active[uid]
+
+
+def test_weighted_sample_matches_python_and_biases_to_weight(spark, sf_dir):
+    import hashlib
+    import math
+
+    from habits_etl_spark.plans.ext_curation5 import (
+        _WS_PER_LANG,
+        ext_weighted_sample,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    keys: dict[str, list] = {}
+    n_toks = {}
+    for r in docs:
+        w = len(r.text.strip().split())
+        n_toks[r.doc_id] = w
+        if w == 0:
+            continue
+        h = int(hashlib.md5(f"wsample:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        keys.setdefault(r.lang, []).append((-math.log(u) / max(w, 1), r.doc_id))
+    want = {}
+    for lang, ks in keys.items():
+        ks.sort()
+        want.update({d: lang for _, d in ks[:_WS_PER_LANG]})
+    got = {r.doc_id: r.lang for r in ext_weighted_sample(spark, sf_dir).collect()}
+    assert got == want
+    # weight bias: sampled docs are longer on average than the corpus
+    sampled_mean = sum(n_toks[d] for d in got) / len(got)
+    corpus_mean = sum(n_toks.values()) / len(n_toks)
+    assert sampled_mean > corpus_mean
