@@ -914,3 +914,100 @@ def op_profile_events(spark, sf_dir):
         fmt_ts(F.min("ts")).alias("min_ts_s"),
         fmt_ts(F.max("ts")).alias("max_ts_s"),
     )
+
+
+_SCD2_LOW, _SCD2_HIGH = 100.0, 400.0
+
+
+@query(
+    "op_scd2_user_tier",
+    f"""
+    WITH weekly AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS wv
+      FROM events GROUP BY 1, 2
+    ),
+    tiered AS (
+      SELECT user_id, week,
+             CASE WHEN wv < {_SCD2_LOW} THEN 'low'
+                  WHEN wv < {_SCD2_HIGH} THEN 'mid' ELSE 'high' END AS tier
+      FROM weekly
+    ),
+    flagged AS (
+      SELECT user_id, week, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM tiered WINDOW w AS (PARTITION BY user_id ORDER BY week)
+    ),
+    versioned AS (
+      SELECT user_id, week, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY week
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, tier,
+             min(week) AS valid_from, max(week) AS valid_to,
+             CAST(count(*) AS BIGINT) AS n_weeks
+      FROM versioned GROUP BY 1, 2, 3
+    ),
+    latest AS (SELECT user_id, max(valid_to) AS last_week FROM intervals GROUP BY 1)
+    SELECT i.user_id, i.version, i.tier,
+           strftime(i.valid_from, '%Y-%m-%d') AS valid_from_s,
+           strftime(i.valid_to, '%Y-%m-%d') AS valid_to_s,
+           i.n_weeks, i.valid_to = l.last_week AS is_current
+    FROM intervals i JOIN latest l ON l.user_id = i.user_id
+    ORDER BY i.user_id, i.version
+    """,
+)
+def op_scd2_user_tier(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: each user's weekly
+    activity tier (low/mid/high by weekly value sum) collapsed into
+    versioned validity intervals — the warehouse dimension-history
+    pattern (valid_from / valid_to / is_current) derived from the fact
+    stream itself. Consecutive equal tiers merge via gaps-and-islands
+    (change flag -> running version counter -> group).
+
+    Scale: weekly rollup is a hash-agg; BOTH windows and the interval
+    agg share the user_id partitioning — one shuffle total; intervals
+    are |users| x |tier changes| rows, far smaller than the fact."""
+    e = t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "user_id", F.date_trunc("WEEK", F.col("ts")).cast("date").alias("week")
+    ).agg(dsum("value").alias("wv"))
+    tier = (
+        F.when(F.col("wv") < _SCD2_LOW, "low")
+        .when(F.col("wv") < _SCD2_HIGH, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = weekly.select("user_id", "week", tier.alias("tier")).withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull() | (F.lag("tier").over(w) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    intervals = versioned.groupBy("user_id", "version", "tier").agg(
+        F.min("week").alias("valid_from"),
+        F.max("week").alias("valid_to"),
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+    )
+    latest = intervals.groupBy("user_id").agg(F.max("valid_to").alias("last_week"))
+    return (
+        intervals.join(latest, "user_id")
+        .select(
+            "user_id",
+            "version",
+            "tier",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from_s"),
+            F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to_s"),
+            "n_weeks",
+            (F.col("valid_to") == F.col("last_week")).alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

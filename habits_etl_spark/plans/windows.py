@@ -249,3 +249,67 @@ def win_zscore_anomaly(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 8  # truncated-FIR depth
+
+
+def _ewma_chains(over: str) -> tuple[str, str]:
+    """Numerator/denominator SQL chains for the truncated EWMA: a fixed-
+    coefficient FIR over the last K observations, weights renormalized
+    over the lags that exist. Coefficients are compile-time constants and
+    the chains are left-associative `+` in lag order — identical float
+    arithmetic in both engines (the ext_char_entropy trick)."""
+    num = " + ".join(
+        f"(CASE WHEN lag(sum_value, {j}) {over} IS NOT NULL THEN "
+        f"{_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j!r} * (lag(sum_value, {j}) {over}) "
+        f"ELSE 0.0 END)"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(sum_value, {j}) {over} IS NOT NULL THEN "
+        f"{_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j!r} ELSE 0.0 END)"
+        for j in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_OVER = "OVER (PARTITION BY user_id ORDER BY day)"
+_EWMA_NUM, _EWMA_DEN = _ewma_chains(_EWMA_OVER)
+
+
+@query(
+    "win_ewma_smooth",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s, sum_value,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM daily ORDER BY user_id, day_s
+    """,
+)
+def win_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted trend line over the per-user daily series.
+    True EWMA is a per-row recurrence (not closed-form SQL); the
+    relational form is the TRUNCATED EWMA — alpha(1-alpha)^j weights
+    over the last {_EWMA_K} observations, renormalized at series start —
+    which converges to the recurrence for K >> 1/alpha.
+
+    Scale: the daily rollup is the usual hash-agg; all {_EWMA_K} lag()
+    reads share ONE user_id window sort; O(K) per row, constants folded
+    at compile time. The identical generated chain runs in DuckDB, so
+    the smoother is hash-verified despite being pure float."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    daily = e.groupBy("user_id", day_of(F.col("ts")).alias("day")).agg(
+        dsum("value").alias("sum_value")
+    )
+    return daily.selectExpr(
+        "user_id",
+        "date_format(day, 'yyyy-MM-dd') AS day_s",
+        "sum_value",
+        f"round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma",
+    ).orderBy("user_id", "day_s")

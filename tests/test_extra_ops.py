@@ -168,3 +168,59 @@ def test_first_touch_attribution_matches_python(spark, sf_dir):
     fmt = "%Y-%m-%d %H:%M:%S.%f"
     for ev_id, ft in want.items():
         assert got[ev_id] == (ft.strftime(fmt) if ft else None), ev_id
+
+
+def test_ewma_matches_python_fir(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t
+    from habits_etl_spark.plans.windows import _EWMA_ALPHA, _EWMA_K, win_ewma_smooth
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("d"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("v"))
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in daily:
+        series.setdefault(r.user_id, []).append((r.d, r.v))
+    got = {
+        (r.user_id, r.day_s): (r.sum_value, r.ewma)
+        for r in win_ewma_smooth(spark, sf_dir).collect()
+    }
+    assert len(got) == len(daily)
+    for uid, pts in series.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        for i, (d, v) in enumerate(pts):
+            num = den = 0.0
+            for j in range(_EWMA_K):
+                if i - j >= 0:
+                    wgt = _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j
+                    num += wgt * vals[i - j]
+                    den += wgt
+            sv, ew = got[(uid, d)]
+            assert sv == v
+            assert abs(ew - round(num / den, 6)) < 1e-9
+            lo = min(vals[max(0, i - _EWMA_K + 1) : i + 1])
+            hi = max(vals[max(0, i - _EWMA_K + 1) : i + 1])
+            assert lo - 1e-6 <= ew <= hi + 1e-6  # convex combination
+
+
+def test_scd2_intervals_partition_and_alternate(spark, sf_dir):
+    from habits_etl_spark.plans.extra import op_scd2_user_tier
+
+    rows = op_scd2_user_tier(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.tier != b.tier  # consecutive versions always differ
+            assert a.valid_to_s < b.valid_from_s  # intervals ordered, disjoint
+        currents = [r for r in ivs if r.is_current]
+        assert len(currents) == 1 and currents[0] is ivs[-1]
