@@ -190,3 +190,72 @@ def funnel_over(e, stages=_FUNNEL, step_us: int = _FUNNEL_STEP_US):
         )
         .orderBy("stage_ord")
     )
+
+
+@query(
+    "agg_retention_matrix",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY 1
+    ),
+    cells AS (
+      SELECT c.cohort_week,
+             CAST(datediff('week', c.cohort_week, a.week) AS BIGINT) AS week_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(s.cohort_week, '%Y-%m-%d') AS cohort_week_s,
+           s.cohort_size, x.week_offset, x.n_active,
+           round(CAST(x.n_active AS DOUBLE) / s.cohort_size, 4) AS retention_pct
+    FROM cells x JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week_s, week_offset
+    """,
+)
+def agg_retention_matrix(spark, sf_dir):
+    """The full triangular cohort-retention matrix (weekly cohorts x
+    weekly offsets, long form) — the generalization of
+    win_retention_cohort's fixed D1/D7 columns, and the table behind
+    every retention heat map. Offset 0 is the cohort itself, so
+    retention_pct is 1.0 on the diagonal and the matrix is triangular
+    by construction.
+
+    Scale: activity dedups to (user, week) first — the heavy reduction;
+    the cohort join carries one small column and the cell aggregate is
+    |cohorts| x |offsets| rows. Both aggregates share the user_id
+    partitioning until the final tiny rollup."""
+    e = t(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("WEEK", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week_s"),
+            "cohort_size",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 4).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week_s", "week_offset")
+    )

@@ -762,3 +762,70 @@ def ext_weighted_sample(spark, sf_dir):
         .select("lang", "doc_id", F.round("es_key", 9).alias("es_key"))
         .orderBy("lang", "doc_id")
     )
+
+
+# --- vocabulary coverage curve ----------------------------------------------
+
+_VC_KS = (1, 5, 10, 20, 50, 100)
+
+
+@query(
+    "ext_vocab_coverage",
+    f"""
+    WITH toks AS (SELECT unnest({_TOK_DUCK}) AS tok FROM documents),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {max(_VC_KS)}),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM top
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+    ks AS (SELECT unnest(ARRAY{list(_VC_KS)}) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(sum(ranked.c) AS BIGINT) AS covered_tokens,
+           round(CAST(sum(ranked.c) AS DOUBLE) / any_value(tot.n_total), 6) AS coverage
+    FROM ks JOIN ranked ON ranked.r <= ks.k CROSS JOIN tot
+    GROUP BY ks.k ORDER BY k
+    """,
+)
+def ext_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of the corpus token MASS
+    the top-k types cover, for k in {_VC_KS} — the datasheet curve that
+    sizes a tokenizer vocab (where it flattens is where added vocab
+    stops paying) and pairs with ext_zipf_fit's slope.
+
+    Scale: one token hash-agg; the curve itself runs on the top-k
+    LIMITed relation (rank via the same bounded rank idiom as
+    ext_zipf_fit — here a range join of the tiny k list against ranked
+    counts, both broadcast-sized)."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(_TOK_SPARK(F.col("text"))).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = cnt.orderBy(F.col("c").desc(), "tok").limit(max(_VC_KS))
+    a, b = top.alias("a"), top.alias("b")
+    before = (F.col("b.c") > F.col("a.c")) | (
+        (F.col("b.c") == F.col("a.c")) & (F.col("b.tok") < F.col("a.tok"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col("a.tok"), F.col("a.c"))
+        .agg((F.count(F.col("b.tok")) + 1).alias("r"))
+        .select(F.col("a.c").alias("c"), "r")
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
+    ks = t(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(k,) for k in _VC_KS], "k long"
+    )
+    return (
+        F.broadcast(ks)
+        .join(ranked, ranked["r"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.sum("c").cast("double") / F.any_value(F.col("n_total")), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -260,3 +260,44 @@ def test_weighted_sample_matches_python_and_biases_to_weight(spark, sf_dir):
     sampled_mean = sum(n_toks[d] for d in got) / len(got)
     corpus_mean = sum(n_toks.values()) / len(n_toks)
     assert sampled_mean > corpus_mean
+
+
+def test_vocab_coverage_curve_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from habits_etl_spark.plans.ext_curation5 import _VC_KS, ext_vocab_coverage
+
+    toks = Counter(
+        w
+        for r in t(spark, sf_dir, "documents").select("text").collect()
+        for w in r.text.strip().split()
+    )
+    ordered = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_total = sum(toks.values())
+    got = {r.k: (r.covered_tokens, r.coverage) for r in ext_vocab_coverage(spark, sf_dir).collect()}
+    assert set(got) == set(_VC_KS)
+    prev = 0.0
+    for k in sorted(_VC_KS):
+        covered = sum(c for _, c in ordered[:k])
+        assert got[k][0] == covered
+        assert abs(got[k][1] - round(covered / n_total, 6)) < 1e-9
+        assert got[k][1] >= prev  # non-decreasing
+        prev = got[k][1]
+    assert got[max(_VC_KS)][1] == (1.0 if len(ordered) <= max(_VC_KS) else got[max(_VC_KS)][1])
+
+
+def test_retention_matrix_shape(spark, sf_dir):
+    from habits_etl_spark.plans.analytics import agg_retention_matrix
+
+    rows = agg_retention_matrix(spark, sf_dir).collect()
+    assert rows
+    total_users = t(spark, sf_dir, "events").select("user_id").distinct().count()
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week_s, []).append(r)
+        assert 0 < r.n_active <= r.cohort_size
+        assert abs(r.retention_pct - round(r.n_active / r.cohort_size, 4)) < 1e-9
+    assert sum(v[0].cohort_size for v in by_cohort.values()) == total_users
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.week_offset)
+        assert rs[0].week_offset == 0 and rs[0].retention_pct == 1.0  # diagonal
