@@ -1011,3 +1011,66 @@ def op_scd2_user_tier(spark, sf_dir):
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "agg_value_gini",
+    """
+    WITH ux AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+      FROM ux
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(i * x AS DECIMAL(28,12))) AS DOUBLE) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((2.0 * six) / (n * sx) - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_value_gini(spark, sf_dir):
+    """Gini concentration of per-user value mass within each event type —
+    the inequality audit (the same statistic a curation pipeline runs
+    over per-SOURCE token mass to flag a corpus dominated by a few
+    domains). Standard rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    over ascending-sorted values, with a user_id tie-break so both
+    engines rank identically.
+
+    Scale: user-grain reduce first (the heavy hash-agg), then a window
+    over |users|-per-group partitions and one tiny rollup; rank products
+    go through decimal exact sums (rule 1) so partial order cannot move
+    the coefficient."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ux = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = ux.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    from habits_etl_spark.plans.common import dec
+
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("x"), 28, 12)).cast("double").alias("sx"),
+        F.sum(dec(F.col("i") * F.col("x"), 28, 12)).cast("double").alias("six"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n").cast("double") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("event_type")

@@ -386,3 +386,68 @@ def agg_q12_late_by_priority(spark, sf_dir):
         )
         .orderBy("ship_year")
     )
+
+
+_Q20_SHARE = 0.2
+
+
+@query(
+    "join_q20_dominant_suppliers",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS supp_qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS part_qty
+      FROM lineitem GROUP BY 1
+    ),
+    dom AS (
+      SELECT ps.l_suppkey
+      FROM ps JOIN pt USING (l_partkey)
+      WHERE ps.supp_qty > {_Q20_SHARE} * pt.part_qty
+      GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+    ORDER BY s.s_name
+    """,
+)
+def join_q20_dominant_suppliers(spark, sf_dir):
+    """Aggregate-vs-aggregate threshold semi join (TPC-H Q20's
+    'excess stock' pattern re-anchored — no partsupp table here, see
+    module docstring): suppliers who shipped MORE than a dominance
+    share (20%) of some part's total shipped quantity, i.e. a per-(part, supplier) aggregate
+    compared against the per-part aggregate, then a semi join into the
+    supplier dimension. Q20's correlated subquery-on-aggregate becomes
+    two hash-aggs sharing the l_partkey shuffle plus a left-semi join.
+
+    Scale: both aggregates reduce the fact before any join; the
+    dominant-supplier id set is collision-small and semi-joins (never
+    outer-materializes) into the dimension. Decimal exact sums keep the
+    share comparison engine-identical."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("supp_qty")
+    )
+    pt = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("part_qty")
+    )
+    dom = (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("supp_qty") > _Q20_SHARE * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(dom, s["s_suppkey"] == dom["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -224,3 +224,57 @@ def test_scd2_intervals_partition_and_alternate(spark, sf_dir):
             assert a.valid_to_s < b.valid_from_s  # intervals ordered, disjoint
         currents = [r for r in ivs if r.is_current]
         assert len(currents) == 1 and currents[0] is ivs[-1]
+
+
+def test_gini_matches_python_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t
+    from habits_etl_spark.plans.extra import agg_value_gini
+
+    rows = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.x, r.user_id))
+    got = {r.event_type: (r.n, r.gini) for r in agg_value_gini(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, xs in by_type.items():
+        xs.sort()
+        vals = [x for x, _ in xs]
+        n = len(vals)
+        want = 2 * sum((i + 1) * x for i, x in enumerate(vals)) / (n * sum(vals)) - (
+            n + 1
+        ) / n
+        assert got[et][0] == n
+        assert abs(got[et][1] - round(want, 6)) < 1e-9
+        assert 0.0 <= got[et][1] < 1.0  # non-negative mass -> G in [0, 1)
+
+
+def test_q20_dominant_suppliers_matches_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t
+    from habits_etl_spark.plans.star3 import _Q20_SHARE, join_q20_dominant_suppliers
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    totals: dict[int, float] = {}
+    for r in li:
+        totals[r.l_partkey] = totals.get(r.l_partkey, 0.0) + r.q
+    dom = {r.l_suppkey for r in li if r.q > _Q20_SHARE * totals[r.l_partkey]}
+    supp = {
+        r.s_suppkey: r.s_name
+        for r in t(spark, sf_dir, "supplier").select("s_suppkey", "s_name").collect()
+    }
+    got = {r.s_name for r in join_q20_dominant_suppliers(spark, sf_dir).collect()}
+    assert got == {supp[s] for s in dom}
