@@ -1046,10 +1046,16 @@ def agg_value_gini(spark, sf_dir):
     over ascending-sorted values, with a user_id tie-break so both
     engines rank identically.
 
-    Scale: user-grain reduce first (the heavy hash-agg), then a window
-    over |users|-per-group partitions and one tiny rollup; rank products
-    go through decimal exact sums (rule 1) so partial order cannot move
-    the coefficient."""
+    Scale: user-grain reduce first (the heavy hash-agg), then a rank
+    window per group and one tiny rollup; rank products go through
+    decimal exact sums (rule 1) so partial order cannot move the
+    coefficient. Honest caveat: with FEW groups (5 event types here)
+    the rank sort concentrates on |groups| partitions — at billions of
+    users per group the scale path is a two-phase rank
+    (repartitionByRange on x within group, per-partition local ranks +
+    broadcast partition-count offsets), same output, not implemented
+    here because the grouping keys this op targets (sources, domains)
+    keep per-group cardinality far below that."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ux = e.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x")
