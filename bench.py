@@ -72,6 +72,12 @@ CURATION = [
     "ext_quality_classifier",
     "win_zscore_anomaly",
     "agg_q12_late_by_priority",
+    # wave 9 (round 4): the three with nontrivial scale shapes — the
+    # blocked corpus-self-join kNN graph, map-side PMI mining, and the
+    # time-interval RANGE window
+    "ext_knn_graph_blocked",
+    "ext_pmi_collocations",
+    "win_rolling_time_range",
 ]
 
 

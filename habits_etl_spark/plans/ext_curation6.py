@@ -217,11 +217,11 @@ def ext_fuzzy_linkage(spark, sf_dir):
 _KNN_K = 3
 
 
-@query(
-    "ext_knn_graph_blocked",
-    f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+# Shared with ext_curation7's triangle count, which re-derives the same
+# graph inside its own oracle.
+_KNN_RANKED_CTE = """
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
     scored AS (
       SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, a.label,
              round(list_dot_product(a.v, b.v)
@@ -235,6 +235,13 @@ _KNN_K = 3
                   AS rk
       FROM scored
     )
+"""
+
+
+@query(
+    "ext_knn_graph_blocked",
+    f"""
+    WITH {_KNN_RANKED_CTE}
     SELECT src_id, nbr_id, label, cos, rk FROM ranked WHERE rk <= {_KNN_K}
     ORDER BY src_id, rk
     """,
