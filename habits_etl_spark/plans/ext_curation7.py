@@ -192,6 +192,130 @@ def ext_knn_triangles(spark, sf_dir):
     )
 
 
+# --- distribution drift (histogram KL divergence) ----------------------------
+
+_KL_BOUNDARY = "2024-01-16 00:00:00"  # first half vs second half of the month
+_KL_BIN_W = 50.0
+_KL_NBINS = 10  # values are bounded in [0, 500); bin = min(floor(v/50), 9)
+
+
+@query(
+    "agg_histogram_kl_drift",
+    f"""
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_KL_BOUNDARY}' THEN 0 ELSE 1 END AS period,
+             least(CAST(floor(value / {_KL_BIN_W}) AS BIGINT), {_KL_NBINS - 1}) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    grid AS (
+      SELECT et.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM binned) et
+      CROSS JOIN (SELECT unnest(generate_series(0, {_KL_NBINS - 1})) AS bin) g
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             CAST(count(*) FILTER (WHERE period = 0) AS BIGINT) AS c_p,
+             CAST(count(*) FILTER (WHERE period = 1) AS BIGINT) AS c_q
+      FROM binned GROUP BY 1, 2
+    ),
+    full_grid AS (
+      SELECT g.event_type, g.bin,
+             coalesce(c.c_p, 0) AS c_p, coalesce(c.c_q, 0) AS c_q
+      FROM grid g LEFT JOIN cnt c
+        ON g.event_type = c.event_type AND g.bin = c.bin
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(c_p) AS BIGINT) AS n_p, CAST(sum(c_q) AS BIGINT) AS n_q
+      FROM full_grid GROUP BY 1
+    ),
+    terms AS (
+      SELECT f.event_type, t.n_p, t.n_q,
+             ((CAST(c_p AS DOUBLE) + 1.0) / (n_p + {_KL_NBINS}))
+               * ln(((CAST(c_p AS DOUBLE) + 1.0) / (n_p + {_KL_NBINS}))
+                    / ((CAST(c_q AS DOUBLE) + 1.0) / (n_q + {_KL_NBINS}))) AS kl_term
+      FROM full_grid f JOIN tot t USING (event_type)
+    )
+    SELECT event_type, n_p AS n_first_half, n_q AS n_second_half,
+           round(CAST(sum(CAST(kl_term AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS kl_divergence
+    FROM terms GROUP BY 1, 2, 3 ORDER BY event_type
+    """,
+)
+def agg_histogram_kl_drift(spark, sf_dir):
+    """Distribution-drift monitor: per event_type, the KL divergence
+    between the value histogram of the month's first half and its second
+    half (fixed-width bins, Laplace add-one smoothing over the full
+     10-bin grid so empty bins never produce infinities). The batch twin
+    of win_zscore_anomaly: z-scores flag single outlier points; KL
+    flags the DISTRIBUTION quietly changing shape — the
+    training-serving-skew check every feature pipeline runs.
+
+    Scale: binning is a pure map (no quantile pass — the bin grid is
+    fixed by spec); per-(type, period, bin) counts are one hash-agg with
+    map-side partials; the bin grid is |types|×10 rows, so everything
+    after the first agg is broadcast-sized. The KL reduce uses decimal
+    exact sums (rule 1); smoothed probabilities are identical double
+    expressions in both engines."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_KL_BOUNDARY).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.least(
+            F.floor(F.col("value") / _KL_BIN_W).cast("bigint"),
+            F.lit(_KL_NBINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).cast("bigint").alias("c_p"),
+        F.count(F.when(F.col("period") == 1, 1)).cast("bigint").alias("c_q"),
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                binned.sparkSession.range(_KL_NBINS).select(
+                    F.col("id").alias("bin")
+                )
+            )
+        )
+    )
+    full_grid = grid.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce(F.col("c_p"), F.lit(0)).alias("c_p"),
+        F.coalesce(F.col("c_q"), F.lit(0)).alias("c_q"),
+    )
+    tot = full_grid.groupBy("event_type").agg(
+        F.sum("c_p").cast("bigint").alias("n_p"),
+        F.sum("c_q").cast("bigint").alias("n_q"),
+    )
+    p = (F.col("c_p").cast("double") + 1.0) / (F.col("n_p") + _KL_NBINS)
+    q = (F.col("c_q").cast("double") + 1.0) / (F.col("n_q") + _KL_NBINS)
+    terms = full_grid.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n_p", "n_q", (p * F.log(p / q)).alias("kl_term")
+    )
+    return (
+        terms.groupBy("event_type", "n_p", "n_q")
+        .agg(
+            F.round(
+                F.sum(F.col("kl_term").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("kl_divergence")
+        )
+        .select(
+            "event_type",
+            F.col("n_p").alias("n_first_half"),
+            F.col("n_q").alias("n_second_half"),
+            "kl_divergence",
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- coreness of the near-dup graph ------------------------------------------
 
 
