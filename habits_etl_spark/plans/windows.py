@@ -313,3 +313,50 @@ def win_ewma_smooth(spark, sf_dir):
         "sum_value",
         f"round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma",
     ).orderBy("user_id", "day_s")
+
+
+@query(
+    "win_distribution_ranks",
+    f"""
+    WITH totals AS (
+      SELECT event_type, user_id, {sql_dsum('value')} AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, total_value,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM totals
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY total_value DESC, user_id)
+    ORDER BY event_type, user_id
+    """,
+)
+def win_distribution_ranks(spark, sf_dir):
+    """The distribution-rank window family (SURVEY §2.8 completion):
+    per event_type, each user's spend decile (ntile), percent_rank and
+    cume_dist over the per-user value totals — the leaderboard /
+    percentile-badge shapes win_ranking's plain row_number cannot
+    express. The ORDER BY carries a user_id tiebreak, so rank peers are
+    single rows and all three functions are engine-deterministic.
+
+    Scale: one hash-agg reduces the fact to |users|x|types| rows, then
+    ONE shuffle on event_type serves all three window functions
+    (identical window spec -> a single WindowExec); nothing holistic —
+    ntile/percent_rank/cume_dist need only partition counts and running
+    positions, O(n log n) per partition for the sort."""
+    ev = t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        dsum("value").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("event_type", "user_id")
