@@ -93,6 +93,51 @@ def dq_rules_over(events, orders, customer):
     """The rule battery over any (events, orders, customer)-shaped
     DataFrames — factored out so tests can feed corpora with KNOWN
     violations and a pipeline can gate arbitrary staged snapshots."""
+    rules = (
+        dq_events_rules_over(events)
+        .unionByName(
+            orders.join(
+                customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .selectExpr("'orders_custkey_resolves' AS rule_id", "n AS metric")
+        )
+        .unionByName(
+            customer.agg(
+                F.count(
+                    F.when(
+                        F.col("c_acctbal").isNull()
+                        | (F.abs(F.col("c_acctbal")) > _DQ_BAL_ABS_MAX),
+                        1,
+                    )
+                )
+                .cast("bigint")
+                .alias("n")
+            ).selectExpr("'customer_balance_sane' AS rule_id", "n AS metric")
+        )
+    )
+    return _verdicts(rules)
+
+
+def _verdicts(rules):
+    return rules.select(
+        "rule_id",
+        "metric",
+        F.lit(0).cast("bigint").alias("threshold"),
+        (F.col("metric") <= 0).alias("passed"),
+    ).orderBy("rule_id")
+
+
+def dq_events_verdicts(events):
+    """Verdict rows (rule_id, metric, threshold, passed) for just the
+    events battery — what streaming/dq_gate.py evaluates per batch."""
+    return _verdicts(dq_events_rules_over(events))
+
+
+def dq_events_rules_over(events):
+    """Just the four single-table events rules — the subset a streaming
+    micro-batch gate can evaluate without dimension joins
+    (streaming/dq_gate.py). One fused conditional-aggregate pass."""
     ev = events.agg(
         F.count(F.when(F.col("value").isNull(), 1)).cast("bigint").alias("null_value"),
         F.count(
@@ -118,24 +163,7 @@ def dq_rules_over(events, orders, customer):
         .cast("bigint")
         .alias("dup_key"),
     )
-    orphan = (
-        orders.join(
-            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    bal = customer.agg(
-        F.count(
-            F.when(
-                F.col("c_acctbal").isNull()
-                | (F.abs(F.col("c_acctbal")) > _DQ_BAL_ABS_MAX),
-                1,
-            )
-        )
-        .cast("bigint")
-        .alias("n")
-    )
-    rules = (
+    return (
         ev.selectExpr("'events_value_complete' AS rule_id", "null_value AS metric")
         .unionByName(
             ev.selectExpr("'events_type_in_domain' AS rule_id", "bad_type AS metric")
@@ -146,16 +174,4 @@ def dq_rules_over(events, orders, customer):
         .unionByName(
             ev.selectExpr("'events_key_unique' AS rule_id", "dup_key AS metric")
         )
-        .unionByName(
-            orphan.selectExpr("'orders_custkey_resolves' AS rule_id", "n AS metric")
-        )
-        .unionByName(
-            bal.selectExpr("'customer_balance_sane' AS rule_id", "n AS metric")
-        )
     )
-    return rules.select(
-        "rule_id",
-        "metric",
-        F.lit(0).cast("bigint").alias("threshold"),
-        (F.col("metric") <= 0).alias("passed"),
-    ).orderBy("rule_id")

@@ -1,0 +1,86 @@
+"""Streaming DQ circuit-breaker: green batches publish to the manifest
+table, red batches quarantine, the audit log records both, replays are
+idempotent."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from habits_etl_spark.sinks.manifest import read_snapshot
+from habits_etl_spark.streaming.dq_gate import dq_gated_publish, dq_log
+
+_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_batch(spark, src_dir, name, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, name)
+    )
+
+
+def _run(spark, src_dir, table, ckpt):
+    stream = spark.readStream.schema(_SCHEMA).parquet(src_dir + "/*")
+    q = dq_gated_publish(spark, stream, table, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_gate_publishes_green_quarantines_red(spark, tmp_path):
+    import datetime
+
+    ts = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    good = [
+        (1, ts("2024-01-02 10:00:00"), 1, "click", 1.0),
+        (2, ts("2024-01-02 11:00:00"), 2, "purchase", 9.5),
+    ]
+    _write_batch(spark, src, "b0", good)
+    _run(spark, src, table, ckpt)
+
+    snap = read_snapshot(spark, table)
+    assert {r.event_id for r in snap.collect()} == {1, 2}
+    log = dq_log(spark, table)
+    assert log.filter(~F.col("rule_passed")).count() == 0
+
+    # second batch: duplicate key + out-of-domain type -> must NOT publish
+    bad = [
+        (3, ts("2024-01-03 10:00:00"), 1, "bogus", 1.0),
+        (3, ts("2024-01-03 11:00:00"), 2, "click", 2.0),
+    ]
+    _write_batch(spark, src, "b1", bad)
+    _run(spark, src, table, ckpt)
+
+    snap2 = read_snapshot(spark, table)
+    assert {r.event_id for r in snap2.collect()} == {1, 2}, "red batch leaked"
+    log2 = dq_log(spark, table).collect()
+    assert {r.published for r in log2} == {True, False}
+    failed = {r.rule_id for r in log2 if not r.rule_passed}
+    assert failed == {"events_key_unique", "events_type_in_domain"}
+
+    # quarantine holds the red rows for triage
+    qdir = os.path.join(table, "_dq_quarantine")
+    assert os.path.isdir(qdir)
+    quarantined = spark.read.parquet(os.path.join(qdir, "*"))
+    assert quarantined.count() == 2
+
+
+def test_gate_replay_is_idempotent(spark, tmp_path):
+    import datetime
+
+    ts = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+
+    _write_batch(spark, src, "b0", [(1, ts("2024-01-02 10:00:00"), 1, "click", 1.0)])
+    # two runs with DIFFERENT checkpoints: the second replays batch 0 with
+    # the same batch id — the log-based guard must skip the re-publish
+    _run(spark, src, table, str(tmp_path / "ckpt1"))
+    _run(spark, src, table, str(tmp_path / "ckpt2"))
+
+    assert read_snapshot(spark, table).count() == 1
+    assert dq_log(spark, table).count() == 4  # one verdict set, 4 rules
