@@ -1,0 +1,588 @@
+"""Analytics operators, wave 19: experimentation and BI decomposition —
+a deterministic A/B split with Welch's t and the two-proportion z
+statistic, week-over-week growth, metric-delta contribution analysis,
+PSI drift over reference deciles, and collaborative-filtering user
+neighborhoods.
+
+This is the decision layer: the A/B battery is what an experimentation
+platform computes per metric per day, WoW growth and the contribution
+breakdown answer "the metric moved — which segment moved it", PSI is
+the industry-standard model-monitoring drift score (the quantile-bin
+twin of agg_histogram_kl_drift), and the user-similarity neighborhood
+is the memory-based collaborative-filtering primitive.
+
+Reference parity: the reference has no experimentation surface; these
+extend it per the BASELINE north-star list, like plans/analytics.py.
+
+Cross-engine float rule: decimal exact sums for aggregates
+(plans/common.py rule 1); test statistics push exact sums through
+identical double expressions; the A/B assignment reuses the
+engine-portable salted-md5 idiom (ext_hash_split)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import dec, query, t
+
+# --- deterministic A/B test --------------------------------------------------
+
+_AB_SALT = "ab:"
+_AB_HIGH_VALUE = 600.0  # binary metric: total purchase revenue above this
+
+
+@query(
+    "ext_ab_test_welch",
+    f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('{_AB_SALT}'
+                        || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    per_user AS (
+      SELECT a.variant, e.user_id,
+             round(CAST(sum(CASE WHEN e.event_type = 'purchase'
+                                 THEN CAST(e.value AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+                   AS DOUBLE), 6) AS revenue
+      FROM events e JOIN assign a ON e.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT variant, revenue,
+             CASE WHEN revenue > {_AB_HIGH_VALUE} THEN 1 ELSE 0 END AS converted
+      FROM per_user
+    ),
+    st AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(revenue AS DECIMAL(18,6))) AS sx,
+             sum(CAST(revenue * revenue AS DECIMAL(28,10))) AS sxx,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM scored GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+        max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+        max(CASE WHEN variant = 'A' THEN CAST(sx AS DOUBLE) END) AS sx_a,
+        max(CASE WHEN variant = 'B' THEN CAST(sx AS DOUBLE) END) AS sx_b,
+        max(CASE WHEN variant = 'A' THEN CAST(sxx AS DOUBLE) END) AS sxx_a,
+        max(CASE WHEN variant = 'B' THEN CAST(sxx AS DOUBLE) END) AS sxx_b,
+        max(CASE WHEN variant = 'A' THEN n_conv END) AS c_a,
+        max(CASE WHEN variant = 'B' THEN n_conv END) AS c_b
+      FROM st
+    )
+    SELECT n_a, n_b,
+           round(sx_a / n_a, 6) AS mean_a,
+           round(sx_b / n_b, 6) AS mean_b,
+           round((sx_a / n_a - sx_b / n_b)
+                 / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                        + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b),
+                 6) AS welch_t,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS conv_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS conv_b,
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+             round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS prop_z
+    FROM wide
+    """,
+)
+def ext_ab_test_welch(spark, sf_dir):
+    """The per-metric A/B readout over a deterministic 50/50 user
+    split (salted-md5 assignment — the same idiom as ext_hash_split,
+    so assignment is reproducible and consistent across every metric
+    and engine): per-user purchase revenue compared by Welch's t
+    (unequal variances — never pool across variants that may differ),
+    and the high-value-user share (revenue > {_AB_HIGH_VALUE}) compared
+    by the pooled two-proportion z statistic (guarded NULL when a
+    degenerate 0%/100% pooled rate makes z undefined).
+    On A/A data like this split both statistics should hover near 0 —
+    which is itself the standard health check for an assignment hash.
+
+    Scale: assignment is a pure map on the distinct-user relation;
+    per-user metrics are one user-keyed hash-agg; the test reduces to
+    TWO variance rows pivoted wide. Variances derive from decimal
+    exact sums through identical double expressions (sample variance,
+    n−1) in both engines."""
+    ev = t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_AB_SALT), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = users.select("user_id", variant.alias("variant"))
+    per_user = (
+        ev.join(F.broadcast(assign), "user_id")
+        .groupBy("variant", "user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", dec("value")
+                    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
+    scored = per_user.withColumn(
+        "converted",
+        F.when(F.col("revenue") > _AB_HIGH_VALUE, 1).otherwise(0),
+    )
+    st = scored.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("revenue")).alias("sx"),
+        F.sum((F.col("revenue") * F.col("revenue")).cast("decimal(28,10)")).alias(
+            "sxx"
+        ),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = st.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(
+            F.when(F.col("variant") == "A", F.col("sx").cast("double"))
+        ).alias("sx_a"),
+        F.max(
+            F.when(F.col("variant") == "B", F.col("sx").cast("double"))
+        ).alias("sx_b"),
+        F.max(
+            F.when(F.col("variant") == "A", F.col("sxx").cast("double"))
+        ).alias("sxx_a"),
+        F.max(
+            F.when(F.col("variant") == "B", F.col("sxx").cast("double"))
+        ).alias("sxx_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias("c_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    sx_a, sx_b = F.col("sx_a"), F.col("sx_b")
+    var_a = (F.col("sxx_a") - sx_a * sx_a / n_a) / (n_a - 1)
+    var_b = (F.col("sxx_b") - sx_b * sx_b / n_b) / (n_b - 1)
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (n_a + n_b)
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(sx_a / n_a, 6).alias("mean_a"),
+        F.round(sx_b / n_b, 6).alias("mean_b"),
+        F.round(
+            (sx_a / n_a - sx_b / n_b) / F.sqrt(var_a / n_a + var_b / n_b), 6
+        ).alias("welch_t"),
+        F.round(F.col("c_a").cast("double") / n_a, 6).alias("conv_a"),
+        F.round(F.col("c_b").cast("double") / n_b, 6).alias("conv_b"),
+        F.when(
+            (F.col("c_a") + F.col("c_b") > 0)
+            & (F.col("c_a") + F.col("c_b") < n_a + n_b),
+            F.round(
+                (
+                    F.col("c_a").cast("double") / n_a
+                    - F.col("c_b").cast("double") / n_b
+                )
+                / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)),
+                6,
+            ),
+        ).alias("prop_z"),
+    )
+
+
+# --- week-over-week growth ---------------------------------------------------
+
+
+@query(
+    "agg_wow_growth",
+    """
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT a.event_type, strftime(a.week_start, '%Y-%m-%d') AS week_start,
+           a.v AS total_value,
+           p.v AS prev_value,
+           round((a.v - p.v) / p.v, 6) AS wow_growth
+    FROM weekly a JOIN weekly p
+      ON p.event_type = a.event_type
+     AND p.week_start = a.week_start - INTERVAL 7 DAY
+    ORDER BY a.event_type, a.week_start
+    """,
+)
+def agg_wow_growth(spark, sf_dir):
+    """Week-over-week growth of total value per event_type: each
+    week's total against the previous calendar week, as a relative
+    change. The first number in any weekly business review; weeks with
+    no predecessor (the series head) are excluded rather than reported
+    against a hole.
+
+    Scale: events collapse to |types|×|weeks| rows before the
+    self-join; alignment is the calendar-join idiom
+    (agg_autocorrelation) — gap-proof where a row-offset lag() would
+    silently mis-align across missing weeks. Growth is a ratio of
+    pre-rounded decimal sums, identical in both engines."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("WEEK", "ts").cast("date").alias("week_start")
+    ).agg(F.round(F.sum(dec("value")).cast("double"), 4).alias("v"))
+    p = weekly.select(
+        F.col("event_type").alias("p_type"),
+        F.col("week_start").alias("p_week"),
+        F.col("v").alias("prev_value"),
+    )
+    return (
+        weekly.join(
+            p,
+            (weekly.event_type == p.p_type)
+            & (p.p_week == F.date_sub(weekly.week_start, 7)),
+        )
+        .select(
+            "event_type",
+            F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+            F.col("v").alias("total_value"),
+            "prev_value",
+            F.round(
+                (F.col("v") - F.col("prev_value")) / F.col("prev_value"), 6
+            ).alias("wow_growth"),
+        )
+        .orderBy("event_type", "week_start")
+    )
+
+
+# --- metric-delta contribution -----------------------------------------------
+
+
+@query(
+    "agg_delta_contribution",
+    """
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    last2 AS (
+      SELECT DISTINCT week_start FROM weekly
+      ORDER BY week_start DESC LIMIT 2
+    ),
+    cur_prev AS (
+      SELECT max(week_start) AS cur_w, min(week_start) AS prev_w FROM last2
+    ),
+    seg AS (
+      SELECT w.event_type,
+             sum(CASE WHEN w.week_start = c.cur_w
+                      THEN CAST(w.v AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS cur_v,
+             sum(CASE WHEN w.week_start = c.prev_w
+                      THEN CAST(w.v AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS prev_v
+      FROM weekly w CROSS JOIN cur_prev c
+      WHERE w.week_start IN (c.cur_w, c.prev_w)
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(cur_v) - sum(prev_v) AS DOUBLE) AS total_delta FROM seg
+    )
+    SELECT event_type,
+           round(CAST(cur_v AS DOUBLE), 4) AS cur_value,
+           round(CAST(prev_v AS DOUBLE), 4) AS prev_value,
+           round(CAST(cur_v - prev_v AS DOUBLE), 4) AS delta,
+           round(CAST(cur_v - prev_v AS DOUBLE) / total_delta, 6)
+             AS delta_share
+    FROM seg CROSS JOIN tot ORDER BY event_type
+    """,
+)
+def agg_delta_contribution(spark, sf_dir):
+    """Contribution analysis for the latest week-over-week move: per
+    event_type, this week's and last week's value totals, the delta,
+    and each type's share of the OVERALL delta. The "why did the
+    metric move" decomposition — shares sum to 1 by construction, so
+    the biggest |delta_share| names the responsible segment even when
+    offsetting segments hide the move in the total.
+
+    Scale: weekly pre-agg, a 2-row window-free anchor (the two latest
+    weeks come from a LIMIT 2 on the distinct-week relation, broadcast
+    everywhere), one segment hash-agg in exact decimals, one
+    broadcast total. Shares are exact-decimal deltas through one
+    double division."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("WEEK", "ts").cast("date").alias("week_start")
+    ).agg(F.round(F.sum(dec("value")).cast("double"), 4).alias("v"))
+    last2 = (
+        weekly.select("week_start")
+        .distinct()
+        .orderBy(F.col("week_start").desc())
+        .limit(2)
+    )
+    cur_prev = last2.agg(
+        F.max("week_start").alias("cur_w"), F.min("week_start").alias("prev_w")
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    seg = (
+        weekly.crossJoin(F.broadcast(cur_prev))
+        .filter(
+            (F.col("week_start") == F.col("cur_w"))
+            | (F.col("week_start") == F.col("prev_w"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("week_start") == F.col("cur_w"), dec("v")).otherwise(
+                    zero
+                )
+            ).alias("cur_v"),
+            F.sum(
+                F.when(F.col("week_start") == F.col("prev_w"), dec("v")).otherwise(
+                    zero
+                )
+            ).alias("prev_v"),
+        )
+    )
+    tot = seg.agg(
+        (F.sum("cur_v") - F.sum("prev_v")).cast("double").alias("total_delta")
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.round(F.col("cur_v").cast("double"), 4).alias("cur_value"),
+            F.round(F.col("prev_v").cast("double"), 4).alias("prev_value"),
+            F.round((F.col("cur_v") - F.col("prev_v")).cast("double"), 4).alias(
+                "delta"
+            ),
+            F.round(
+                (F.col("cur_v") - F.col("prev_v")).cast("double")
+                / F.col("total_delta"),
+                6,
+            ).alias("delta_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- PSI drift over reference deciles ----------------------------------------
+
+_PSI_BINS = 10
+_PSI_BOUNDARY = "2024-01-16 00:00:00"
+
+
+@query(
+    "agg_psi_drift",
+    f"""
+    WITH ref AS (
+      SELECT value, ntile({_PSI_BINS}) OVER (ORDER BY value, event_id) AS bin
+      FROM events
+      WHERE value IS NOT NULL AND ts < TIMESTAMP '{_PSI_BOUNDARY}'
+    ),
+    edges AS (
+      SELECT bin, max(value) AS edge FROM ref WHERE bin < {_PSI_BINS}
+      GROUP BY 1
+    ),
+    ref_n AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM ref GROUP BY 1
+    ),
+    act AS (
+      SELECT event_id, value FROM events
+      WHERE value IS NOT NULL AND ts >= TIMESTAMP '{_PSI_BOUNDARY}'
+    ),
+    act_bin AS (
+      SELECT 1 + CAST(count(e.edge) AS INTEGER) AS bin
+      FROM act a LEFT JOIN edges e ON a.value > e.edge
+      GROUP BY a.event_id
+    ),
+    act_n AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_act FROM act_bin GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT sum(n_ref) FROM ref_n) AS t_ref,
+             (SELECT sum(n_act) FROM act_n) AS t_act
+    ),
+    terms AS (
+      SELECT r.bin,
+             ((coalesce(a.n_act, 0) + 1.0) / (t.t_act + {_PSI_BINS})
+              - (r.n_ref + 1.0) / (t.t_ref + {_PSI_BINS}))
+             * ln(((coalesce(a.n_act, 0) + 1.0) / (t.t_act + {_PSI_BINS}))
+                  / ((r.n_ref + 1.0) / (t.t_ref + {_PSI_BINS}))) AS psi_term
+      FROM ref_n r LEFT JOIN act_n a ON r.bin = a.bin CROSS JOIN tots t
+    )
+    SELECT round(CAST(sum(CAST(psi_term AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM terms
+    """,
+)
+def agg_psi_drift(spark, sf_dir):
+    """Population Stability Index of the value distribution between
+    the month's first half (reference) and second half (actual),
+    over the reference's exact deciles: Σ (p_act − p_ref)·ln(p_act/
+    p_ref) with add-one smoothing. THE model-monitoring score (PSI <
+    0.1 stable, > 0.25 investigate) — the quantile-bin twin of
+    agg_histogram_kl_drift, whose bins are fixed-width by spec; PSI
+    bins adapt to the reference distribution, which is what scoring
+    pipelines deploy.
+
+    Scale: reference deciles here are exact (ntile with an event_id
+    tie-break) because the oracle demands exactness; the committed
+    100 TB path swaps in approx_percentile edges with the identical
+    downstream shape. Edges ({_PSI_BINS - 1} rows) broadcast into a
+    bin-assignment join; both halves reduce to {_PSI_BINS}-row
+    histograms and the PSI reduce is the KL-drift decimal pattern."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("ts") < F.lit(_PSI_BOUNDARY).cast("timestamp")).select(
+        "value", "event_id"
+    )
+    w = Window.orderBy("value", "event_id")
+    ref_b = ref.select("value", F.ntile(_PSI_BINS).over(w).alias("bin"))
+    edges = (
+        ref_b.filter(F.col("bin") < _PSI_BINS)
+        .groupBy("bin")
+        .agg(F.max("value").alias("edge"))
+    )
+    ref_n = ref_b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ref")
+    )
+    act = ev.filter(
+        F.col("ts") >= F.lit(_PSI_BOUNDARY).cast("timestamp")
+    ).select("event_id", "value")
+    act_bin = (
+        act.join(F.broadcast(edges), F.col("value") > F.col("edge"), "left")
+        .groupBy("event_id")
+        .agg((1 + F.count("edge")).cast("int").alias("bin"))
+    )
+    act_n = act_bin.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_act")
+    )
+    tots = (
+        ref_n.agg(F.sum("n_ref").alias("t_ref"))
+        .crossJoin(act_n.agg(F.sum("n_act").alias("t_act")))
+    )
+    joined = (
+        ref_n.join(act_n, "bin", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            ((F.coalesce(F.col("n_act"), F.lit(0)) + 1.0) / (F.col("t_act") + _PSI_BINS)).alias("p_act"),
+            ((F.col("n_ref") + 1.0) / (F.col("t_ref") + _PSI_BINS)).alias("p_ref"),
+        )
+    )
+    term = (F.col("p_act") - F.col("p_ref")) * F.log(
+        F.col("p_act") / F.col("p_ref")
+    )
+    return joined.select(term.alias("psi_term")).agg(
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+
+
+# --- collaborative-filtering neighborhoods -----------------------------------
+
+_CF_TOPK = 3
+
+
+@query(
+    "ext_user_similarity_topk",
+    f"""
+    WITH vec AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    norm AS (
+      SELECT user_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM vec GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.user_id AS u, b.user_id AS v,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM vec a JOIN vec b
+        ON a.event_type = b.event_type AND a.user_id <> b.user_id
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT d.u AS user_id, d.v AS neighbor_id,
+             round(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine,
+             row_number() OVER (PARTITION BY d.u
+                                ORDER BY CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm)
+                                         DESC, d.v) AS rn
+      FROM dots d
+      JOIN norm na ON d.u = na.user_id
+      JOIN norm nb ON d.v = nb.user_id
+    )
+    SELECT user_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM sims WHERE rn <= {_CF_TOPK} ORDER BY user_id, rank
+    """,
+)
+def ext_user_similarity_topk(spark, sf_dir):
+    """Memory-based collaborative filtering: each user's {_CF_TOPK}
+    nearest neighbors by cosine similarity of their event-type count
+    vectors. The user-user kNN that powers "users like you" — same
+    shape as ext_topk_sim_search but over BEHAVIORAL vectors built
+    from the event stream instead of stored embeddings.
+
+    Scale: the dot-product join is inverted-index style — users meet
+    only through event types they share (|types| postings), and each
+    posting contributes a partial product; dots then reduce per pair.
+    The quadratic term is bounded by posting-list sizes, the same
+    blocking argument as ext_cosine_pairs_lsh — at 100 TB the
+    event-type key is replaced by a hashed co-visitation bucket to
+    keep postings sub-linear. Cosines are exact-integer dot/norm
+    ratios rounded before the deterministic top-k (rn tie-break on
+    neighbor id)."""
+    ev = t(spark, sf_dir, "events")
+    vec = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    norm = vec.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    b = vec.select(
+        F.col("user_id").alias("v_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("c").alias("bc"),
+    )
+    dots = (
+        vec.join(
+            b,
+            (vec.event_type == b.b_type) & (vec.user_id != b.v_id),
+        )
+        .groupBy(F.col("user_id").alias("u"), F.col("v_id").alias("v"))
+        .agg(F.sum(F.col("c") * F.col("bc")).cast("bigint").alias("dot"))
+    )
+    na = norm.select(F.col("user_id").alias("u"), F.col("nrm").alias("na"))
+    nb = norm.select(F.col("user_id").alias("v"), F.col("nrm").alias("nb"))
+    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+    sims = (
+        dots.join(F.broadcast(na), "u")
+        .join(F.broadcast(nb), "v")
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(cos.desc(), "v")
+            ).alias("rn"),
+        )
+    )
+    return (
+        sims.filter(F.col("rn") <= _CF_TOPK)
+        .select(
+            "user_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("user_id", "rank")
+    )
