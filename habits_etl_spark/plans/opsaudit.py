@@ -1,0 +1,323 @@
+"""Operational operators, wave 21: pipeline-hygiene audits and the
+serving-layer pagination shape, plus an iterative linear-algebra
+operator (power-iteration PCA) expressed as DataFrame ops.
+
+The audits answer questions an on-call data engineer asks the moment a
+downstream number looks wrong: did we LOSE rows (id-sequence gaps),
+and how out-of-order does this stream actually arrive (the number a
+streaming watermark must be calibrated against — streaming/rollup.py's
+delay threshold should dominate the p99 reported here). Keyset
+pagination is the serving idiom every API layer needs (OFFSET re-scans
+and drifts under concurrent writes; a keyset cursor is O(page) and
+stable). The PCA component is the iterative-algorithm counterpart to
+operators/pagerank.py on the numeric side.
+
+Reference parity: the reference has no ops-audit surface; these extend
+it per the BASELINE north-star list. Keyset pagination generalizes the
+reference's latest-events panel (README Grafana SQL) to cursor form.
+
+Cross-engine float rule: audits are exact-integer; quantiles
+interpolate identically (Spark percentile ≡ DuckDB quantile_cont)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import TS_FMT_DUCK, fmt_ts, query, t
+
+# --- id-sequence gap audit ---------------------------------------------------
+
+
+@query(
+    "op_id_gap_audit",
+    """
+    WITH ordered AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+             event_id - prev_id - 1 AS n_missing
+      FROM ordered WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(n_missing), 0) AS BIGINT) AS n_missing_ids,
+           CAST(min(gap_start) AS BIGINT) AS first_gap_start,
+           CAST(max(gap_end) AS BIGINT) AS last_gap_end
+    FROM gaps
+    """,
+)
+def op_id_gap_audit(spark, sf_dir):
+    """Id-sequence completeness audit: scan the event_id sequence for
+    holes (consecutive ids differing by more than 1) and report how
+    many ids are missing and where the damage spans. A producer that
+    assigns dense sequence ids makes this THE data-loss tripwire — a
+    nonzero n_missing_ids after ingest means dropped batches, and the
+    gap bounds say which ones to replay.
+
+    Scale: one global-order lag window — at 100 TB this runs per
+    id-range partition with only partition-boundary ids exchanged (the
+    same decomposition as sinks/zorder.py range handling); the audit
+    reduce is a scalar. Pure integer arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    ordered = ev.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    gaps = ordered.filter(
+        F.col("prev_id").isNotNull()
+        & (F.col("event_id") - F.col("prev_id") > 1)
+    ).select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum("n_missing"), F.lit(0)).cast("bigint").alias(
+            "n_missing_ids"
+        ),
+        F.min("gap_start").cast("bigint").alias("first_gap_start"),
+        F.max("gap_end").cast("bigint").alias("last_gap_end"),
+    )
+
+
+# --- out-of-order arrival audit ----------------------------------------------
+
+
+@query(
+    "op_out_of_order_audit",
+    """
+    WITH arr AS (
+      SELECT event_id, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_ts_before
+      FROM events
+    ),
+    late AS (
+      SELECT CASE WHEN ts < max_ts_before
+                  THEN CAST(epoch_us(max_ts_before) - epoch_us(ts) AS BIGINT)
+             END AS late_us
+      FROM arr WHERE max_ts_before IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(late_us) AS BIGINT) AS n_late,
+           round(CAST(count(late_us) AS DOUBLE) / count(*), 6) AS late_share,
+           round(coalesce(quantile_cont(CAST(late_us AS DOUBLE), 0.5), 0.0)
+                 / 1000000.0, 6) AS median_lateness_s,
+           round(coalesce(quantile_cont(CAST(late_us AS DOUBLE), 0.99), 0.0)
+                 / 1000000.0, 6) AS p99_lateness_s,
+           round(coalesce(CAST(max(late_us) AS DOUBLE), 0.0) / 1000000.0, 6)
+             AS max_lateness_s
+    FROM late
+    """,
+)
+def op_out_of_order_audit(spark, sf_dir):
+    """Out-of-order arrival audit: treating event_id as arrival order,
+    how many events carry a timestamp EARLIER than something that
+    already arrived, and by how much (median / p99 / max lateness).
+    This is the empirical basis for every watermark in streaming/ —
+    a `withWatermark(ts, X)` with X below the p99 reported here
+    silently drops that tail; an X far above the max wastes state.
+
+    Scale: a running max over arrival order — per-partition with
+    boundary-max exchange at scale, same decomposition as
+    op_id_gap_audit; lateness quantiles run on the (usually tiny) late
+    subset. Lateness is exact integer microseconds; percentiles
+    interpolate identically in both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = ev.select(
+        "event_id", "ts", F.max("ts").over(w).alias("max_ts_before")
+    ).filter(F.col("max_ts_before").isNotNull())
+    late_us = F.when(
+        F.col("ts") < F.col("max_ts_before"),
+        (F.unix_micros("max_ts_before") - F.unix_micros("ts")).cast("bigint"),
+    )
+    late = arr.select(late_us.alias("late_us"))
+    ld = F.col("late_us").cast("double")
+    return late.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("late_us").cast("bigint").alias("n_late"),
+        F.round(F.count("late_us").cast("double") / F.count(F.lit(1)), 6).alias(
+            "late_share"
+        ),
+        F.round(
+            F.coalesce(F.percentile(ld, F.lit(0.5)), F.lit(0.0)) / 1e6, 6
+        ).alias("median_lateness_s"),
+        F.round(
+            F.coalesce(F.percentile(ld, F.lit(0.99)), F.lit(0.0)) / 1e6, 6
+        ).alias("p99_lateness_s"),
+        F.round(
+            F.coalesce(F.max("late_us").cast("double"), F.lit(0.0)) / 1e6, 6
+        ).alias("max_lateness_s"),
+    )
+
+
+# --- keyset pagination -------------------------------------------------------
+
+# Cursor = the (ts, event_id) of the last row the client saw; the page is
+# the next _PAGE_SIZE rows in (ts, event_id) order strictly after it.
+_CURSOR_TS = "2024-01-15 00:00:00"
+_CURSOR_ID = 0
+_PAGE_SIZE = 25
+
+
+@query(
+    "serve_keyset_page",
+    f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts
+    FROM events
+    WHERE (ts, event_id) > (TIMESTAMP '{_CURSOR_TS}', {_CURSOR_ID})
+    ORDER BY ts, event_id
+    LIMIT {_PAGE_SIZE}
+    """,
+)
+def serve_keyset_page(spark, sf_dir):
+    """Keyset (cursor) pagination over the event feed: the next
+    {_PAGE_SIZE} rows in (ts, event_id) order strictly after the
+    client's cursor. The serving idiom OFFSET pagination cannot match:
+    OFFSET n re-scans and re-sorts n rows per page and drifts when
+    concurrent writes land; a keyset cursor is O(page), stable, and —
+    crucially for a columnar store — the row-comparison predicate
+    pushes down to prune everything before the cursor's time range.
+
+    Scale: the tuple comparison decomposes to ts > c OR (ts = c AND
+    id > cursor), so the parquet scan prunes on the ts min/max stats
+    (the same pushdown path as pred_time_range) and the top-k is a
+    TakeOrderedAndProject — no global sort materializes. Total order
+    via the unique (ts, event_id) key (common.py rule 4)."""
+    ev = t(spark, sf_dir, "events")
+    c_ts = F.lit(_CURSOR_TS).cast("timestamp")
+    after = (F.col("ts") > c_ts) | (
+        (F.col("ts") == c_ts) & (F.col("event_id") > _CURSOR_ID)
+    )
+    return (
+        ev.filter(after)
+        .select("event_id", "user_id", "event_type", fmt_ts(F.col("ts")).alias("ts"))
+        .orderBy("ts", "event_id")
+        .limit(_PAGE_SIZE)
+    )
+
+
+# --- power-iteration PCA (rows-only) -----------------------------------------
+
+_PCA_ITERS = 12
+
+
+@query("ext_pca_top_component")  # rows-only: iterative; no single-SQL twin
+def ext_pca_top_component(spark, sf_dir):
+    """Top principal component of the (centered) embedding matrix by
+    distributed power iteration: v ← normalize(Xᵀ(Xv)) with X the
+    row-centered embeddings, run {_PCA_ITERS} rounds. Returns one row
+    per dimension: the component loading and the explained variance
+    (Rayleigh quotient λ / total variance). The numeric counterpart of
+    operators/pagerank.py's iterative pattern — and the preprocessing
+    step (top-PC removal) common-crawl embedding pipelines apply
+    because the lead component is usually a corpus-wide frequency
+    artifact.
+
+    Rows-only by design: the iteration has no single-SQL twin; sign
+    convention, normalization, and convergence vs numpy's
+    eigendecomposition are asserted in tests/test_opsaudit.py. On a
+    near-degenerate spectrum ({_PCA_ITERS} rounds, λ2/λ1 ≈ 0.93 on the
+    fixture) the converged claim is subspace membership + Rayleigh
+    quotient in the top band — the artifact-removal use case needs
+    exactly that, not one ill-conditioned eigenvector.
+
+    Scale: each round is ONE map over the corpus computing the scalar
+    projection Xv per row (v broadcast, d-bounded) and ONE hash-agg
+    summing score·x_j per dimension — decimal exact sums, so the
+    iterate is parallelism-invariant; nothing materializes beyond the
+    d-vector on the driver (k-bounded collect, the k-means rule)."""
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda c: c.cast("double"))
+        ).alias("dim", "val"),
+    )
+    mean = x.groupBy("dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    xc = x.join(F.broadcast(mean), "dim").select(
+        "vec_id", "dim", (F.col("val") - F.col("mu")).alias("val")
+    )
+    from habits_etl_spark.plans.common import managed_cache
+
+    xc = managed_cache(xc, "ext_pca_top_component/xc")
+    n_dims = len(e.select("embedding").first()[0])
+    v = [1.0 / (n_dims ** 0.5)] * n_dims
+    spark_sess = e.sparkSession
+    for _ in range(_PCA_ITERS):
+        v_df = F.broadcast(
+            spark_sess.createDataFrame(
+                [(i, float(w)) for i, w in enumerate(v)], "dim int, w double"
+            )
+        )
+        scored = (
+            xc.join(v_df, "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("val") * F.col("w")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("score")
+            )
+        )
+        nxt = (
+            xc.join(scored, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum((F.col("val") * F.col("score")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("u")
+            )
+            .orderBy("dim")
+            .collect()
+        )  # d-bounded collect (n_dims rows), the k-means driver rule
+        u = [r.u for r in nxt]
+        nrm = sum(w * w for w in u) ** 0.5
+        v = [w / nrm for w in u]
+    if v[0] < 0:  # deterministic sign convention: first loading >= 0
+        v = [-w for w in v]
+    # Rayleigh quotient through one more distributed pass for lambda
+    v_df = F.broadcast(
+        spark_sess.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(v)], "dim int, w double"
+        )
+    )
+    lam_row = (
+        xc.join(v_df, "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("val") * F.col("w")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score")
+        )
+        .agg(
+            F.sum((F.col("score") * F.col("score")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("lam_n")
+        )
+        .first()
+    )
+    tot_row = (
+        xc.select((F.col("val") * F.col("val")).cast("decimal(28,12)").alias("v2"))
+        .agg(F.sum("v2").cast("double").alias("tot"))
+        .first()
+    )
+    explained = lam_row.lam_n / tot_row.tot if tot_row.tot else 0.0
+    return spark_sess.createDataFrame(
+        [
+            (i, round(float(w), 6), round(float(explained), 6))
+            for i, w in enumerate(v)
+        ],
+        "dim int, loading double, explained_var_share double",
+    ).orderBy("dim")
