@@ -1,0 +1,370 @@
+"""Statistics operators, wave 26: distributed resampling and
+score-quality curves — a Poisson-bootstrap confidence interval, the
+cumulative-gains (lift) curve, and expected calibration error.
+
+The Poisson bootstrap is THE distributed bootstrap: classical
+resampling needs a global multinomial draw (coordination across the
+whole dataset), but Poisson(1) per-row weights are independent, so
+every replica is a pure map — the reason this estimator, not the
+textbook one, is what actually runs on clusters (Chamandy et al.,
+"Estimating Uncertainty for Massive Data Streams", Google 2012). As
+everywhere in this repo, the "randomness" is a salted hash, so the
+interval is reproducible and hash-checkable. The gains curve and ECE
+extend the wave-22 evaluation layer from rank quality (AUC) to
+targeting efficiency and probability honesty.
+
+Reference parity: the reference has no statistics surface; these
+extend it per the BASELINE north-star list, like plans/robust.py.
+
+Cross-engine float rule: decimal exact sums (plans/common.py rule 1);
+Poisson inverse-CDF thresholds and all ratio terms are identical
+double literals; percentiles interpolate identically."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import dec, query, t
+from habits_etl_spark.plans.ext_text import (
+    _LANG_PROFILES,
+    _TOK_DUCK,
+    _TOK_SPARK,
+    _lang_score_duck,
+    _lang_score_spark,
+)
+
+# --- Poisson bootstrap CI ----------------------------------------------------
+
+_BOOT_B = 64  # replicas
+_BOOT_SALT = "boot:"
+# Poisson(1) inverse CDF over a unit uniform: cumulative pmf thresholds.
+_P_CUM = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+
+
+def _poisson_weight_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_P_CUM[0]} THEN 0 "
+        f"WHEN {u} < {_P_CUM[1]} THEN 1 "
+        f"WHEN {u} < {_P_CUM[2]} THEN 2 "
+        f"WHEN {u} < {_P_CUM[3]} THEN 3 "
+        f"WHEN {u} < {_P_CUM[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "agg_poisson_bootstrap_ci",
+    f"""
+    WITH x AS (
+      SELECT event_id, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS rep),
+    weighted AS (
+      SELECT r.rep, x.value,
+             {_poisson_weight_sql(
+                 "(CAST(('0x' || substr(md5('" + _BOOT_SALT + "'"
+                 " || CAST(x.event_id AS VARCHAR) || ':'"
+                 " || CAST(r.rep AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)"
+                 " / 281474976710656.0"
+             )} AS w
+      FROM x CROSS JOIN reps r
+    ),
+    rep_means AS (
+      SELECT rep,
+             round(CAST(sum(CAST(value * w AS DECIMAL(18,6))) AS DOUBLE)
+                   / sum(w), 6) AS m
+      FROM weighted GROUP BY rep HAVING sum(w) > 0
+    ),
+    base AS (
+      SELECT round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS point_mean,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x
+    )
+    SELECT b.point_mean, b.n,
+           CAST(count(*) AS BIGINT) AS n_replicas,
+           round(quantile_cont(r.m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(r.m, 0.975), 6) AS ci_hi
+    FROM base b CROSS JOIN rep_means r
+    GROUP BY 1, 2
+    """,
+)
+def agg_poisson_bootstrap_ci(spark, sf_dir):
+    """95% Poisson-bootstrap confidence interval for the mean purchase
+    value: {_BOOT_B} replicas, each reweighting every row by an
+    independent Poisson(1) count drawn via inverse CDF from a
+    salted-hash uniform keyed on (row, replica). This is the bootstrap
+    that scales — per-row weights need no global coordination, so a
+    replica is a pure map + one aggregate, and all {_BOOT_B} replicas
+    ride ONE shuffle keyed by replica id. Deterministic by
+    construction: rerunning the query (or the oracle) draws the
+    identical resamples.
+
+    Scale: the fan-out is |rows|×{_BOOT_B} map-side (broadcast replica
+    list, no data shuffle until the per-replica agg); replica means
+    use decimal exact sums; the CI is a {_BOOT_B}-row percentile.
+    100 TB: identical plan — the per-replica partial aggregates
+    map-side-combine, so the shuffle carries B×partitions rows."""
+    x = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    reps = x.sparkSession.range(_BOOT_B).select(F.col("id").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_BOOT_SALT),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / 281474976710656.0
+    w = (
+        F.when(u < _P_CUM[0], 0)
+        .when(u < _P_CUM[1], 1)
+        .when(u < _P_CUM[2], 2)
+        .when(u < _P_CUM[3], 3)
+        .when(u < _P_CUM[4], 4)
+        .otherwise(5)
+    )
+    weighted = x.crossJoin(F.broadcast(reps)).select(
+        "rep", "value", w.alias("w")
+    )
+    rep_means = (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum((F.col("value") * F.col("w")).cast("decimal(18,6)")).alias(
+                "sv"
+            ),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            F.round(F.col("sv").cast("double") / F.col("sw"), 6).alias("m")
+        )
+    )
+    base = x.agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_mean"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        base.crossJoin(rep_means)
+        .groupBy("point_mean", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+            F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+    )
+
+
+# --- cumulative gains (lift) curve -------------------------------------------
+
+_GAINS_BINS = 10
+
+
+@query(
+    "ext_cumulative_gains",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang = 'en' AS label,
+             round(CAST({_lang_score_duck(_LANG_PROFILES['en'])} AS DOUBLE)
+                   / greatest(len({_TOK_DUCK}), 1), 6) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label,
+             ntile({_GAINS_BINS}) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM scored
+    ),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE label) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS pt
+      FROM per
+    ),
+    cum AS (
+      SELECT decile, n, n_pos,
+             sum(n) OVER w AS cn, sum(n_pos) OVER w AS cp
+      FROM per WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(decile AS INTEGER) AS decile, n, n_pos,
+           round(CAST(cp AS DOUBLE) / t.pt, 6) AS cum_gain,
+           round((CAST(cp AS DOUBLE) / t.pt)
+                 / (CAST(cn AS DOUBLE) / t.nt), 6) AS lift
+    FROM cum CROSS JOIN tot t ORDER BY decile
+    """,
+)
+def ext_cumulative_gains(spark, sf_dir):
+    """Cumulative gains and lift by score decile: rank documents by the
+    English-stopword-density score (the wave-22 AUC feature), split
+    into {_GAINS_BINS} deciles, and report what share of all positives
+    (lang = 'en') the top-k deciles capture and their lift over random
+    targeting. THE campaign-targeting readout — "call the top 20% and
+    reach X% of responders" — and the curve whose area is the AUC the
+    wave-22 query already scores.
+
+    Scale: scoring is a pure map; the decile split is exact-spec ntile
+    over (score, doc_id) — the 100 TB path swaps in approx-percentile
+    cut points broadcast into a map-side CASE; everything after is a
+    {_GAINS_BINS}-row table. Exact integer ratios."""
+    d = t(spark, sf_dir, "documents")
+    toks = _TOK_SPARK(F.col("text"))
+    score = F.round(
+        _lang_score_spark(toks, _LANG_PROFILES["en"]).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    scored = d.select(
+        "doc_id", (F.col("lang") == "en").alias("label"), score.alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    ranked = scored.select(
+        "label", F.ntile(_GAINS_BINS).over(w).alias("decile")
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("label"), 1)).cast("bigint").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("n_pos").cast("bigint").alias("pt"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("n_pos").over(w_cum).alias("cp"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "n_pos",
+            F.round(F.col("cp").cast("double") / F.col("pt"), 6).alias(
+                "cum_gain"
+            ),
+            F.round(
+                (F.col("cp").cast("double") / F.col("pt"))
+                / (F.col("cn").cast("double") / F.col("nt")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --- expected calibration error ----------------------------------------------
+
+_ECE_BINS = 10
+
+
+@query(
+    "agg_feature_calibration",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang = 'en' AS label,
+             round(CAST({_lang_score_duck(_LANG_PROFILES['en'])} AS DOUBLE)
+                   / greatest(len({_TOK_DUCK}), 1), 6) AS score
+      FROM documents
+    ),
+    capped AS (
+      SELECT label, least(score, 0.999999) AS s FROM scored
+    ),
+    binned AS (
+      SELECT CAST(floor(s * {_ECE_BINS}) AS INTEGER) AS bin, label, s
+      FROM capped
+    ),
+    per AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+               AS mean_score,
+             round(CAST(count(*) FILTER (WHERE label) AS DOUBLE) / count(*), 6)
+               AS pos_rate
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM per)
+    SELECT round(CAST(sum(CAST((CAST(n AS DOUBLE) / t.nt)
+                               * abs(mean_score - pos_rate)
+                          AS DECIMAL(28,12))) AS DOUBLE), 6) AS ece,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(max(t.nt) AS BIGINT) AS n_rows
+    FROM per CROSS JOIN tot t
+    """,
+)
+def agg_feature_calibration(spark, sf_dir):
+    """Expected calibration error of the stopword-density score read
+    as P(lang = 'en'): bin by score into {_ECE_BINS} fixed-width bins,
+    and ECE = Σ (bin mass) · |mean score − empirical positive rate|.
+    The probability-honesty companion to the wave-22 AUC: AUC says the
+    score RANKS well (or not); ECE says whether its VALUE can be
+    trusted as a probability — a raw density never can, which is why
+    pipelines calibrate (Platt/isotonic) before thresholding on
+    "confidence", and this query is the measurement that tells you to.
+
+    Scale: fixed-width binning is a pure map (no quantile pass); the
+    per-bin stats are one hash-agg to {_ECE_BINS} rows; the ECE reduce
+    is the decimal pattern over identically-computed double terms."""
+    d = t(spark, sf_dir, "documents")
+    toks = _TOK_SPARK(F.col("text"))
+    score = F.round(
+        _lang_score_spark(toks, _LANG_PROFILES["en"]).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    capped = d.select(
+        (F.col("lang") == "en").alias("label"),
+        F.least(score, F.lit(0.999999)).alias("s"),
+    )
+    binned = capped.select(
+        F.floor(F.col("s") * _ECE_BINS).cast("int").alias("bin"),
+        "label",
+        "s",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(dec("s")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_score"
+        ),
+        F.round(
+            F.count(F.when(F.col("label"), 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_rate"),
+    )
+    tot = per.agg(F.sum("n").cast("bigint").alias("nt"))
+    term = (F.col("n").cast("double") / F.col("nt")) * F.abs(
+        F.col("mean_score") - F.col("pos_rate")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(28,12)")).cast("double"), 6
+            ).alias("ece"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.max("nt").cast("bigint").alias("n_rows"),
+        )
+    )
