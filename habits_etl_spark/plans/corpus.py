@@ -64,16 +64,21 @@ from habits_etl_spark.plans.ext_text import _TOK_DUCK, _TOK_SPARK
              sum(CAST(x * y AS DECIMAL(28,10))) AS sxy,
              sum(CAST(x * x AS DECIMAL(28,10))) AS sxx
       FROM pts
+    ),
+    mo AS (
+      SELECT n,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n
+               AS cov,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+               AS varx,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my
+      FROM st
     )
     SELECT n AS n_points,
-           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n),
-                 6) AS heaps_beta,
-           round(exp(CAST(sy AS DOUBLE) / n
-                 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
-                   * (CAST(sx AS DOUBLE) / n)), 6) AS heaps_k
-    FROM st
+           CASE WHEN varx > 0.0 THEN round(cov / varx, 6) END AS heaps_beta,
+           CASE WHEN varx > 0.0
+                THEN round(exp(my - (cov / varx) * mx), 6) END AS heaps_k
+    FROM mo
     """,
 )
 def ext_heaps_law_fit(spark, sf_dir):
@@ -127,11 +132,14 @@ def ext_heaps_law_fit(spark, sf_dir):
     n = F.col("n")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    varx = sxx - sx * sx / n
+    beta = (sxy - sx * sy / n) / varx
     return st.select(
         F.col("n").alias("n_points"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(F.exp(sy / n - beta * (sx / n)), 6).alias("heaps_k"),
+        F.when(varx > 0.0, F.round(beta, 6)).alias("heaps_beta"),
+        F.when(
+            varx > 0.0, F.round(F.exp(sy / n - beta * (sx / n)), 6)
+        ).alias("heaps_k"),
     )
 
 

@@ -78,10 +78,15 @@ _AB_HIGH_VALUE = 600.0  # binary metric: total purchase revenue above this
     SELECT n_a, n_b,
            round(sx_a / n_a, 6) AS mean_a,
            round(sx_b / n_b, 6) AS mean_b,
-           round((sx_a / n_a - sx_b / n_b)
-                 / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                        + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b),
-                 6) AS welch_t,
+           CASE WHEN n_a > 1 AND n_b > 1
+                 AND ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                     + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b > 0.0
+           THEN
+             round((sx_a / n_a - sx_b / n_b)
+                   / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                          + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b),
+                   6)
+           END AS welch_t,
            round(CAST(c_a AS DOUBLE) / n_a, 6) AS conv_a,
            round(CAST(c_b AS DOUBLE) / n_b, 6) AS conv_b,
            CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
@@ -181,8 +186,13 @@ def ext_ab_test_welch(spark, sf_dir):
         "n_b",
         F.round(sx_a / n_a, 6).alias("mean_a"),
         F.round(sx_b / n_b, 6).alias("mean_b"),
-        F.round(
-            (sx_a / n_a - sx_b / n_b) / F.sqrt(var_a / n_a + var_b / n_b), 6
+        F.when(
+            (n_a > 1) & (n_b > 1) & (var_a / n_a + var_b / n_b > 0.0),
+            F.round(
+                (sx_a / n_a - sx_b / n_b)
+                / F.sqrt(var_a / n_a + var_b / n_b),
+                6,
+            ),
         ).alias("welch_t"),
         F.round(F.col("c_a").cast("double") / n_a, 6).alias("conv_a"),
         F.round(F.col("c_b").cast("double") / n_b, 6).alias("conv_b"),
@@ -299,8 +309,9 @@ def agg_wow_growth(spark, sf_dir):
            round(CAST(cur_v AS DOUBLE), 4) AS cur_value,
            round(CAST(prev_v AS DOUBLE), 4) AS prev_value,
            round(CAST(cur_v - prev_v AS DOUBLE), 4) AS delta,
-           round(CAST(cur_v - prev_v AS DOUBLE) / total_delta, 6)
-             AS delta_share
+           CASE WHEN total_delta <> 0.0 THEN
+             round(CAST(cur_v - prev_v AS DOUBLE) / total_delta, 6)
+           END AS delta_share
     FROM seg CROSS JOIN tot ORDER BY event_type
     """,
 )
@@ -363,10 +374,13 @@ def agg_delta_contribution(spark, sf_dir):
             F.round((F.col("cur_v") - F.col("prev_v")).cast("double"), 4).alias(
                 "delta"
             ),
-            F.round(
-                (F.col("cur_v") - F.col("prev_v")).cast("double")
-                / F.col("total_delta"),
-                6,
+            F.when(
+                F.col("total_delta") != 0.0,
+                F.round(
+                    (F.col("cur_v") - F.col("prev_v")).cast("double")
+                    / F.col("total_delta"),
+                    6,
+                ),
             ).alias("delta_share"),
         )
         .orderBy("event_type")

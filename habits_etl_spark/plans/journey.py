@@ -218,8 +218,7 @@ def ext_journey_paths_topk(spark, sf_dir):
     """
     WITH firsts AS (
       SELECT user_id,
-             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
-             min(CASE WHEN event_type = 'purchase' THEN ts END) AS any_purchase
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
       FROM events GROUP BY 1
     ),
     conv AS (

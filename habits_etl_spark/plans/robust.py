@@ -144,14 +144,20 @@ _ACF_MAX_LAG = 7
              sum(CAST(x * x AS DECIMAL(28,10))) AS sxx,
              sum(CAST(y * y AS DECIMAL(28,10))) AS syy
       FROM pairs GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT event_type, lag, n,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n
+               AS cov,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+             * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               AS varprod
+      FROM st
     )
     SELECT event_type, CAST(lag AS INTEGER) AS lag, n,
-           round(
-             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
-             6) AS acf
-    FROM st ORDER BY event_type, lag
+           CASE WHEN varprod > 0.0
+                THEN round(cov / sqrt(varprod), 6) END AS acf
+    FROM mo ORDER BY event_type, lag
     """,
 )
 def agg_autocorrelation(spark, sf_dir):
@@ -205,10 +211,10 @@ def agg_autocorrelation(spark, sf_dir):
         F.col("syy").cast("double"),
     )
     n = F.col("n")
-    acf = F.round(
-        (sxy - sx * sy / n)
-        / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
-        6,
+    varprod = (sxx - sx * sx / n) * (syy - sy * sy / n)
+    acf = F.when(
+        varprod > 0.0,
+        F.round((sxy - sx * sy / n) / F.sqrt(varprod), 6),
     )
     return st.select(
         "event_type", F.col("lag").cast("int").alias("lag"), "n", acf.alias("acf")

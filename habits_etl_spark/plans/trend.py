@@ -50,21 +50,25 @@ from habits_etl_spark.plans.common import dec, query, t
              sum(CAST(x * y AS DECIMAL(28,10))) AS sxy,
              sum(CAST(y * y AS DECIMAL(28,10))) AS syy
       FROM daily GROUP BY 1
+    ),
+    mo AS (
+      SELECT event_type, n,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n
+               AS cov,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+               AS varx,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+               AS vary,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my
+      FROM st
     )
     SELECT event_type, n,
-           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n),
-                 6) AS slope_per_day,
-           round(CAST(sy AS DOUBLE) / n
-                 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
-                   * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
-           round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))
-                 / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
-                 6) AS r2
-    FROM st ORDER BY event_type
+           CASE WHEN varx > 0.0 THEN round(cov / varx, 6) END AS slope_per_day,
+           CASE WHEN varx > 0.0 THEN round(my - (cov / varx) * mx, 6) END
+             AS intercept,
+           CASE WHEN varx > 0.0 AND vary > 0.0
+                THEN round((cov * cov) / (varx * vary), 6) END AS r2
+    FROM mo ORDER BY event_type
     """,
 )
 def agg_trend_ols(spark, sf_dir):
@@ -109,9 +113,14 @@ def agg_trend_ols(spark, sf_dir):
     return st.select(
         "event_type",
         "n",
-        F.round(slope, 6).alias("slope_per_day"),
-        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
-        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        F.when(varx > 0.0, F.round(slope, 6)).alias("slope_per_day"),
+        F.when(varx > 0.0, F.round(sy / n - slope * (sx / n), 6)).alias(
+            "intercept"
+        ),
+        F.when(
+            (varx > 0.0) & (vary > 0.0),
+            F.round((cov * cov) / (varx * vary), 6),
+        ).alias("r2"),
     ).orderBy("event_type")
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 from typing import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -58,8 +59,12 @@ def _make_update(ref_counts: list[int]):
         counts = list(state.get) if state.exists else [0] * n_bins
         (win_start,) = key
         for pdf in pdfs:
-            for b in pdf["bin"]:
-                counts[int(b) - 1] += 1  # bins are 1-indexed
+            # vectorized fold: bins are 1-indexed ints in [1, n_bins]
+            batch = np.bincount(
+                pdf["bin"].to_numpy(dtype=int) - 1, minlength=n_bins
+            )
+            for i in range(n_bins):
+                counts[i] += int(batch[i])
         state.update(tuple(int(c) for c in counts))
         yield pd.DataFrame(
             [
