@@ -78,6 +78,19 @@ CURATION = [
     "ext_knn_graph_blocked",
     "ext_pmi_collocations",
     "win_rolling_time_range",
+    # waves 13-26 (round 4): one representative per new family, chosen
+    # for nontrivial scale shapes — two-window bars, basket self-join,
+    # Theil-Sen pairwise series, reference-decile PSI, inverted-index
+    # CF, corpus-wide first-occurrence, B-replica bootstrap, and the
+    # broadcast-anchor NDCG eval
+    "agg_ohlc_bars",
+    "ext_basket_pairs",
+    "agg_trend_theil_sen",
+    "agg_psi_drift",
+    "ext_user_similarity_topk",
+    "ext_heaps_law_fit",
+    "agg_poisson_bootstrap_ci",
+    "ext_knn_ndcg_eval",
 ]
 
 
