@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+COMPACT JSON line (only the headline scalars + per-query medians — kept
+well under 2 KB so the driver's stdout tail capture can always parse it;
+BENCH_r04.json went "parsed: null" when this line outgrew the capture):
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The FULL record (per-repetition arrays, min timings, curation section,
+skew stress) is written to the sidecar file BENCH_DETAIL.json next to
+this script; each round's copy is committed as BENCH_LOCAL_r{N}.json.
 
 Each query is forced with a noop-format write (full plan execution, no
 driver collect, no result materialization cost)."""
@@ -44,6 +50,24 @@ HEADLINE = [
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+# Headline2: the most expensive curation ops, promoted to a tracked
+# section (same median+min protocol) so wins/regressions on them are
+# visible round-over-round without disturbing the fixed-since-r1
+# headline set.
+HEADLINE2 = [
+    "ext_user_similarity_topk",
+    "ext_bigram_lm_score",
+    "ext_pmi_collocations",
+]
+
+# Fixed quiet-host reference time for the calibration probe below,
+# recorded on the round-5 quiet host with the same min-of-3 protocol
+# the probe now uses. calibrated_value = value * (this / observed
+# probe time) normalizes totals across host-speed luck: a sustained-
+# steal run slows the probe by the same factor as the queries, so the
+# ratio cancels it. See README "Benchmark protocol".
+PROBE_BASELINE_SEC = 0.088
+
 # Non-headline curation section (round-3 ops): timed for scale evidence,
 # excluded from the headline total so that set stays comparable across
 # rounds (fixed since r1).
@@ -68,26 +92,24 @@ CURATION = [
     # wave 8 (round 4)
     "ext_near_dedup_minhash_fast",  # xxhash64 twin of the headline md5 op
     "ext_char_entropy",
-    "ext_bigram_lm_score",
     "ext_quality_classifier",
     "win_zscore_anomaly",
     "agg_q12_late_by_priority",
-    # wave 9 (round 4): the three with nontrivial scale shapes — the
-    # blocked corpus-self-join kNN graph, map-side PMI mining, and the
+    # wave 9 (round 4): the blocked corpus-self-join kNN graph and the
     # time-interval RANGE window
     "ext_knn_graph_blocked",
-    "ext_pmi_collocations",
     "win_rolling_time_range",
     # waves 13-26 (round 4): one representative per new family, chosen
     # for nontrivial scale shapes — two-window bars, basket self-join,
-    # Theil-Sen pairwise series, reference-decile PSI, inverted-index
-    # CF, corpus-wide first-occurrence, B-replica bootstrap, and the
-    # broadcast-anchor NDCG eval
+    # Theil-Sen pairwise series, reference-decile PSI, corpus-wide
+    # first-occurrence, B-replica bootstrap, and the broadcast-anchor
+    # NDCG eval. (ext_user_similarity_topk, ext_bigram_lm_score and
+    # ext_pmi_collocations moved to the tracked HEADLINE2 section in
+    # round 5.)
     "agg_ohlc_bars",
     "ext_basket_pairs",
     "agg_trend_theil_sen",
     "agg_psi_drift",
-    "ext_user_similarity_topk",
     "ext_heaps_law_fit",
     "agg_poisson_bootstrap_ci",
     "ext_knn_ndcg_eval",
@@ -132,7 +154,7 @@ def main():
     # so measured timings reflect steady-state execution, not first-call
     # whole-stage-codegen compilation (standard JVM benchmarking practice;
     # a long-lived cluster is always warm).
-    for name in HEADLINE + CURATION:
+    for name in HEADLINE + HEADLINE2 + CURATION:
         try:
             QUERIES[name](spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -156,11 +178,16 @@ def main():
     # (and the judge) can normalize totals across runs by the probe
     # ratio instead of mistaking a slow host for a regression.
     def calibrate() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(id * 3 + 7) as s"
-        ).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        # min of 3 probe runs: the probe itself jitters ~2x run-to-run;
+        # the fastest run is the least-stolen estimate of host speed.
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 7) as s"
+            ).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        return round(min(times), 3)
 
     calibrate()  # JIT warm
     cal_pre = calibrate()
@@ -200,6 +227,20 @@ def main():
     skew = skew_stress_report(spark, bench_dir)
     skew_agg = skew_agg_report(spark, bench_dir)
 
+    # Tracked expensive-curation section (round 5): same median+min
+    # protocol as the headline, separate total so the fixed-since-r1
+    # headline set stays comparable.
+    headline2 = {}
+    headline2_min: dict[str, float] = {}
+    headline2_reps: dict[str, list[float]] = {}
+    for name in HEADLINE2:
+        reps = time_query(QUERIES[name])
+        headline2_reps[name] = reps
+        headline2[name] = round(statistics.median(reps), 3)
+        headline2_min[name] = round(min(reps), 3)
+        if max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD:
+            steal_queries.append(name)
+
     # Non-headline: curation-op timings (round-3 additions). Reported for
     # scale evidence; excluded from the headline total so the headline
     # set stays comparable round-over-round (fixed since r1).
@@ -214,30 +255,60 @@ def main():
 
     cal_post = calibrate()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "calibration_sec_pre": cal_pre,
-                "calibration_sec_post": cal_post,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "total_min": round(sum(timings_min.values()), 3),
-                "repetitions": reps_all,
-                "repeat": repeat,
-                "steal_suspected": bool(steal_queries),
-                "steal_queries": steal_queries,
-                "layout_prep_sec": prep_sec,
-                "skew_stress": skew,
-                "skew_agg": skew_agg,
-                "curation": curation,
-                "curation_repetitions": curation_reps,
-                "sf": sf,
-            }
-        )
+    # Host-speed normalization: the least-stolen of the two probe runs
+    # estimates this host's speed; scale the total to the fixed quiet-
+    # host reference so cross-round comparisons don't depend on host
+    # luck (see PROBE_BASELINE_SEC above).
+    probe_observed = max(min(cal_pre, cal_post), 1e-9)
+    calibrated = round(total * (PROBE_BASELINE_SEC / probe_observed), 3)
+
+    # Compact line for the driver (stdout tail capture — keep < 2 KB)
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "calibrated_value": calibrated,
+        "unit": "sec",
+        "total_min": round(sum(timings_min.values()), 3),
+        "calibration_sec_pre": cal_pre,
+        "calibration_sec_post": cal_post,
+        "repeat": repeat,
+        "steal_suspected": bool(steal_queries),
+        "layout_prep_sec": prep_sec,
+        "queries": timings,
+        "headline2_total": round(sum(headline2.values()), 3),
+        "sf": sf,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    # Full record to the sidecar (committed per-round as
+    # BENCH_LOCAL_r{N}.json) — everything the compact line drops.
+    detail = dict(compact)
+    detail.update(
+        {
+            "queries_min": timings_min,
+            "repetitions": reps_all,
+            "steal_queries": steal_queries,
+            "headline2": headline2,
+            "headline2_min": headline2_min,
+            "headline2_repetitions": headline2_reps,
+            "skew_stress": skew,
+            "skew_agg": skew_agg,
+            "curation": curation,
+            "curation_repetitions": curation_reps,
+            "probe_baseline_sec": PROBE_BASELINE_SEC,
+            "probe_observed_sec": probe_observed,
+        }
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    line = json.dumps(compact)
+    if len(line) > 2048:  # never let the driver line overflow again
+        for k in ("queries", "headline2_total", "layout_prep_sec"):
+            compact.pop(k, None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
