@@ -21,10 +21,10 @@ counts (the KL-drift pattern)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import query, t
+from habits_etl_spark.operators.distrank import with_global_running_agg
+from habits_etl_spark.plans.common import managed_cache, query, t
 from habits_etl_spark.plans.ext_text import _TOK_DUCK, _TOK_SPARK
 
 # --- Heaps' law fit ----------------------------------------------------------
@@ -93,7 +93,9 @@ def ext_heaps_law_fit(spark, sf_dir):
     Scale: type first-occurrences come from ONE hash-agg (word →
     min doc_id — corpus-sized but map-side combining); the growth
     curve then lives on |docs| checkpoint rows, where the two running
-    sums share one unpartitioned-but-tiny window, and the OLS reduce
+    sums are distributed two-pass prefix sums (operators/distrank.py:
+    per-range-bucket local cumsum + boundary carries — the checkpoint
+    table is cached since each pass reads it twice), and the OLS reduce
     is the agg_trend_ols single-pass shape over pre-rounded log
     points. At 100 TB checkpoints thin to a doc-id sample with the
     identical fit."""
@@ -108,14 +110,20 @@ def ext_heaps_law_fit(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
     )
-    w_run = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    base = managed_cache(
+        per_doc.join(new_types, "doc_id", "left").select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        ),
+        "ext_heaps_law_fit/base",
     )
-    curve = per_doc.join(new_types, "doc_id", "left").select(
-        "doc_id",
-        F.sum("n_toks").over(w_run).alias("cum_tokens"),
-        F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w_run).alias("cum_vocab"),
-    )
+    curve = with_global_running_agg(
+        with_global_running_agg(base, ["doc_id"], "n_toks", "cum_tokens"),
+        ["doc_id"],
+        "n_new",
+        "cum_vocab",
+    ).select("doc_id", "cum_tokens", "cum_vocab")
     pts = curve.filter(
         (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
     ).select(

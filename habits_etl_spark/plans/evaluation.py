@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import query, t
+from habits_etl_spark.operators.distrank import with_global_running_agg
+from habits_etl_spark.plans.common import managed_cache, query, t
 from habits_etl_spark.plans.ext_text import (
     _LANG_PROFILES,
     _TOK_DUCK,
@@ -407,8 +408,9 @@ def agg_langid_feature_auc(spark, sf_dir):
     at all" — run before anyone trains on it.
 
     Scale: scores collapse to |distinct score| rows FIRST (one
-    hash-agg), the rank arithmetic runs on that reduced table (one
-    tiny running sum), and the AUC is closed-form from decimal exact
+    hash-agg, cached — the prefix pass reads it twice), the rank
+    arithmetic is a distributed two-pass prefix sum on that reduced
+    table (operators/distrank.py), and the AUC is closed-form from decimal exact
     sums. Never ranks raw rows — ties are handled by the group sizes,
     which is also what makes the result engine-identical."""
     d = t(spark, sf_dir, "documents")
@@ -421,15 +423,17 @@ def agg_langid_feature_auc(spark, sf_dir):
     scored = d.select(
         (F.col("lang") == "en").alias("label"), score.alias("score")
     )
-    by_score = scored.groupBy("score").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_at"),
-        F.count(F.when(F.col("label"), 1)).cast("bigint").alias("n_pos_at"),
+    by_score = managed_cache(
+        scored.groupBy("score").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at"),
+            F.count(F.when(F.col("label"), 1)).cast("bigint").alias("n_pos_at"),
+        ),
+        "agg_langid_feature_auc/by_score",
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_score.select(
-        "n_at",
-        "n_pos_at",
-        F.coalesce(F.sum("n_at").over(w), F.lit(0)).alias("cum_before"),
+    ranked = with_global_running_agg(
+        by_score, ["score"], "n_at", "cum_before", include_current=False
+    ).select(
+        "n_at", "n_pos_at", F.coalesce(F.col("cum_before"), F.lit(0)).alias("cum_before")
     )
     rsum = ranked.agg(
         F.round(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from habits_etl_spark.operators.distrank import with_global_ntile
 from habits_etl_spark.plans.common import dec, query, t
 
 # --- deterministic A/B test --------------------------------------------------
@@ -448,18 +449,21 @@ def agg_psi_drift(spark, sf_dir):
     bins adapt to the reference distribution, which is what scoring
     pipelines deploy.
 
-    Scale: reference deciles here are exact (ntile with an event_id
-    tie-break) because the oracle demands exactness; the committed
-    100 TB path swaps in approx_percentile edges with the identical
-    downstream shape. Edges ({_PSI_BINS - 1} rows) broadcast into a
-    bin-assignment join; both halves reduce to {_PSI_BINS}-row
+    Scale: reference deciles here are exact — a DISTRIBUTED two-pass
+    ntile (operators/distrank.py: range-bucket on (value, event_id),
+    per-bucket rank + broadcast offsets; no single-task sort) because
+    the oracle demands exactness; the one-pass approx_percentile-edge
+    twin keeps the identical downstream shape (see
+    tests/test_rank_twins.py). Edges ({_PSI_BINS - 1} rows) broadcast
+    into a bin-assignment join; both halves reduce to {_PSI_BINS}-row
     histograms and the PSI reduce is the KL-drift decimal pattern."""
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ref = ev.filter(F.col("ts") < F.lit(_PSI_BOUNDARY).cast("timestamp")).select(
         "value", "event_id"
     )
-    w = Window.orderBy("value", "event_id")
-    ref_b = ref.select("value", F.ntile(_PSI_BINS).over(w).alias("bin"))
+    ref_b = with_global_ntile(
+        ref, [F.col("value"), F.col("event_id")], _PSI_BINS, "bin"
+    ).select("value", "bin")
     edges = (
         ref_b.filter(F.col("bin") < _PSI_BINS)
         .groupBy("bin")

@@ -17,10 +17,10 @@ buckets use the engine-portable md5 hex-prefix idiom
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import dec, query, t
+from habits_etl_spark.operators.distrank import with_global_ntile
+from habits_etl_spark.plans.common import dec, managed_cache, query, t
 
 # --- RFM features ------------------------------------------------------------
 
@@ -61,12 +61,15 @@ def ext_rfm_features(spark, sf_dir):
     churn/LTV models, and the first thing a CRM segmentation asks for.
 
     Scale: one hash-agg shrinks events to |users| rows BEFORE any
-    window; the three ntile windows then run over the user table, not
-    the event stream. Ntile over a global ORDER BY is the exact-spec
-    choice at this cardinality (users, not events); the 100 TB
-    escalation is approx_percentile cutoffs broadcast into a map-side
-    CASE — same scores up to boundary ties. Every ntile order carries a
-    user_id tie-break (common.py rule 4), so scores are deterministic."""
+    ranking; each quintile is then an exact DISTRIBUTED two-pass ntile
+    (operators/distrank.py: range-bucket on the score key, per-bucket
+    local rank + broadcast offsets — no single-task sort even at 10⁸
+    users), computed per dimension off the cached user table and
+    joined back on user_id. The approx-percentile-cutoff twin
+    (ext_rfm_features_approx) trades boundary-tie exactness for one
+    pass. Every ntile order carries a user_id tie-break (common.py
+    rule 4), so scores are deterministic; DESC recency is expressed as
+    the negated ASC key (distrank's asc-only contract)."""
     p = t(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
@@ -88,17 +91,21 @@ def ext_rfm_features(spark, sf_dir):
             "monetary",
         )
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), "user_id")
-    w_f = Window.orderBy("frequency", "user_id")
-    w_m = Window.orderBy("monetary", "user_id")
-    return rfm.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(_RFM_NTILES).over(w_r).cast("int").alias("r_score"),
-        F.ntile(_RFM_NTILES).over(w_f).cast("int").alias("f_score"),
-        F.ntile(_RFM_NTILES).over(w_m).cast("int").alias("m_score"),
+    rfm = managed_cache(rfm, "ext_rfm_features/rfm")
+    scores = {
+        "r_score": [-F.col("recency_days"), F.col("user_id")],
+        "f_score": [F.col("frequency"), F.col("user_id")],
+        "m_score": [F.col("monetary"), F.col("user_id")],
+    }
+    out = rfm
+    for name, order in scores.items():
+        ranked = with_global_ntile(rfm, order, _RFM_NTILES, name).select(
+            "user_id", F.col(name).cast("int").alias(name)
+        )
+        out = out.join(ranked, "user_id")
+    return out.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     ).orderBy("user_id")
 
 
@@ -201,18 +208,22 @@ def ext_quantile_bin(spark, sf_dir):
     table a feature pipeline persists so serving can bucket new values
     by the same boundaries.
 
-    Scale: ntile over a global sort is exact-spec here; the committed
-    100 TB path is the equi-depth histogram (agg_equidepth_hist) whose
-    approx-percentile boundaries broadcast into a map-side width_bucket
-    — this query is its exact small-dim twin and doubles as that
-    query's precision reference. Deterministic under value ties via the
+    Scale: the decile split is an exact DISTRIBUTED two-pass ntile
+    (operators/distrank.py — range-bucket on (value, key), per-bucket
+    rank + broadcast offsets; two scans of orders, no single-task
+    sort). The one-pass approximate path remains the equi-depth
+    histogram (agg_equidepth_hist) whose approx-percentile boundaries
+    broadcast into a map-side width_bucket — this query is its exact
+    twin and doubles as that query's precision reference (see
+    tests/test_rank_twins.py). Deterministic under value ties via the
     o_orderkey tie-break."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = o.select(
-        F.col("o_totalprice").alias("y"),
-        F.ntile(_QB_BINS).over(w).cast("int").alias("bin"),
-    )
+    b = with_global_ntile(
+        o.select(F.col("o_totalprice").alias("y"), "o_orderkey"),
+        [F.col("y"), F.col("o_orderkey")],
+        _QB_BINS,
+        "bin",
+    ).select("y", F.col("bin").cast("int").alias("bin"))
     return (
         b.groupBy("bin")
         .agg(

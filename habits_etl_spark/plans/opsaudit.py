@@ -21,9 +21,12 @@ interpolate identically (Spark percentile ≡ DuckDB quantile_cont)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from habits_etl_spark.operators.distrank import (
+    with_global_lag,
+    with_global_running_agg,
+)
 from habits_etl_spark.plans.common import TS_FMT_DUCK, fmt_ts, query, t
 
 # --- id-sequence gap audit ---------------------------------------------------
@@ -57,14 +60,14 @@ def op_id_gap_audit(spark, sf_dir):
     nonzero n_missing_ids after ingest means dropped batches, and the
     gap bounds say which ones to replay.
 
-    Scale: one global-order lag window — at 100 TB this runs per
-    id-range partition with only partition-boundary ids exchanged (the
-    same decomposition as sinks/zorder.py range handling); the audit
-    reduce is a scalar. Pure integer arithmetic."""
+    Scale: a distributed two-pass lag (operators/distrank.py) — events
+    range-partition on event_id, each partition lags locally, and ONLY
+    each partition's boundary id crosses partitions (the decomposition
+    sinks/zorder.py's range handling shares); the audit reduce is a
+    scalar. No single-task window anywhere. Pure integer arithmetic."""
     ev = t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    ordered = ev.select(
-        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    ordered = with_global_lag(
+        ev.select("event_id"), ["event_id"], "event_id", "prev_id"
     )
     gaps = ordered.filter(
         F.col("prev_id").isNotNull()
@@ -123,15 +126,21 @@ def op_out_of_order_audit(spark, sf_dir):
     a `withWatermark(ts, X)` with X below the p99 reported here
     silently drops that tail; an X far above the max wastes state.
 
-    Scale: a running max over arrival order — per-partition with
-    boundary-max exchange at scale, same decomposition as
-    op_id_gap_audit; lateness quantiles run on the (usually tiny) late
-    subset. Lateness is exact integer microseconds; percentiles
-    interpolate identically in both engines."""
+    Scale: a distributed two-pass running max over arrival order
+    (operators/distrank.py): per-id-range partitions compute the local
+    running max and only each partition's boundary maximum crosses
+    partitions — same decomposition as op_id_gap_audit; lateness
+    quantiles run on the (usually tiny) late subset. Lateness is exact
+    integer microseconds; percentiles interpolate identically in both
+    engines."""
     ev = t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    arr = ev.select(
-        "event_id", "ts", F.max("ts").over(w).alias("max_ts_before")
+    arr = with_global_running_agg(
+        ev.select("event_id", "ts"),
+        ["event_id"],
+        "ts",
+        "max_ts_before",
+        agg="max",
+        include_current=False,
     ).filter(F.col("max_ts_before").isNotNull())
     late_us = F.when(
         F.col("ts") < F.col("max_ts_before"),

@@ -22,10 +22,13 @@ double literals; percentiles interpolate identically."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import dec, query, t
+from habits_etl_spark.operators.distrank import (
+    bounded_running_sum,
+    with_global_ntile,
+)
+from habits_etl_spark.plans.common import dec, managed_cache, query, t
 from habits_etl_spark.plans.ext_text import (
     _LANG_PROFILES,
     _TOK_DUCK,
@@ -221,10 +224,14 @@ def ext_cumulative_gains(spark, sf_dir):
     reach X% of responders" — and the curve whose area is the AUC the
     wave-22 query already scores.
 
-    Scale: scoring is a pure map; the decile split is exact-spec ntile
-    over (score, doc_id) — the 100 TB path swaps in approx-percentile
-    cut points broadcast into a map-side CASE; everything after is a
-    {_GAINS_BINS}-row table. Exact integer ratios."""
+    Scale: scoring is a pure map (cached: the decile split reads it
+    twice); the decile split is an exact DISTRIBUTED two-pass ntile
+    over (score DESC as negated ASC key, doc_id) —
+    operators/distrank.py, no single-task sort; the one-pass 100 TB
+    shortcut swaps in approx-percentile cut points broadcast into a
+    map-side CASE. Everything after is a {_GAINS_BINS}-row table whose
+    running totals are a triangular broadcast self-join (windowless,
+    bounded by {_GAINS_BINS}). Exact integer ratios."""
     d = t(spark, sf_dir, "documents")
     toks = _TOK_SPARK(F.col("text"))
     score = F.round(
@@ -232,13 +239,15 @@ def ext_cumulative_gains(spark, sf_dir):
         / F.greatest(F.size(toks), F.lit(1)),
         6,
     )
-    scored = d.select(
-        "doc_id", (F.col("lang") == "en").alias("label"), score.alias("score")
+    scored = managed_cache(
+        d.select(
+            "doc_id", (F.col("lang") == "en").alias("label"), score.alias("score")
+        ),
+        "ext_cumulative_gains/scored",
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
-    ranked = scored.select(
-        "label", F.ntile(_GAINS_BINS).over(w).alias("decile")
-    )
+    ranked = with_global_ntile(
+        scored, [-F.col("score"), F.col("doc_id")], _GAINS_BINS, "decile"
+    ).select("label", "decile")
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count(F.when(F.col("label"), 1)).cast("bigint").alias("n_pos"),
@@ -247,16 +256,7 @@ def ext_cumulative_gains(spark, sf_dir):
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("n_pos").cast("bigint").alias("pt"),
     )
-    w_cum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
-        "decile",
-        "n",
-        "n_pos",
-        F.sum("n").over(w_cum).alias("cn"),
-        F.sum("n_pos").over(w_cum).alias("cp"),
-    )
+    cum = bounded_running_sum(per, "decile", {"n": "cn", "n_pos": "cp"})
     return (
         cum.crossJoin(F.broadcast(tot))
         .select(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from habits_etl_spark.operators.distrank import bounded_running_sum
 from habits_etl_spark.plans.common import dec, query, t
 
 # --- OLS trend ---------------------------------------------------------------
@@ -344,10 +345,12 @@ def ext_kaplan_meier(spark, sf_dir):
     (1 − d/n_at_risk) over only the days where conversions occur.
 
     Scale: per-subject times are two user-keyed hash-aggs; the risk
-    table collapses to |distinct days| rows, and the running product
-    is exp of a DECIMAL prefix sum of per-day rounded log-hazards —
-    the cumulative-product-as-window idiom, engine-identical because
-    the prefix sums are exact. Days where everyone at risk converts
+    table collapses to |distinct days| rows; both prefix passes over
+    it (at-risk depletion and the log-hazard cumsum) are windowless
+    triangular broadcast self-joins (distrank.bounded_running_sum —
+    legal because |days| is calendar-bounded), and the running product
+    is exp of a DECIMAL prefix sum of per-day rounded log-hazards,
+    engine-identical because the prefix sums are exact. Days where everyone at risk converts
     (S→0) are excluded from the curve, the standard open-interval
     convention."""
     ev = t(spark, sf_dir, "events")
@@ -385,14 +388,13 @@ def ext_kaplan_meier(spark, sf_dir):
         F.count(F.when(F.col("converted"), 1)).cast("bigint").alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("leaving"),
     )
-    w_prev = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
-    risk = byday.crossJoin(F.broadcast(total)).select(
+    cum_leave = bounded_running_sum(
+        byday, "t_day", {"leaving": "cum_leaving"}, include_current=False
+    )
+    risk = cum_leave.crossJoin(F.broadcast(total)).select(
         "t_day",
         "d",
-        (
-            F.col("n_total")
-            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
-        )
+        (F.col("n_total") - F.coalesce(F.col("cum_leaving"), F.lit(0)))
         .cast("bigint")
         .alias("n_at_risk"),
     )
@@ -406,19 +408,11 @@ def ext_kaplan_meier(spark, sf_dir):
             F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), 12
         ).alias("ln_term"),
     )
-    w_run = Window.orderBy("t_day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return evd.select(
+    evd = evd.withColumn("_lt", F.col("ln_term").cast("decimal(28,12)"))
+    cum = bounded_running_sum(evd, "t_day", {"_lt": "cum_lt"})
+    return cum.select(
         F.col("t_day").alias("day"),
         F.col("d").alias("n_converted"),
         "n_at_risk",
-        F.round(
-            F.exp(
-                F.sum(F.col("ln_term").cast("decimal(28,12)"))
-                .over(w_run)
-                .cast("double")
-            ),
-            6,
-        ).alias("survival"),
+        F.round(F.exp(F.col("cum_lt").cast("double")), 6).alias("survival"),
     ).orderBy("day")

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from habits_etl_spark.operators.distrank import bounded_running_sum
 from habits_etl_spark.plans.common import day_of, day_str, query, sql_dsum, dsum, t
 
 
@@ -145,19 +146,20 @@ def win_cumulative_uniques(spark, sf_dir):
     Scale: shuffle #1 is the user-grain min (hash agg with map-side
     partials — the heavy reduction, corpus -> |users|); shuffle #2
     collapses to day grain (|days| rows). The final running sum runs on
-    the tiny day-grain frame in a single partition, which is correct at
-    any corpus size because |days| grows with time, not data volume."""
+    the tiny day-grain frame as a windowless triangular broadcast
+    self-join (operators/distrank.py bounded_running_sum), legal here
+    because |days| grows with time, not data volume."""
     e = t(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(F.min(day_of(F.col("ts"))).alias("first_day"))
     per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bounded_running_sum(per_day, "day", {"new_users": "cum_users"})
     return (
-        per_day.select(
+        cum.select(
             F.date_format("day", "yyyy-MM-dd").alias("day_s"),
             "new_users",
-            F.sum("new_users").over(w).alias("cum_users"),
+            "cum_users",
         )
         .orderBy("day_s")
     )

@@ -1,0 +1,126 @@
+"""operators/distrank.py: the distributed two-pass exact ranks must be
+row-for-row identical to the single-partition global window they
+replace, on real tables and on adversarial synthetic shapes (ties at
+partition boundaries are impossible by the total-order contract, but
+duplicate VALUES with a unique tie-break, empty frames, N < n tiles,
+and all-null running inputs are all exercised)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.operators.distrank import (
+    with_global_lag,
+    with_global_ntile,
+    with_global_row_number,
+    with_global_running_agg,
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _collect_sorted(df, *keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_row_number_matches_global_window(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    got = with_global_row_number(ev, ["event_id"], "rn", nparts=7)
+    w = Window.partitionBy(F.lit(0)).orderBy("event_id")
+    want = ev.select("event_id", "value", F.row_number().over(w).cast("bigint").alias("rn"))
+    assert _collect_sorted(got.select("event_id", "rn"), "event_id") == _collect_sorted(
+        want.select("event_id", "rn"), "event_id"
+    )
+
+
+@pytest.mark.parametrize("n,rows", [(4, 23), (5, 5), (7, 3), (3, 30), (10, 100)])
+def test_ntile_formula_matches_sql_ntile(spark, n, rows):
+    # duplicate values, unique tie-break id, N % n != 0 and N < n cases
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(rows)], "id int, v int"
+    )
+    got = with_global_ntile(df, [F.col("v"), F.col("id")], n, "tile", nparts=4)
+    w = Window.partitionBy(F.lit(0)).orderBy("v", "id")
+    want = df.select("id", F.ntile(n).over(w).cast("bigint").alias("tile"))
+    assert _collect_sorted(got.select("id", "tile"), "id") == _collect_sorted(
+        want, "id"
+    )
+
+
+def test_ntile_desc_order(spark, sf_dir):
+    # DESC on a numeric key = negated ASC key (distrank's asc-only
+    # contract; see module docstring)
+    ev = _events(spark, sf_dir).select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    got = with_global_ntile(
+        ev, [-F.col("value"), F.col("event_id")], 10, "tile", nparts=6
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("value").desc(), "event_id")
+    want = ev.select("event_id", F.ntile(10).over(w).cast("bigint").alias("tile"))
+    assert _collect_sorted(got.select("event_id", "tile"), "event_id") == _collect_sorted(
+        want, "event_id"
+    )
+
+
+def test_lag_matches_global_window(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id")
+    got = with_global_lag(ev, ["event_id"], "event_id", "prev_id", nparts=7)
+    w = Window.partitionBy(F.lit(0)).orderBy("event_id")
+    want = ev.select("event_id", F.lag("event_id").over(w).alias("prev_id"))
+    assert _collect_sorted(got, "event_id") == _collect_sorted(want, "event_id")
+
+
+def test_running_max_excl_current_matches(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    got = with_global_running_agg(
+        ev, ["event_id"], "ts", "mx", agg="max", include_current=False, nparts=7
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = ev.select("event_id", "ts", F.max("ts").over(w).alias("mx"))
+    assert _collect_sorted(got, "event_id") == _collect_sorted(want, "event_id")
+
+
+def test_running_sum_with_nulls(spark):
+    rows = [(1, None), (2, None), (3, 5), (4, None), (5, 2)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    got = with_global_running_agg(df, ["id"], "v", "s", agg="sum", nparts=3)
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.select("id", "v", F.sum("v").over(w).alias("s"))
+    assert _collect_sorted(got, "id") == _collect_sorted(want, "id")
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id int, v int")
+    assert with_global_row_number(df, ["id"], "rn").count() == 0
+    assert with_global_ntile(df, ["id"], 4, "t").count() == 0
+    assert with_global_lag(df, ["id"], "v", "p").count() == 0
+    assert with_global_running_agg(df, ["id"], "v", "s").count() == 0
+
+
+def test_no_unpartitioned_window_in_plan(spark, sf_dir):
+    """The whole point: the distributed rank's physical plan must not
+    contain a window with an EMPTY partition spec (single-task sort).
+    The bounded prefix window over the per-partition counts is
+    explicitly partitioned by a constant."""
+    from tests.test_plan_invariants import unpartitioned_windows
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    for df in (
+        with_global_ntile(ev, [F.col("value"), F.col("event_id")], 10, "t"),
+        with_global_lag(ev, ["event_id"], "event_id", "p"),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert unpartitioned_windows(plan) == []

@@ -14,6 +14,44 @@ from __future__ import annotations
 from habits_etl_spark.plans import QUERIES
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a Spark plan-node argument list."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+            elif depth < 0:
+                break
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes whose PARTITION spec is empty — the single-task
+    global sort this engine bans (scale killer at 100 TB; Spark logs
+    "No Partition Defined for Window operation" for them).
+
+    A Window node prints ``Window [exprs], [partSpec], [orderSpec]``;
+    with an empty partition spec the middle group disappears, leaving
+    exactly two groups with sort markers in the last."""
+    bad = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*()0123456789")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _bracket_groups(stripped[len("Window "):])
+        if len(groups) == 2 and (
+            " ASC " in groups[-1] or " DESC " in groups[-1]
+        ):
+            bad.append(stripped[:160])
+    return bad
+
+
 def test_every_query_builds_and_has_no_cartesian_product(spark, sf_dir):
     failures = []
     for name, fn in sorted(QUERIES.items()):
@@ -24,6 +62,8 @@ def test_every_query_builds_and_has_no_cartesian_product(spark, sf_dir):
             continue
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in physical plan")
+        for w in unpartitioned_windows(plan):
+            failures.append(f"{name}: unpartitioned (single-task) window: {w}")
     assert not failures, "\n".join(failures)
 
 
