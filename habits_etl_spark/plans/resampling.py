@@ -41,8 +41,22 @@ from habits_etl_spark.plans.ext_text import (
 
 _BOOT_B = 64  # replicas
 _BOOT_SALT = "boot:"
-# Poisson(1) inverse CDF over a unit uniform: cumulative pmf thresholds.
-_P_CUM = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+# Poisson(1) inverse CDF over a unit uniform: cumulative pmf thresholds
+# for k = 0..7; the ELSE arm assigns weight 8. Truncating the tail at 8
+# leaves P(w >= 9) ~ 1.1e-7 unreachable — mean replicate weight is
+# 1 - 1.2e-8 instead of 1, a bias ~5 orders below the CI's resolution
+# (the r4 ADVICE item: the old k<=5 table inflated P(w=5) to 3.66e-3 vs
+# the true 3.07e-3 and made weights >= 6 impossible).
+_P_CUM = (
+    0.367879441,
+    0.735758882,
+    0.919698603,
+    0.981011843,
+    0.996340153,
+    0.999405815,
+    0.999916759,
+    0.999989751,
+)
 
 
 def _poisson_weight_sql(u: str) -> str:
@@ -51,7 +65,10 @@ def _poisson_weight_sql(u: str) -> str:
         f"WHEN {u} < {_P_CUM[1]} THEN 1 "
         f"WHEN {u} < {_P_CUM[2]} THEN 2 "
         f"WHEN {u} < {_P_CUM[3]} THEN 3 "
-        f"WHEN {u} < {_P_CUM[4]} THEN 4 ELSE 5 END"
+        f"WHEN {u} < {_P_CUM[4]} THEN 4 "
+        f"WHEN {u} < {_P_CUM[5]} THEN 5 "
+        f"WHEN {u} < {_P_CUM[6]} THEN 6 "
+        f"WHEN {u} < {_P_CUM[7]} THEN 7 ELSE 8 END"
     )
 
 
@@ -140,7 +157,10 @@ def agg_poisson_bootstrap_ci(spark, sf_dir):
         .when(u < _P_CUM[2], 2)
         .when(u < _P_CUM[3], 3)
         .when(u < _P_CUM[4], 4)
-        .otherwise(5)
+        .when(u < _P_CUM[5], 5)
+        .when(u < _P_CUM[6], 6)
+        .when(u < _P_CUM[7], 7)
+        .otherwise(8)
     )
     weighted = x.crossJoin(F.broadcast(reps)).select(
         "rep", "value", w.alias("w")
