@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from habits_etl_spark.operators.approx_rank import with_approx_ntile
 from habits_etl_spark.operators.distrank import with_global_ntile
 from habits_etl_spark.plans.common import dec, managed_cache, query, t
 
@@ -70,13 +71,33 @@ def ext_rfm_features(spark, sf_dir):
     pass. Every ntile order carries a user_id tie-break (common.py
     rule 4), so scores are deterministic; DESC recency is expressed as
     the negated ASC key (distrank's asc-only contract)."""
+    rfm = managed_cache(_rfm_base(spark, sf_dir), "ext_rfm_features/rfm")
+    scores = {
+        "r_score": [-F.col("recency_days"), F.col("user_id")],
+        "f_score": [F.col("frequency"), F.col("user_id")],
+        "m_score": [F.col("monetary"), F.col("user_id")],
+    }
+    out = rfm
+    for name, order in scores.items():
+        ranked = with_global_ntile(rfm, order, _RFM_NTILES, name).select(
+            "user_id", F.col(name).cast("int").alias(name)
+        )
+        out = out.join(ranked, "user_id")
+    return out.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    ).orderBy("user_id")
+
+
+def _rfm_base(spark, sf_dir):
+    """The |users|-row RFM table both the exact and approx scorers rank."""
     p = t(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
     anchor = p.agg(
         F.date_trunc("DAY", F.max("ts")).cast("date").alias("d_max")
     )
-    rfm = (
+    return (
         p.crossJoin(F.broadcast(anchor))
         .groupBy("user_id", "d_max")
         .agg(
@@ -91,18 +112,30 @@ def ext_rfm_features(spark, sf_dir):
             "monetary",
         )
     )
-    rfm = managed_cache(rfm, "ext_rfm_features/rfm")
-    scores = {
-        "r_score": [-F.col("recency_days"), F.col("user_id")],
-        "f_score": [F.col("frequency"), F.col("user_id")],
-        "m_score": [F.col("monetary"), F.col("user_id")],
-    }
+
+
+@query("ext_rfm_features_approx")  # rows-only: GK sketch has no SQL twin
+def ext_rfm_features_approx(spark, sf_dir):
+    """One-pass approximate twin of ext_rfm_features: quintile cut
+    points from percentile_approx (Greenwald–Khanna sketch, bounded
+    memory, mergeable partials) broadcast into a map-side comparison
+    chain (operators/approx_rank.py) — the plan that needs NO ranking
+    shuffle at all, only the sketch's partial-aggregate merge. Scores
+    match the exact ntile up to boundary ties (integer recency/
+    frequency runs land wholly in one bucket instead of being split to
+    equalize counts); tests/test_rank_twins.py pins the agreement at
+    sf0.1. Rows-only by design: DuckDB has no GK sketch to mirror."""
+    rfm = managed_cache(
+        _rfm_base(spark, sf_dir), "ext_rfm_features_approx/rfm"
+    )
     out = rfm
-    for name, order in scores.items():
-        ranked = with_global_ntile(rfm, order, _RFM_NTILES, name).select(
-            "user_id", F.col(name).cast("int").alias(name)
-        )
-        out = out.join(ranked, "user_id")
+    for name, val in [
+        ("r_score", -F.col("recency_days")),
+        ("f_score", F.col("frequency")),
+        ("m_score", F.col("monetary")),
+    ]:
+        out = with_approx_ntile(out, val, _RFM_NTILES, name)
+        out = out.withColumn(name, F.col(name).cast("int"))
     return out.select(
         "user_id", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
@@ -224,6 +257,10 @@ def ext_quantile_bin(spark, sf_dir):
         _QB_BINS,
         "bin",
     ).select("y", F.col("bin").cast("int").alias("bin"))
+    return _bin_summary(b)
+
+
+def _bin_summary(b):
     return (
         b.groupBy("bin")
         .agg(
@@ -236,6 +273,22 @@ def ext_quantile_bin(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query("ext_quantile_bin_approx")  # rows-only: GK sketch has no SQL twin
+def ext_quantile_bin_approx(spark, sf_dir):
+    """One-pass approximate twin of ext_quantile_bin: decile cut points
+    from percentile_approx broadcast into a map-side comparison chain
+    (operators/approx_rank.py — no ranking shuffle), then the same bin
+    summary. THE discretizer plan at 100 TB: the sketch's rank error is
+    bounded by n/accuracy and tests/test_rank_twins.py pins per-bin
+    count agreement against the exact twin at sf0.1. Rows-only by
+    design: DuckDB has no GK sketch to mirror."""
+    o = t(spark, sf_dir, "orders")
+    b = with_approx_ntile(
+        o.select(F.col("o_totalprice").alias("y")), "y", _QB_BINS, "bin"
+    ).select("y", F.col("bin").cast("int").alias("bin"))
+    return _bin_summary(b)
 
 
 # --- per-group feature scaling ----------------------------------------------
