@@ -4,16 +4,20 @@ feature-extract plumbing (multimodal/__init__.py) — Arrow-batched
 mapInPandas stages, metadata filters ahead of any Python.
 
 Rows-only by design: the pipeline's value is the mapInPandas batch shape,
-which has no SQL twin; determinism (same inputs -> same features) and the
-stub-decode data flow are asserted in tests/test_multimodal.py and the
-pytest for this query.
+which has no SQL twin; determinism (same inputs -> same features), the
+REAL BMP pixel decode (image payloads), and the stub data flow for the
+other kinds are asserted in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from habits_etl_spark.multimodal import decode_media, extract_features
+from habits_etl_spark.multimodal import (
+    decode_media,
+    extract_features,
+    with_real_images,
+)
 from habits_etl_spark.plans.common import query, t
 
 
@@ -21,19 +25,21 @@ from habits_etl_spark.plans.common import query, t
 def ext_multimodal_features(spark, sf_dir):
     """End-to-end multimodal pass over table input: wrap each document's
     text bytes as an opaque binary payload with typed metadata (kind,
-    n_bytes, mime), run the Arrow-batched decode stage (stub codec — the
-    8-byte header read stands in for PIL/ffmpeg, loudly marked in
-    multimodal/__init__.py), then the feature extractor (hash-derived
-    16-dim float vector, the embedding-model stand-in), and emit one row
-    per media item with metadata + checksum + feature summary.
+    n_bytes, mime), swap image-kind payloads for REAL generated 24-bit
+    BMPs (multimodal.with_real_images), run the Arrow-batched decode
+    stage — true pixel dimensions via the pure-stdlib BMP parser for
+    images, the marked stub for audio/video — then the feature
+    extractor (real pixel features for BMPs: channel means + grayscale
+    histogram; hash-derived stand-in otherwise), and emit one row per
+    media item with metadata + checksum + feature summary.
 
     Scale: payload bytes cross into Python ONLY as Arrow record batches
-    inside the two mapInPandas stages — both pure maps, so the op scales
+    inside the mapInPandas stages — all pure maps, so the op scales
     with input splits and never shuffles; the kind filter and metadata
-    projections are ordinary pushed-down columns. Swapping the stub for a
-    real codec/model changes only the batch inner functions."""
+    projections are ordinary pushed-down columns. Swapping the BMP
+    parser for PIL/ffmpeg changes only the batch inner functions."""
     d = t(spark, sf_dir, "documents")
-    media = (
+    media = with_real_images(
         d.select(
             F.col("doc_id").alias("media_id"),
             F.element_at(
@@ -45,7 +51,9 @@ def ext_multimodal_features(spark, sf_dir):
         .withColumn("n_bytes", F.length("content").cast("long"))
         .withColumn("mime", F.concat(F.col("kind"), F.lit("/x-fake")))
     )
-    decoded = decode_media(media).select("media_id", "kind", "n_bytes", "checksum")
+    decoded = decode_media(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", "checksum"
+    )
     feats = extract_features(media).select(
         "media_id",
         F.round(F.element_at("feature", 1), 6).alias("f0"),

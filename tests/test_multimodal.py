@@ -1,6 +1,9 @@
-"""Multimodal plumbing tests: schema, Arrow batch flow, deterministic stubs."""
+"""Multimodal plumbing tests: schema, Arrow batch flow, the real BMP
+codec, and deterministic stubs."""
 
 from __future__ import annotations
+
+import pytest
 
 from habits_etl_spark.multimodal import (
     FEATURE_DIM,
@@ -61,6 +64,8 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
     b = ext_multimodal_features(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    from habits_etl_spark.multimodal import _gen_bmp
+
     docs = {
         r.doc_id: r.text
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
@@ -69,7 +74,12 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
     by_id = {r.media_id: r for r in a}
     for doc_id, text in list(docs.items())[:25]:
         r = by_id[doc_id]
-        payload = text.encode("utf-8")
+        if r.kind == "image":  # real generated BMP payload, really decoded
+            payload = _gen_bmp(doc_id)
+            assert r.width == 8 + doc_id % 9
+            assert r.height == 5 + doc_id % 7
+        else:
+            payload = text.encode("utf-8")
         assert r.checksum == hashlib.md5(payload).hexdigest()
         assert r.n_bytes == len(payload)
         assert 0.0 < r.f_norm <= 4.0  # 16 dims in [0, 1]
@@ -109,3 +119,63 @@ def test_sniff_mime_on_synthetic_media_is_octet_stream(spark):
     # the fake payloads carry no real magic bytes: sniffing must NOT
     # trust the declared kind/mime columns
     assert all(r.sniffed_mime == "application/octet-stream" for r in out)
+
+
+def test_bmp_roundtrip_and_golden_fixture():
+    """The real codec: encode->decode is pixel-identical (including odd
+    widths that need row padding and the bottom-up layout), and the
+    committed fixture image decodes to KNOWN pixel statistics — real
+    pixels, not header echoes."""
+    import os
+
+    import numpy as np
+
+    from habits_etl_spark.multimodal import (
+        bmp_pixel_feature,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng_imgs = [
+        np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3),
+        (np.mgrid[0:5, 0:9][0] * 50 % 256).astype(np.uint8)[..., None].repeat(3, -1),
+    ]
+    for arr in rng_imgs:
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "gradient_7x4.bmp")
+    data = open(fixture, "rb").read()
+    arr = decode_bmp(data)
+    assert arr is not None and arr.shape == (4, 7, 3)
+    # golden per-channel means of the committed image
+    assert [round(float(arr[:, :, i].mean()), 6) for i in range(3)] == [
+        120.0,
+        105.0,
+        58.5,
+    ]
+    feat = bmp_pixel_feature(arr)
+    assert len(feat) == 16
+    golden = [
+        0.006836, 0.003906, 0.470588, 0.411765, 0.229412, 0.228918,
+        0.107143, 0.107143, 0.142857, 0.142857, 0.178571, 0.071429,
+        0.142857, 0.035714, 0.071429, 0.0,
+    ]
+    assert feat == pytest.approx(golden, abs=1e-6)
+    # non-BMP payloads are rejected, not mis-parsed
+    assert decode_bmp(b"definitely not a bitmap") is None
+    assert decode_bmp(data[:30]) is None
+
+
+def test_decode_media_real_pixels_for_images(spark):
+    """Image-kind synthetic payloads now carry real BMPs: the decode
+    stage reports their TRUE pixel dimensions (parsed from pixel data
+    written by the generator, not from a fake header)."""
+    from habits_etl_spark.multimodal import synthetic_media, with_real_images
+
+    media = with_real_images(synthetic_media(spark, 30))
+    rows = {r.media_id: r for r in decode_media(media).collect()}
+    img_ids = [m for m, r in rows.items() if r.kind == "image"]
+    assert img_ids
+    for mid in img_ids:
+        assert rows[mid].width == 8 + mid % 9
+        assert rows[mid].height == 5 + mid % 7
