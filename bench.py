@@ -62,11 +62,13 @@ HEADLINE2 = [
 
 # Fixed quiet-host reference time for the calibration probe below,
 # recorded on the round-5 quiet host with the same min-of-3 protocol
-# the probe now uses. calibrated_value = value * (this / observed
-# probe time) normalizes totals across host-speed luck: a sustained-
-# steal run slows the probe by the same factor as the queries, so the
-# ratio cancels it. See README "Benchmark protocol".
-PROBE_BASELINE_SEC = 0.088
+# the probe uses (the 4e9-row probe's run-to-run spread is ~7%, vs
+# ~2x for a shorter one — the probe must dwarf JVM scheduling jitter
+# to be a usable speed reference). calibrated_value = value * (this /
+# observed probe time) normalizes totals across host-speed luck: a
+# sustained-steal run slows the probe by the same factor as the
+# queries, so the ratio cancels it. See README "Benchmark protocol".
+PROBE_BASELINE_SEC = 0.512
 
 # Non-headline curation section (round-3 ops): timed for scale evidence,
 # excluded from the headline total so that set stays comparable across
@@ -178,13 +180,14 @@ def main():
     # (and the judge) can normalize totals across runs by the probe
     # ratio instead of mistaking a slow host for a regression.
     def calibrate() -> float:
-        # min of 3 probe runs: the probe itself jitters ~2x run-to-run;
-        # the fastest run is the least-stolen estimate of host speed.
+        # min of 3 probe runs; each probe is large enough (~0.5 s on
+        # the reference host) that JVM scheduling jitter is <10% of it.
+        # The modulo keeps the running sum inside bigint under ANSI.
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            spark.range(0, 200_000_000, 1, 32).selectExpr(
-                "sum(id * 3 + 7) as s"
+            spark.range(0, 4_000_000_000, 1, 32).selectExpr(
+                "sum(id % 1000003) as s"
             ).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         return round(min(times), 3)

@@ -241,15 +241,19 @@ def with_global_lag(
 def with_global_running_agg(
     df: DataFrame,
     order: Sequence[str],
-    col: Column | str,
-    out: str,
+    col: Column | str | dict[str, Column | str],
+    out: str | None = None,
     agg: str = "sum",
     include_current: bool = True,
     nparts: int | None = None,
 ) -> DataFrame:
-    """df + column ``out`` = running sum/max of ``col`` over the global
-    ASC total order (frame UNBOUNDED PRECEDING .. CURRENT ROW, or .. 1
+    """df + running sum/max column(s) of ``col`` over the global ASC
+    total order (frame UNBOUNDED PRECEDING .. CURRENT ROW, or .. 1
     PRECEDING when ``include_current`` is False).
+
+    ``col`` may be a dict {out_name: source col/expr} to compute several
+    running aggregates in ONE boundary pass + ONE probe pass (chaining
+    single-column calls would re-evaluate the input per column).
 
     Per-bucket running aggregate + one carry per bucket (the aggregate
     of all earlier buckets' totals/maxima, prefix-combined on the
@@ -257,37 +261,53 @@ def with_global_running_agg(
     if agg not in ("sum", "max"):
         raise ValueError(f"unsupported running agg: {agg}")
     fn = F.sum if agg == "sum" else F.max
-    cexpr = F.col(col) if isinstance(col, str) else col
-    b = _Buckets(df, order, _nparts(df, nparts), [fn(cexpr).alias(_AGG)])
-    agg_type = df.select(fn(cexpr).alias(_AGG)).schema[0].dataType
+    if isinstance(col, dict):
+        cols = {o: (F.col(c) if isinstance(c, str) else c) for o, c in col.items()}
+    else:
+        if out is None:
+            raise ValueError("out is required for single-column form")
+        cols = {out: F.col(col) if isinstance(col, str) else col}
+    names = list(cols)
+    aggs = [fn(cols[o]).alias(f"{_AGG}{i}") for i, o in enumerate(names)]
+    b = _Buckets(df, order, _nparts(df, nparts), aggs)
+    agg_types = {
+        o: df.select(fn(cols[o]).alias("x")).schema[0].dataType for o in names
+    }
     if b.empty:
-        return df.withColumn(out, F.lit(None).cast(agg_type))
-    carries, acc = [], None
-    for i, v in enumerate(b.values(_AGG)):
-        carries.append((i, acc))
-        if v is not None:
-            if acc is None:
-                acc = v
-            elif agg == "sum":
-                acc = acc + v
-            else:
-                acc = max(acc, v)
+        for o in names:
+            df = df.withColumn(o, F.lit(None).cast(agg_types[o]))
+        return df
     hi = 0 if include_current else -1
     w_loc = (
         Window.partitionBy(_PID)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, hi)
     )
-    local = fn(cexpr).over(w_loc)
-    carry = _pid_case(carries, agg_type)
-    if agg == "sum":
-        combined = F.when(local.isNull() & carry.isNull(), F.lit(None).cast(agg_type)).otherwise(
-            F.coalesce(local, F.lit(0).cast(agg_type))
-            + F.coalesce(carry, F.lit(0).cast(agg_type))
-        )
-    else:
-        combined = F.greatest(local, carry)  # greatest skips nulls
-    return _probe(df, order, b).withColumn(out, combined).drop(_PID)
+    res = _probe(df, order, b)
+    for i, o in enumerate(names):
+        carries, acc = [], None
+        for bi, v in enumerate(b.values(f"{_AGG}{i}")):
+            carries.append((bi, acc))
+            if v is not None:
+                if acc is None:
+                    acc = v
+                elif agg == "sum":
+                    acc = acc + v
+                else:
+                    acc = max(acc, v)
+        local = fn(cols[o]).over(w_loc)
+        carry = _pid_case(carries, agg_types[o])
+        if agg == "sum":
+            combined = F.when(
+                local.isNull() & carry.isNull(), F.lit(None).cast(agg_types[o])
+            ).otherwise(
+                F.coalesce(local, F.lit(0).cast(agg_types[o]))
+                + F.coalesce(carry, F.lit(0).cast(agg_types[o]))
+            )
+        else:
+            combined = F.greatest(local, carry)  # greatest skips nulls
+        res = res.withColumn(o, combined)
+    return res.drop(_PID)
 
 
 def bounded_running_sum(

@@ -119,10 +119,7 @@ def ext_heaps_law_fit(spark, sf_dir):
         "ext_heaps_law_fit/base",
     )
     curve = with_global_running_agg(
-        with_global_running_agg(base, ["doc_id"], "n_toks", "cum_tokens"),
-        ["doc_id"],
-        "n_new",
-        "cum_vocab",
+        base, ["doc_id"], {"cum_tokens": "n_toks", "cum_vocab": "n_new"}
     ).select("doc_id", "cum_tokens", "cum_vocab")
     pts = curve.filter(
         (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)

@@ -461,9 +461,12 @@ def agg_psi_drift(spark, sf_dir):
     ref = ev.filter(F.col("ts") < F.lit(_PSI_BOUNDARY).cast("timestamp")).select(
         "value", "event_id"
     )
-    ref_b = with_global_ntile(
-        ref, [F.col("value"), F.col("event_id")], _PSI_BINS, "bin"
-    ).select("value", "bin")
+    ref_b = managed_cache(
+        with_global_ntile(
+            ref, [F.col("value"), F.col("event_id")], _PSI_BINS, "bin"
+        ).select("value", "bin"),
+        "agg_psi_drift/ref_b",
+    )
     edges = (
         ref_b.filter(F.col("bin") < _PSI_BINS)
         .groupBy("bin")
