@@ -59,6 +59,7 @@ __all__ = [
     "with_global_ntile",
     "with_global_lag",
     "with_global_running_agg",
+    "with_group_position",
     "bounded_running_sum",
 ]
 
@@ -308,6 +309,123 @@ def with_global_running_agg(
             combined = F.greatest(local, carry)  # greatest skips nulls
         res = res.withColumn(o, combined)
     return res.drop(_PID)
+
+
+def with_group_position(
+    df: DataFrame,
+    groups: Sequence[str],
+    order: Sequence[Column | str],
+    rn_out: str = "rn",
+    cnt_out: str = "group_count",
+    nparts: int | None = None,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """df + 1-based position within each group (by ``order``) and the
+    group's total row count — the two-pass range decomposition for the
+    FEW-LARGE-GROUPS regime, where ``Window.partitionBy(groups)`` would
+    pin each giant group's full sort on one task. (Many SMALL groups
+    need no helper: the plain partitioned window already scales.)
+
+    Range-partitions on (groups..., order...) so each group spans a
+    contiguous bucket run; pass 1 collects one (bucket, group) cell per
+    co-occurrence — ≤ n_partitions + |groups| rows (each bucket holds
+    one group plus at most one straddling neighbor), guarded by
+    ``max_cells``. Offsets and group totals prefix-combine driver-side;
+    the probe assigns buckets from pinned literal boundaries exactly as
+    the global helpers do. Same exactness rules: unique ASC non-null
+    (groups..., order...) total order, DESC via negation.
+
+    From (rn, count) the caller derives every distribution rank
+    arithmetically: ntile (see with_global_ntile's formula), percent_rank
+    = (rn-1)/(count-1), cume_dist = rn/count (unique order ⇒ no peers)."""
+    gnames = list(groups)
+    full_order: list[Column | str] = [*gnames, *order]
+    key = _key_struct(full_order)
+    key_types = [f.dataType for f in df.select(key).schema[0].dataType]
+    part = df.repartitionByRange(_nparts(df, nparts), *_order_cols(full_order))
+    cells = (
+        part.withColumn(_PID, F.spark_partition_id())
+        .groupBy(_PID, *gnames)
+        .agg(F.count(F.lit(1)).alias(_CNT), F.max(key).alias(_KEY))
+        .collect()
+    )
+    if not cells:
+        return df.withColumn(rn_out, F.lit(None).cast("bigint")).withColumn(
+            cnt_out, F.lit(None).cast("bigint")
+        )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"with_group_position collected {len(cells)} (bucket, group) "
+            f"cells (> {max_cells}): group cardinality is data-sized — "
+            "use a plain partitioned window instead"
+        )
+    # key leads with the group fields, so key-order == (group, position)
+    cells.sort(key=lambda r: tuple(r[_KEY]))
+    # bucket boundaries: per-pid max cell key, ordered by key
+    bound_by_pid: dict[int, tuple] = {}
+    for r in cells:
+        k, p = tuple(r[_KEY]), r[_PID]
+        if p not in bound_by_pid or k > bound_by_pid[p]:
+            bound_by_pid[p] = k
+    bounds = sorted(bound_by_pid.items(), key=lambda kv: kv[1])
+    bucket_of = {pid: i for i, (pid, _) in enumerate(bounds)}
+    # row key -> bucket index via pinned literal boundaries (≤ nparts arms)
+    bexpr = None
+    for i, (_, bk) in enumerate(bounds[:-1]):
+        lit = F.struct(
+            *[
+                F.lit(v).cast(t).alias(f"_k{j}")
+                for j, (v, t) in enumerate(zip(bk, key_types))
+            ]
+        )
+        arm = (key <= lit, F.lit(i))
+        bexpr = F.when(*arm) if bexpr is None else bexpr.when(*arm)
+    last = F.lit(len(bounds) - 1)
+    bexpr = last if bexpr is None else bexpr.otherwise(last)
+
+    def geq(r) -> Column:
+        cond = F.lit(True)
+        for g in gnames:
+            cond = cond & (F.col(g) == F.lit(r[g]))
+        return cond
+
+    # per-(bucket, group) offset = same-group rows in earlier buckets;
+    # per-group total = sum over that group's cells (cells are key-sorted,
+    # so one linear sweep accumulates both)
+    offs: list[tuple[object, int]] = []
+    totals: dict[tuple, int] = {}
+    for r in cells:
+        gkey = tuple(r[g] for g in gnames)
+        offs.append((r, totals.get(gkey, 0)))
+        totals[gkey] = totals.get(gkey, 0) + r[_CNT]
+    off_expr = None
+    for r, off in offs:
+        if off == 0:
+            continue  # when-chain yields NULL -> coalesced to 0 below
+        arm = (
+            (F.col(_PID) == F.lit(bucket_of[r[_PID]])) & geq(r),
+            F.lit(off).cast("bigint"),
+        )
+        off_expr = F.when(*arm) if off_expr is None else off_expr.when(*arm)
+    off_expr = F.lit(0).cast("bigint") if off_expr is None else F.coalesce(
+        off_expr, F.lit(0).cast("bigint")
+    )
+    cnt_expr = None
+    seen = set()
+    for r, _ in offs:
+        gkey = tuple(r[g] for g in gnames)
+        if gkey in seen:
+            continue
+        seen.add(gkey)
+        arm = (geq(r), F.lit(totals[gkey]).cast("bigint"))
+        cnt_expr = F.when(*arm) if cnt_expr is None else cnt_expr.when(*arm)
+    w_loc = Window.partitionBy(_PID, *gnames).orderBy(*_order_cols(order))
+    return (
+        df.withColumn(_PID, bexpr)
+        .withColumn(rn_out, F.row_number().over(w_loc).cast("bigint") + off_expr)
+        .withColumn(cnt_out, cnt_expr)
+        .drop(_PID)
+    )
 
 
 def bounded_running_sum(

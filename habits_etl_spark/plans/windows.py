@@ -6,8 +6,19 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from habits_etl_spark.operators.distrank import bounded_running_sum
-from habits_etl_spark.plans.common import day_of, day_str, query, sql_dsum, dsum, t
+from habits_etl_spark.operators.distrank import (
+    bounded_running_sum,
+    with_group_position,
+)
+from habits_etl_spark.plans.common import (
+    day_of,
+    day_str,
+    managed_cache,
+    query,
+    sql_dsum,
+    dsum,
+    t,
+)
 
 
 @query(
@@ -342,23 +353,43 @@ def win_distribution_ranks(spark, sf_dir):
     express. The ORDER BY carries a user_id tiebreak, so rank peers are
     single rows and all three functions are engine-deterministic.
 
-    Scale: one hash-agg reduces the fact to |users|x|types| rows, then
-    ONE shuffle on event_type serves all three window functions
-    (identical window spec -> a single WindowExec); nothing holistic —
-    ntile/percent_rank/cume_dist need only partition counts and running
-    positions, O(n log n) per partition for the sort."""
+    Scale: one hash-agg reduces the fact to |users|x|types| rows — but
+    event_type is a FEW-LARGE-GROUPS partition key (each type's window
+    would hold every user of that type on one task), so the ranks come
+    from with_group_position's two-pass range decomposition: one
+    (bucket, type) boundary collect, then per-bucket sorts parallel
+    across all types' ranges. ntile/percent_rank/cume_dist all derive
+    arithmetically from (rn, group_count) — with the unique user_id
+    tiebreak there are no rank peers, so percent_rank = (rn-1)/(n-1)
+    and cume_dist = rn/n exactly. DESC spend is expressed by negating
+    the (non-null) total, per the helper's ASC-keys rule."""
     ev = t(spark, sf_dir, "events")
-    totals = ev.groupBy("event_type", "user_id").agg(
-        dsum("value").alias("total_value")
+    totals = managed_cache(
+        ev.groupBy("event_type", "user_id").agg(
+            dsum("value").alias("total_value")
+        ),
+        "win_distribution_ranks/totals",
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("total_value").desc(), F.col("user_id")
+    pos = with_group_position(
+        totals,
+        ["event_type"],
+        [(-F.col("total_value")).alias("neg_total"), F.col("user_id")],
+        rn_out="rn",
+        cnt_out="n",
     )
-    return totals.select(
+    n, rn = F.col("n"), F.col("rn")
+    q, rem = F.floor(n / 10), n % 10
+    head = (q + 1) * rem
+    tile = F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((rn - 1 - head) / F.greatest(q, F.lit(1))) + 1
+    )
+    return pos.select(
         "event_type",
         "user_id",
         "total_value",
-        F.ntile(10).over(w).cast("bigint").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        tile.cast("bigint").alias("decile"),
+        F.round(
+            F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(rn / n, 6).alias("cume"),
     ).orderBy("event_type", "user_id")

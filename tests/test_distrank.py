@@ -16,6 +16,7 @@ from habits_etl_spark.operators.distrank import (
     with_global_ntile,
     with_global_row_number,
     with_global_running_agg,
+    with_group_position,
 )
 
 
@@ -108,6 +109,76 @@ def test_empty_input(spark):
     assert with_global_ntile(df, ["id"], 4, "t").count() == 0
     assert with_global_lag(df, ["id"], "v", "p").count() == 0
     assert with_global_running_agg(df, ["id"], "v", "s").count() == 0
+
+
+def test_group_position_matches_partitioned_window(spark, sf_dir):
+    # few-large-groups regime on real data: event_type groups, DESC value
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    got = with_group_position(
+        ev,
+        ["event_type"],
+        [(-F.col("value")).alias("nv"), F.col("event_id")],
+        nparts=7,
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    want = ev.select(
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias(
+            "group_count"
+        ),
+    )
+    assert _collect_sorted(
+        got.select("event_id", "rn", "group_count"), "event_id"
+    ) == _collect_sorted(want, "event_id")
+
+
+def test_group_position_straddling_tiny_groups(spark):
+    # 3 groups over 5 range buckets: groups straddle bucket boundaries
+    # and some buckets hold two groups
+    rows = [(f"g{i % 3}", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, id int")
+    got = with_group_position(df, ["g"], ["id"], nparts=5)
+    w = Window.partitionBy("g").orderBy("id")
+    want = df.select(
+        "g",
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("group_count"),
+    )
+    assert _collect_sorted(got, "g", "id") == _collect_sorted(want, "g", "id")
+
+
+def test_group_position_empty_and_cell_guard(spark):
+    empty = spark.createDataFrame([], "g string, id int")
+    assert with_group_position(empty, ["g"], ["id"]).count() == 0
+    # data-sized group cardinality trips the k-bounded-collect guard
+    many = spark.createDataFrame([(f"g{i}", i) for i in range(50)], "g string, id int")
+    with pytest.raises(ValueError, match="cells"):
+        with_group_position(many, ["g"], ["id"], nparts=4, max_cells=10)
+
+
+def test_running_agg_multi_column_matches_chained(spark):
+    rows = [(i, i % 7, (i * 3) % 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    got = with_global_running_agg(
+        df, ["id"], {"ca": "a", "cb": "b"}, nparts=5
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.select(
+        "id",
+        "a",
+        "b",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    assert _collect_sorted(got, "id") == _collect_sorted(want, "id")
 
 
 def test_no_unpartitioned_window_in_plan(spark, sf_dir):
