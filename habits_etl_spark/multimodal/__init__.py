@@ -177,6 +177,130 @@ def with_real_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, df.schema)
 
 
+# --- real codec: 16-bit PCM WAV / RIFF (pure stdlib + numpy) -----------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 PCM samples (n,) mono or (n, channels) -> RIFF/WAVE bytes
+    (PCM format 1, 16-bit). Used by tests and the synthetic-media
+    generator so the audio decode stage exercises real sample data."""
+    arr = samples.astype("<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
+    """RIFF/WAVE 16-bit PCM -> ((n, channels) int16 array, sample_rate),
+    or None if the payload is not a PCM WAV this parser supports (other
+    codecs would be the soundfile/ffmpeg path in a full container).
+    Walks the chunk list properly (fmt / data in any order, word-aligned
+    chunk sizes), so files with LIST/INFO chunks still decode."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, pcm = 12, 0, 0, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pcm is None or rate <= 0 or channels <= 0:
+        return None
+    n = len(pcm) // (2 * channels)
+    if n == 0:
+        return None
+    arr = np.frombuffer(pcm, "<i2", n * channels).reshape(n, channels)
+    return arr, int(rate)
+
+
+def wav_audio_feature(arr: np.ndarray, rate: int) -> list[float]:
+    """{FEATURE_DIM}-dim feature from REAL samples, every value in
+    [0, 1]: duration/rate/channel metadata, global RMS, peak,
+    zero-crossing rate, and a 10-segment RMS energy profile over time —
+    deterministic, and exactly what a real audio embedding model would
+    replace."""
+    mono = arr.astype(np.float64).mean(axis=1)
+    n = mono.shape[0]
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    peak = float(np.abs(mono).max())
+    zcr = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if n > 1
+        else 0.0
+    )
+    seg = [
+        float(np.sqrt(np.mean(s * s))) / 32768.0
+        for s in np.array_split(mono, 10)
+    ]
+    head = [
+        min(n / rate / 10.0, 1.0),  # duration, capped at 10 s
+        min(rate / 48000.0, 1.0),
+        min(arr.shape[1] / 8.0, 1.0),
+        rms / 32768.0,
+        peak / 32768.0,
+        zcr,
+    ]
+    return [float(x) for x in head + seg]
+
+
+def _gen_wav(media_id: int) -> bytes:
+    """Deterministic waveform for media_id (the synthetic 'real samples'
+    source: length and the two sawtooth periods all derive from the id;
+    integer arithmetic only, so bytes are identical on every platform)."""
+    rate = 8000
+    n = 800 + (media_id % 50) * 40  # 0.1 - 0.35 s
+    t_idx = np.arange(n, dtype=np.int64)
+    saw1 = ((t_idx * 64 + media_id) % 512 - 256) * 50
+    saw2 = ((t_idx * 29 + 3 * media_id) % 256 - 128) * 40
+    return encode_wav((saw1 + saw2).astype(np.int16), rate)
+
+
+def with_real_audio(df: DataFrame) -> DataFrame:
+    """Replace audio-kind payloads with real generated 16-bit PCM WAVs
+    (deterministic per media_id), Arrow-batched — the synthetic table
+    then carries genuinely decodable samples through the pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            is_aud = pdf["kind"] == "audio"
+            if is_aud.any():
+                content = pdf["content"].copy()
+                content[is_aud] = pdf.loc[is_aud, "media_id"].map(
+                    lambda m: _gen_wav(int(m))
+                )
+                pdf = pdf.assign(
+                    content=content,
+                    n_bytes=content.map(len).astype("int64"),
+                    mime=pdf["mime"].mask(is_aud, "audio/wav"),
+                )
+            yield pdf
+
+    return df.mapInPandas(batches, df.schema)
+
+
 def _decode_stub(header: bytes) -> tuple[int, int, int]:
     """STUB — real decode would use PIL/ffmpeg/soundfile (not installed in
     this container). The fake reads the synthetic 8-byte header fields so
@@ -189,8 +313,10 @@ def _decode_stub(header: bytes) -> tuple[int, int, int]:
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode stage: mapInPandas over Arrow batches of binary payloads.
-    BMP payloads decode to REAL pixel dimensions (decode_bmp); other
-    formats use the marked stub."""
+    BMP payloads decode to REAL pixel dimensions (decode_bmp); PCM WAV
+    payloads decode to real sample data (decode_wav — reported as
+    width=sample_rate, height=channels, duration_ms from the true
+    sample count); other formats use the marked stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -200,6 +326,10 @@ def decode_media(df: DataFrame) -> DataFrame:
             arr = decode_bmp(data)
             if arr is not None:  # real decode: true pixel dims, no duration
                 return arr.shape[1], arr.shape[0], 0
+            wav = decode_wav(data)
+            if wav is not None:  # real decode: true sample count / rate
+                samples, rate = wav
+                return rate, samples.shape[1], samples.shape[0] * 1000 // rate
             return _decode_stub(data[:8])
 
         for pdf in it:
@@ -224,9 +354,11 @@ def decode_media(df: DataFrame) -> DataFrame:
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature-extraction stage: BMP payloads yield a REAL pixel
     feature (bmp_pixel_feature — channel means, grayscale histogram);
-    undecodable payloads fall back to the deterministic hash-derived
-    stand-in. A real embedding model swap-in changes ONLY the inner
-    function, never the Arrow-batched plumbing."""
+    PCM WAV payloads yield a REAL sample feature (wav_audio_feature —
+    RMS/peak/zero-crossings + energy-over-time profile); undecodable
+    payloads fall back to the deterministic hash-derived stand-in. A
+    real embedding model swap-in changes ONLY the inner function,
+    never the Arrow-batched plumbing."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -236,6 +368,9 @@ def extract_features(df: DataFrame) -> DataFrame:
             arr = decode_bmp(data)
             if arr is not None:
                 return bmp_pixel_feature(arr)
+            wav = decode_wav(data)
+            if wav is not None:
+                return wav_audio_feature(*wav)
             h = hashlib.sha256(data).digest()
             v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
             return (v / 65535.0).tolist()

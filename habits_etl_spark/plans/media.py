@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from habits_etl_spark.multimodal import (
     decode_media,
     extract_features,
+    with_real_audio,
     with_real_images,
 )
 from habits_etl_spark.plans.common import query, t
@@ -26,11 +27,13 @@ def ext_multimodal_features(spark, sf_dir):
     """End-to-end multimodal pass over table input: wrap each document's
     text bytes as an opaque binary payload with typed metadata (kind,
     n_bytes, mime), swap image-kind payloads for REAL generated 24-bit
-    BMPs (multimodal.with_real_images), run the Arrow-batched decode
-    stage — true pixel dimensions via the pure-stdlib BMP parser for
-    images, the marked stub for audio/video — then the feature
-    extractor (real pixel features for BMPs: channel means + grayscale
-    histogram; hash-derived stand-in otherwise), and emit one row per
+    BMPs (multimodal.with_real_images) and audio-kind payloads for REAL
+    16-bit PCM WAVs (multimodal.with_real_audio), run the Arrow-batched
+    decode stage — true pixel dimensions via the pure-stdlib BMP
+    parser, true sample counts/rates via the pure-stdlib WAV parser,
+    the marked stub for video — then the feature extractor (real pixel
+    features for BMPs, real RMS/zero-crossing/energy-profile features
+    for WAVs; hash-derived stand-in otherwise), and emit one row per
     media item with metadata + checksum + feature summary.
 
     Scale: payload bytes cross into Python ONLY as Arrow record batches
@@ -39,8 +42,9 @@ def ext_multimodal_features(spark, sf_dir):
     projections are ordinary pushed-down columns. Swapping the BMP
     parser for PIL/ffmpeg changes only the batch inner functions."""
     d = t(spark, sf_dir, "documents")
-    media = with_real_images(
-        d.select(
+    media = with_real_audio(
+        with_real_images(
+            d.select(
             F.col("doc_id").alias("media_id"),
             F.element_at(
                 F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -48,8 +52,9 @@ def ext_multimodal_features(spark, sf_dir):
             ).alias("kind"),
             F.encode(F.col("text"), "UTF-8").alias("content"),
         )
-        .withColumn("n_bytes", F.length("content").cast("long"))
-        .withColumn("mime", F.concat(F.col("kind"), F.lit("/x-fake")))
+            .withColumn("n_bytes", F.length("content").cast("long"))
+            .withColumn("mime", F.concat(F.col("kind"), F.lit("/x-fake")))
+        )
     )
     decoded = decode_media(media).select(
         "media_id", "kind", "n_bytes", "width", "height", "checksum"

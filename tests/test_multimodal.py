@@ -64,7 +64,7 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
     b = ext_multimodal_features(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
-    from habits_etl_spark.multimodal import _gen_bmp
+    from habits_etl_spark.multimodal import _gen_bmp, _gen_wav
 
     docs = {
         r.doc_id: r.text
@@ -78,6 +78,10 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
             payload = _gen_bmp(doc_id)
             assert r.width == 8 + doc_id % 9
             assert r.height == 5 + doc_id % 7
+        elif r.kind == "audio":  # real generated WAV payload, really decoded
+            payload = _gen_wav(doc_id)
+            assert r.width == 8000  # decoded sample rate
+            assert r.height == 1  # decoded channel count
         else:
             payload = text.encode("utf-8")
         assert r.checksum == hashlib.md5(payload).hexdigest()
@@ -179,3 +183,90 @@ def test_decode_media_real_pixels_for_images(spark):
     for mid in img_ids:
         assert rows[mid].width == 8 + mid % 9
         assert rows[mid].height == 5 + mid % 7
+
+
+def test_wav_roundtrip_and_golden_fixture():
+    """The real audio codec: encode->decode is sample-identical (mono
+    and stereo, including the chunk walk past a LIST chunk), and the
+    committed fixture clip decodes to KNOWN sample statistics — real
+    samples, not header echoes."""
+    import os
+    import struct
+
+    import numpy as np
+
+    from habits_etl_spark.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_audio_feature,
+    )
+
+    mono = (np.arange(100, dtype=np.int64) * 311 % 2001 - 1000).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=1)
+    for arr, ch in ((mono, 1), (stereo, 2)):
+        dec, rate = decode_wav(encode_wav(arr, 22050))
+        assert rate == 22050 and dec.shape == (100, ch)
+        assert np.array_equal(dec, arr.reshape(100, ch))
+
+    # chunk walker: a LIST chunk between fmt and data must be skipped
+    wav = encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    dec, rate = decode_wav(patched)
+    assert np.array_equal(dec[:, 0], mono)
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "twotone_16k_stereo.wav"
+    )
+    data = open(fixture, "rb").read()
+    out = decode_wav(data)
+    assert out is not None
+    arr, rate = out
+    assert rate == 16000 and arr.shape == (4000, 2)
+    feat = wav_audio_feature(arr, rate)
+    assert len(feat) == 16
+    golden = [
+        0.025, 0.333333, 0.25, 0.169607, 0.407715, 0.23981,
+        0.169607, 0.169607, 0.169607, 0.169607, 0.169607, 0.169607,
+        0.169607, 0.169607, 0.169607, 0.169607,
+    ]
+    assert feat == pytest.approx(golden, abs=1e-6)
+    # non-WAV payloads are rejected, not mis-parsed
+    assert decode_wav(b"RIFFxxxxAVI LIST") is None
+    assert decode_wav(data[:40]) is None
+
+
+def test_decode_media_real_samples_for_audio(spark):
+    """Audio-kind payloads swapped in by with_real_audio flow REAL
+    sample data: the decode stage reports the true rate/channels/
+    duration and the feature stage emits the energy profile of the
+    actual waveform."""
+    import numpy as np
+
+    from habits_etl_spark.multimodal import (
+        _gen_wav,
+        decode_media,
+        decode_wav,
+        extract_features,
+        synthetic_media,
+        wav_audio_feature,
+        with_real_audio,
+    )
+
+    media = with_real_audio(synthetic_media(spark, 30))
+    decoded = {r.media_id: r for r in decode_media(media).collect()}
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    audio_ids = [m for m, r in decoded.items() if r.kind == "audio"]
+    assert audio_ids
+    for mid in audio_ids:
+        samples, rate = decode_wav(_gen_wav(mid))
+        r = decoded[mid]
+        assert (r.width, r.height) == (rate, 1)
+        assert r.duration_ms == samples.shape[0] * 1000 // rate
+        assert feats[mid] == pytest.approx(
+            wav_audio_feature(samples, rate), abs=1e-6
+        )
+    # non-audio payloads keep the stub path untouched
+    stub = [m for m, r in decoded.items() if r.kind == "video"][0]
+    assert decoded[stub].duration_ms == (decoded[stub].width * 100 + decoded[stub].height) % 10_000
