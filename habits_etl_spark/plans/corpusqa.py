@@ -308,3 +308,105 @@ def ext_int8_quantize(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def _dec_sq_sum(col_arr):
+    """Exact DECIMAL(30,22) fold of sum(x^2) over an array column in
+    element order — both engines accumulate the identical per-element
+    decimals, so the sums are bit-equal (rule 1 applied to array folds;
+    scale 22 with 8 integer digits never rounds for |x| <= ~30 across
+    <= 10^4 dims)."""
+    zero = F.lit(0).cast("decimal(30,22)")
+    return F.aggregate(
+        col_arr,
+        zero,
+        lambda a, x: (a + (x * x).cast("decimal(30,22)")).cast(
+            "decimal(30,22)"
+        ),
+    )
+
+
+@query(
+    "ext_embedding_energy_profile",
+    """
+    WITH d AS (
+      SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings
+    ),
+    per_vec AS (
+      SELECT label, vec_id,
+             sum(CASE WHEN dim < 8  THEN CAST(x*x AS DECIMAL(30,22)) END) AS e8,
+             sum(CASE WHEN dim < 16 THEN CAST(x*x AS DECIMAL(30,22)) END) AS e16,
+             sum(CASE WHEN dim < 32 THEN CAST(x*x AS DECIMAL(30,22)) END) AS e32,
+             sum(CAST(x*x AS DECIMAL(30,22))) AS etot
+      FROM d GROUP BY label, vec_id
+    ),
+    r AS (
+      SELECT label,
+             CAST(e8 AS DOUBLE) / CAST(etot AS DOUBLE) AS r8,
+             CAST(e16 AS DOUBLE) / CAST(etot AS DOUBLE) AS r16,
+             CAST(e32 AS DOUBLE) / CAST(etot AS DOUBLE) AS r32
+      FROM per_vec WHERE CAST(etot AS DOUBLE) > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(r8 AS DECIMAL(18,12))) AS DOUBLE)
+                 / count(*), 6) AS energy_8,
+           round(CAST(sum(CAST(r16 AS DECIMAL(18,12))) AS DOUBLE)
+                 / count(*), 6) AS energy_16,
+           round(CAST(sum(CAST(r32 AS DECIMAL(18,12))) AS DOUBLE)
+                 / count(*), 6) AS energy_32,
+           round(CAST(sum(CAST(sqrt(r16) AS DECIMAL(18,12))) AS DOUBLE)
+                 / count(*), 6) AS trunc16_cos
+    FROM r GROUP BY label ORDER BY label
+    """,
+)
+def ext_embedding_energy_profile(spark, sf_dir):
+    """Matryoshka-style truncation audit of the embedding table: per
+    label, the mean fraction of squared-norm energy carried by the
+    first 8/16/32 dimensions, and the mean cosine between each vector
+    and its 16-dim truncation (= sqrt of the energy ratio) — the
+    dashboard that decides whether ANN serving can run on truncated
+    vectors (a 4x memory/compute cut) before committing to int8/PQ.
+
+    Scale: entirely map-side — each vector folds its own array slices
+    into exact DECIMAL energy sums (no per-dimension explode, no
+    shuffle beyond the final |labels|-group aggregate with map-side
+    partials). The oracle reaches the identical decimals through an
+    unnest + group (its only option), proving slice-fold and
+    explode-sum agree exactly."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("label", v.alias("v")).select(
+        "label",
+        _dec_sq_sum(F.slice("v", 1, 8)).alias("e8"),
+        _dec_sq_sum(F.slice("v", 1, 16)).alias("e16"),
+        _dec_sq_sum(F.slice("v", 1, 32)).alias("e32"),
+        _dec_sq_sum(F.col("v")).alias("etot"),
+    )
+    et = F.col("etot").cast("double")
+    rat = base.filter(et > 0).select(
+        "label",
+        (F.col("e8").cast("double") / et).alias("r8"),
+        (F.col("e16").cast("double") / et).alias("r16"),
+        (F.col("e32").cast("double") / et).alias("r32"),
+    )
+
+    def dmean(c):
+        return F.round(
+            F.sum(c.cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        rat.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            dmean(F.col("r8")).alias("energy_8"),
+            dmean(F.col("r16")).alias("energy_16"),
+            dmean(F.col("r32")).alias("energy_32"),
+            dmean(F.sqrt("r16")).alias("trunc16_cos"),
+        )
+        .orderBy("label")
+    )

@@ -114,3 +114,115 @@ def src_orc_roundtrip(spark, sf_dir):
         .orderBy("event_type")
     )
     return _finish(spark, out, tmp)
+
+
+@query(
+    "src_csv_malformed_audit",
+    """
+    WITH lines AS (
+      SELECT event_type, event_id, user_id,
+             CASE WHEN event_id % 17 = 0 THEN 'too_few'
+                  WHEN event_id % 13 = 0 THEN 'bad_field'
+                  WHEN event_id % 19 = 0 THEN 'too_many'
+                  ELSE 'valid' END AS cls,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN cls = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(sum(CASE WHEN cls = 'too_few' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_few,
+           CAST(sum(CASE WHEN cls = 'bad_field' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_field,
+           CAST(sum(CASE WHEN cls = 'too_many' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_many,
+           CAST(sum(CASE WHEN cls = 'valid' THEN cents END) AS BIGINT)
+             AS sum_cents_valid,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(CASE WHEN cls <> 'valid' THEN user_id END) AS BIGINT)
+             AS sum_user_corrupt
+    FROM lines GROUP BY event_type ORDER BY event_type
+    """,
+)
+def src_csv_malformed_audit(spark, sf_dir):
+    """PERMISSIVE-mode malformed-CSV ingestion audit, end-to-end: a CSV
+    is fabricated from events with deterministic corruption (every 17th
+    id drops a column, every 13th carries an unparseable number, every
+    19th an extra column), written to disk, read back with an EXPLICIT
+    schema + ``columnNameOfCorruptRecord``, and audited — corrupt rows
+    are CLASSIFIED from the captured raw payload (comma count) and
+    valid rows aggregated. The oracle predicts every count and the
+    valid-row sum relationally from the original table, so the hash
+    gate proves Spark's PERMISSIVE contract (any token-count or parse
+    anomaly -> _corrupt populated, parsed prefix retained; empty
+    fields -> plain NULLs) actually held on disk.
+
+    Scale: the write and read are ordinary distributed text/csv jobs
+    (one file per partition, no driver funnel); the audit is one
+    map-side classification feeding a |types|-group aggregate. This is
+    the quarantine-accounting step every 100 TB ingest runs before
+    trusting a feed."""
+    e = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base3 = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        "event_type",
+        F.col("user_id").cast("string"),
+    )
+    full = F.concat(base3, F.lit(","), F.coalesce(cents.cast("string"), F.lit("")))
+    line = (
+        F.when(F.col("event_id") % 17 == 0, base3)
+        .when(F.col("event_id") % 13 == 0, F.concat(base3, F.lit(",N/A")))
+        .when(F.col("event_id") % 19 == 0, F.concat(full, F.lit(",extra")))
+        .otherwise(full)
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_audit_")
+    path = os.path.join(tmp, "events_csv")
+    e.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, user_id long, cents long, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    n_commas = F.length("_corrupt") - F.length(
+        F.regexp_replace("_corrupt", ",", "")
+    )
+    cls = (
+        F.when(F.col("_corrupt").isNull(), "valid")
+        .when(n_commas == 2, "too_few")
+        .when(n_commas == 4, "too_many")
+        .otherwise("bad_field")
+    )
+    out = (
+        back.select(
+            "event_type", "event_id", "user_id", "cents", cls.alias("cls")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum((F.col("cls") == "valid").cast("int")).cast("bigint").alias("n_valid"),
+            F.sum((F.col("cls") == "too_few").cast("int")).cast("bigint").alias("n_too_few"),
+            F.sum((F.col("cls") == "bad_field").cast("int")).cast("bigint").alias("n_bad_field"),
+            F.sum((F.col("cls") == "too_many").cast("int")).cast("bigint").alias("n_too_many"),
+            F.sum(F.when(F.col("cls") == "valid", F.col("cents")))
+            .cast("bigint")
+            .alias("sum_cents_valid"),
+            # checksum aggregates over event_id/user_id double as the
+            # full-parse forcer: with CSV column pruning, token-count
+            # anomalies are only detected when every data column is
+            # required by the plan
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.when(F.col("cls") != "valid", F.col("user_id")))
+            .cast("bigint")
+            .alias("sum_user_corrupt"),
+        )
+        .orderBy("event_type")
+    )
+    return _finish(spark, out, tmp)

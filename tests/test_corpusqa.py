@@ -77,3 +77,18 @@ def test_int8_quantize_error_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.mse <= r.max_abs_err**2 + 1e-12
         assert 0.0 <= r.max_abs_err <= cap
+
+
+def test_embedding_energy_profile_monotone(spark, sf_dir):
+    from habits_etl_spark.plans.corpusqa import ext_embedding_energy_profile
+
+    rows = ext_embedding_energy_profile(spark, sf_dir).collect()
+    assert rows
+    total = t(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == total  # zero-norm vecs excluded only
+    for r in rows:
+        # nested prefixes: energy mass is monotone in k, bounded by 1
+        assert 0.0 < r.energy_8 <= r.energy_16 <= r.energy_32 <= 1.0 + 1e-9
+        # sqrt(r) >= r on [0,1], so mean cosine dominates mean energy
+        assert r.trunc16_cos >= r.energy_16 - 1e-9
+        assert r.trunc16_cos <= 1.0 + 1e-9
