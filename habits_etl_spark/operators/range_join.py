@@ -63,3 +63,54 @@ def point_in_interval_join(
     pt = binned_points[point_ts]
     residual = (pt >= binned_intervals[start_ts]) & (pt < binned_intervals[end_ts])
     return binned_points.join(binned_intervals, "__bin").filter(residual).drop("__bin")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_days: int = 7,
+) -> DataFrame:
+    """Join every ``a`` interval to every ``b`` interval it OVERLAPS
+    (half-open: ``a_start < b_end AND b_start < a_end``) without a
+    nested-loop plan — the interval x interval generalization of
+    :func:`point_in_interval_join`.
+
+    Both sides explode to the bins they cover and meet in an equi join
+    on ``__bin``. An overlapping pair shares every bin the overlap
+    region touches, which would duplicate it — so the residual keeps a
+    pair ONLY in the bin containing the overlap's start
+    (``greatest(a_start, b_start)``). Each true pair survives in exactly
+    one bin and no dedup shuffle is needed; the pair never meets in a
+    non-shared bin, and in the overlap-start bin both exploded rows are
+    guaranteed present (each side's interval covers its own start/end
+    bins, and the overlap start lies inside both intervals).
+
+    Scale: work is O(sum(len_a/bin) + sum(len_b/bin)) exploded rows into
+    one AQE-balanced hash join — candidate pairs are only those sharing
+    a time bin, so cost tracks TEMPORAL density (pairs actually near
+    each other), not |a| x |b|."""
+    a_b = a.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _day_bin(F.col(a_start), bin_days), _day_bin(F.col(a_end), bin_days)
+            )
+        ),
+    )
+    b_b = b.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _day_bin(F.col(b_start), bin_days), _day_bin(F.col(b_end), bin_days)
+            )
+        ),
+    )
+    overlaps = (a_b[a_start] < b_b[b_end]) & (b_b[b_start] < a_b[a_end])
+    anchor = F.col("__bin") == _day_bin(
+        F.greatest(a_b[a_start], b_b[b_start]), bin_days
+    )
+    return a_b.join(b_b, "__bin").filter(overlaps & anchor).drop("__bin")

@@ -1,0 +1,199 @@
+"""Wave 31 — shuffle-guard machinery: explicit Bloom-filter join
+pruning, a relational (mergeable) count-min sketch, and the
+interval x interval overlap join.
+
+These are the three "don't move the data" primitives a 100 TB join
+pipeline leans on: prune the fact scan before the shuffle with a
+bounded-size filter built from the dim side; answer frequency questions
+from a fixed-size mergeable sketch instead of a full groupBy over raw
+keys; and join time ranges to time ranges with cost proportional to
+temporal density rather than |A| x |B|.
+
+All three are pure built-in-expression DataFrame plans (no UDF of any
+kind); the Bloom and overlap queries are exact and DuckDB-oracle-gated,
+the CMS audit is rows-only (xxhash64 has no DuckDB equivalent) with its
+guarantees pytest-asserted in tests/test_sketchjoin.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from habits_etl_spark.operators.bloom import bloom_build, bloom_prune
+from habits_etl_spark.operators.cms import cms_build, cms_estimate, cms_merge
+from habits_etl_spark.operators.range_join import interval_overlap_join
+from habits_etl_spark.plans.common import dsum, query, sql_dsum, t
+
+# Bloom sizing for the urgent-orders key set: ~16 bits per expected key
+# at sf1-ish dim cardinality keeps the false-positive rate far below
+# the residual join's noise floor; at larger SF you grow num_bits
+# linearly with the expected distinct keys (the build stays a
+# bounded <= num_bits/64-row aggregate either way).
+_BLOOM_BITS = 1 << 16
+_BLOOM_HASHES = 5
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+
+
+@query(
+    "join_bloom_prune",
+    f"""
+    SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+    GROUP BY wk ORDER BY wk
+    """,
+)
+def join_bloom_prune(spark, sf_dir):
+    """Weekly revenue of a selective order subset, with the lineitem
+    scan Bloom-pruned BEFORE the join shuffle (operators/bloom.py).
+
+    The dim filter (1-URGENT, orderkey%7) keeps ~3% of orders — too
+    selective to justify shuffling all of lineitem, while at full scale
+    the surviving key set may still exceed a comfortable broadcast. The
+    Bloom filter is the middle path: the key set compresses to a
+    <= num_bits/64-word map built by one bounded aggregation, broadcast
+    as ONE row, and applied as a map-side codegen filter on the fact
+    scan, so the join shuffle moves only (true matches + epsilon false
+    positives). The final equi join restores exactness — a Bloom filter
+    has no false negatives — which is why this query can carry a plain
+    relational oracle.
+
+    This is the explicit, always-on form of Spark's runtime row-level
+    bloomFilter rewrite; making it an operator means ANY join can opt
+    in regardless of the optimizer's creation-side heuristics."""
+    o = t(spark, sf_dir, "orders")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 7 == 0)
+    ).select("o_orderkey", "o_orderdate")
+    bloom = bloom_build(dim, "o_orderkey", _BLOOM_BITS, _BLOOM_HASHES)
+    fact = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune(fact, "l_orderkey", bloom, _BLOOM_BITS, _BLOOM_HASHES)
+    joined = pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"])
+    return (
+        joined.groupBy(
+            F.date_format(F.date_trunc("WEEK", F.col("o_orderdate")), "yyyy-MM-dd").alias("wk")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("wk")
+    )
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH iva AS (
+      SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+             o_orderdate + (1 + o_orderkey % 28) * INTERVAL 1 DAY AS a_end
+      FROM orders WHERE o_orderkey % 293 = 0
+    ), ivb AS (
+      SELECT o_orderkey AS b_id, o_orderdate AS b_start,
+             o_orderdate + (1 + o_orderkey % 14) * INTERVAL 1 DAY AS b_end
+      FROM orders WHERE o_orderkey % 307 = 0
+    )
+    SELECT a_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(date_diff('day', greatest(a_start, b_start),
+                              least(a_end, b_end))) AS BIGINT) AS overlap_days
+    FROM iva JOIN ivb ON a_start < b_end AND b_start < a_end
+    GROUP BY a_id ORDER BY a_id
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (binned): which promo windows
+    (sample A) collide with which ops-freeze windows (sample B), with
+    total overlapping days per A window.
+
+    A naive ``a_start < b_end AND b_start < a_end`` join has no equi
+    key -> BroadcastNestedLoopJoin, O(|A| x |B|). The rewrite
+    (operators/range_join.py interval_overlap_join) explodes BOTH sides
+    to 7-day time bins and equi-joins on the bin; a pair that overlaps
+    shares every bin its overlap region touches, so the residual keeps
+    it only in the bin containing greatest(a_start, b_start) — each
+    true pair survives exactly once with NO dedup shuffle.
+
+    Scale: exploded rows ~ sum(len/bin) per side into one AQE-balanced
+    hash join; candidate pairs are those sharing a time bin, so cost
+    tracks temporal density, never the cross product."""
+    o = t(spark, sf_dir, "orders")
+    iva = o.filter(F.col("o_orderkey") % 293 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_start"),
+        F.expr(
+            "timestampadd(DAY, CAST(1 + o_orderkey % 28 AS INT), o_orderdate)"
+        ).alias("a_end"),
+    )
+    ivb = o.filter(F.col("o_orderkey") % 307 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        F.col("o_orderdate").alias("b_start"),
+        F.expr(
+            "timestampadd(DAY, CAST(1 + o_orderkey % 14 AS INT), o_orderdate)"
+        ).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        iva, ivb, "a_start", "a_end", "b_start", "b_end", bin_days=7
+    )
+    return (
+        pairs.groupBy("a_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum(
+                F.datediff(
+                    F.least(F.col("a_end"), F.col("b_end")).cast("date"),
+                    F.greatest(F.col("a_start"), F.col("b_start")).cast("date"),
+                )
+            ).cast("bigint").alias("overlap_days"),
+        )
+        .orderBy("a_id")
+    )
+
+
+@query("agg_cms_heavy_hitters")  # no oracle: xxhash64 cells are not SQL-portable
+def agg_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency audit over event users
+    (operators/cms.py): per-event-type PARTIAL sketches built in one
+    bounded groupBy each, merged by cell-wise re-aggregation (the CMS
+    mergeability property — the same partial/final shape as Spark's own
+    aggregates), then probed for the exact top-10 users so the
+    guaranteed-overestimate property is visible row by row.
+
+    Output per candidate: exact_n (ground truth), est_n (sketch
+    estimate from the MERGED sketch), overcount = est_n - exact_n
+    (>= 0 always; <= eps*N w.p. 1-delta with eps=e/width,
+    delta=e^-depth). Rows-only by design — the cell layout depends on
+    xxhash64, which DuckDB cannot reproduce; the estimate bounds and
+    the merge==direct-build equivalence are asserted in
+    tests/test_sketchjoin.py instead.
+
+    Scale: raw events never leave their partitions unreduced — each
+    partial sketch is <= depth*width rows regardless of user
+    cardinality, so per-source/per-day sketches roll up over any time
+    range without re-reading raw data. That rollup-reuse is the whole
+    reason to keep a sketch table next to a 100 TB event log."""
+    e = t(spark, sf_dir, "events")
+    partials = cms_build(
+        e, "user_id", _CMS_DEPTH, _CMS_WIDTH, group_cols=["event_type"]
+    )
+    merged = cms_merge(partials)
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(merged, exact, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    return est.select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    ).orderBy("user_id")
