@@ -2,8 +2,12 @@
 the serving store, etl/etl_habits.py:1,45). The engine's native storage is
 Parquet; JDBC is a thin egress for dashboards that need a SQL endpoint.
 
-Gated behind driver availability — the container ships no JDBC drivers, so
-these raise a clear error instead of failing deep inside py4j."""
+Gated behind driver availability: no Postgres jar ships in this
+container, so a missing driver raises a clear error instead of failing
+deep inside py4j. The code path itself IS executed in CI — Spark bundles
+Derby, and tests/test_jdbc_sink.py drives write_jdbc/read_jdbc (including
+the partitioned parallel scan) against an embedded Derby database, which
+exercises the identical DataFrameWriter.jdbc machinery."""
 
 from __future__ import annotations
 
