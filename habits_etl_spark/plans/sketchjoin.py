@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from habits_etl_spark.operators.bloom import bloom_build, bloom_prune
 from habits_etl_spark.operators.cms import cms_build, cms_estimate, cms_merge
 from habits_etl_spark.operators.range_join import interval_overlap_join
-from habits_etl_spark.plans.common import dsum, query, sql_dsum, t
+from habits_etl_spark.plans.common import query, t
 
 # Bloom sizing for the urgent-orders key set: ~16 bits per expected key
 # at sf1-ish dim cardinality keeps the false-positive rate far below
@@ -41,7 +41,8 @@ _CMS_WIDTH = 512
     f"""
     SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
            CAST(count(*) AS BIGINT) AS n_lines,
-           {sql_dsum('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6)))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
     GROUP BY wk ORDER BY wk
@@ -81,9 +82,21 @@ def join_bloom_prune(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            # exact decimal revenue: cast FACTORS (not the double product),
+            # and round the DECIMAL sum BEFORE the double cast — rounding
+            # the double instead hits engine-divergent ties when the exact
+            # cent value has no exact binary representation (observed: one
+            # week at sf0.1 off by $0.01 the other way)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (
+                        F.lit(1).cast("decimal(12,6)")
+                        - F.col("l_discount").cast("decimal(12,6)")
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue"),
         )
         .orderBy("wk")
     )
