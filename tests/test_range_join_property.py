@@ -64,3 +64,43 @@ def test_morton_interleave_is_bijective(spark):
     ).collect()[0]
     assert stats.n == side * side
     assert stats.lo == 0 and stats.hi == side * side - 1
+
+
+@st.composite
+def two_interval_sets(draw):
+    def some_intervals(n_max):
+        out = []
+        for i in range(draw(st.integers(1, n_max))):
+            start = draw(st.integers(0, 24 * 60))
+            length = draw(st.integers(0, 24 * 21))  # incl. zero-length
+            out.append((i, _dtm(start), _dtm(start + length)))
+        return out
+
+    return some_intervals(5), some_intervals(4)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=two_interval_sets(), bin_days=st.sampled_from([1, 3, 7, 30]))
+def test_overlap_join_equals_naive_theta_join(spark, data, bin_days):
+    """interval_overlap_join == naive overlap theta join on arbitrary
+    inputs — every true pair exactly once (the overlap-start-bin anchor
+    argument), zero-length and boundary-touching intervals included
+    (half-open: touching endpoints do NOT overlap)."""
+    from habits_etl_spark.operators.range_join import interval_overlap_join
+
+    ivs_a, ivs_b = data
+    a = spark.createDataFrame(ivs_a, "a_id int, a_s timestamp, a_e timestamp")
+    b = spark.createDataFrame(ivs_b, "b_id int, b_s timestamp, b_e timestamp")
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bin_days=bin_days
+        ).collect()
+    )
+    naive = sorted(
+        (a_id, b_id)
+        for a_id, a_s, a_e in ivs_a
+        for b_id, b_s, b_e in ivs_b
+        if a_s < b_e and b_s < a_e
+    )
+    assert got == naive
