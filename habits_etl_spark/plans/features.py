@@ -520,3 +520,60 @@ def ext_time_split_embargo(spark, sf_dir):
             F.col("n_users_seen_in_train").cast("double") / F.col("n_users"), 6
         ).alias("user_overlap_with_train"),
     ).orderBy("split")
+
+
+@query(
+    "agg_decay_counters",
+    """
+    WITH mx AS (SELECT max(ts) AS t_ref FROM events),
+    terms AS (
+      SELECT user_id,
+             CAST(round(exp(-date_diff('day', CAST(ts AS DATE),
+                                       CAST(t_ref AS DATE)) / 7.0), 9)
+                  AS DECIMAL(18,9)) AS w
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(w), 6) AS DOUBLE) AS frecency
+    FROM terms GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_decay_counters(spark, sf_dir):
+    """Exponentially decayed per-user activity counter ("frecency"):
+    sum over events of exp(-days_ago / 7), anchored at the corpus max
+    timestamp — the feature-store staple that favors recent engagement
+    without a cutoff cliff. One scalar cross join for the anchor (the
+    registry's 1-row broadcast pattern), then a single hash aggregate.
+
+    Cross-engine determinism: the decay argument is the DAY-grain age,
+    so the exp() input set is small and discrete; each term is rounded
+    to 9 dp and cast to DECIMAL before summation (rule-1 exact sums),
+    making the result independent of partial-aggregation order — the
+    only residual risk would be a libm-vs-JVM exp() tie at the 9th
+    decimal on one of the few thousand distinct ages, which the
+    both-SF oracle gate would surface deterministically.
+
+    Scale: anchor broadcast + one groupBy(user_id) — partial aggregates
+    map-side; no window, no per-user state."""
+    e = t(spark, sf_dir, "events")
+    t_ref = e.agg(F.max("ts").alias("t_ref"))
+    terms = e.crossJoin(F.broadcast(t_ref)).select(
+        "user_id",
+        F.round(
+            F.exp(
+                -F.datediff(F.col("t_ref").cast("date"), F.col("ts").cast("date"))
+                / F.lit(7.0)
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("w"), 6).cast("double").alias("frecency"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,18 +1,20 @@
-"""Wave 31 — shuffle-guard machinery: explicit Bloom-filter join
-pruning, a relational (mergeable) count-min sketch, and the
-interval x interval overlap join.
+"""Waves 31-32 — shuffle-guard machinery: explicit Bloom-filter join
+pruning, a relational (mergeable) count-min sketch, the
+interval x interval overlap join, and the salted hot-key join.
 
-These are the three "don't move the data" primitives a 100 TB join
-pipeline leans on: prune the fact scan before the shuffle with a
-bounded-size filter built from the dim side; answer frequency questions
-from a fixed-size mergeable sketch instead of a full groupBy over raw
-keys; and join time ranges to time ranges with cost proportional to
-temporal density rather than |A| x |B|.
+These are the "don't move the data (or move it evenly)" primitives a
+100 TB join pipeline leans on: prune the fact scan before the shuffle
+with a bounded-size filter built from the dim side; answer frequency
+questions from a fixed-size mergeable sketch instead of a full groupBy
+over raw keys; join time ranges to time ranges with cost proportional
+to temporal density rather than |A| x |B|; and spread a whale key over
+n reducers without changing the join's result.
 
-All three are pure built-in-expression DataFrame plans (no UDF of any
-kind); the Bloom and overlap queries are exact and DuckDB-oracle-gated,
-the CMS audit is rows-only (xxhash64 has no DuckDB equivalent) with its
-guarantees pytest-asserted in tests/test_sketchjoin.py.
+All are pure built-in-expression DataFrame plans (no UDF of any kind);
+the Bloom, overlap, and salted queries are exact and
+DuckDB-oracle-gated, the CMS audit is rows-only (xxhash64 has no DuckDB
+equivalent) with its guarantees pytest-asserted in
+tests/test_sketchjoin.py.
 """
 
 from __future__ import annotations
@@ -210,3 +212,68 @@ def agg_cms_heavy_hitters(spark, sf_dir):
         "est_n",
         (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
     ).orderBy("user_id")
+
+
+@query(
+    "join_skew_salted",
+    """
+    WITH big AS (
+      SELECT event_id, value,
+             CASE WHEN event_id % 10 < 7 THEN 'organic'
+                  ELSE 'ch_' || CAST(event_id % 23 AS VARCHAR) END AS channel
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT channel FROM big)
+    SELECT b.channel, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(b.value AS DECIMAL(18,6))
+                 * CAST(length(d.channel) AS DECIMAL(6,0))) AS DOUBLE), 4) AS wsum
+    FROM big b JOIN dim d ON b.channel = d.channel
+    GROUP BY b.channel ORDER BY b.channel
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Hot-key join through the SALTED plan (operators/skew.py), result
+    exact and oracle-gated — the correctness half of the bench's
+    skew-stress section (which measures the same machinery's partition
+    balance; BENCH_DETAIL.json skew_stress).
+
+    The derived channel key puts ~70% of all events on one value
+    ('organic') — the classic whale key that would pin a vanilla
+    shuffled join to one reducer. salted_join spreads it: the big side
+    salts by hash(event_id) into 16 buckets, the dim side replicates
+    16x, and the join key becomes (channel, salt). The oracle knows
+    nothing of salts — same rows either way, which is exactly the claim
+    this query gates.
+
+    Scale: the 16-way spread caps any reducer at ~hot_share/16 of rows
+    (bench-measured max-partition share 0.515 -> 0.079); AQE skew
+    splitting is the adaptive alternative, salting the deterministic
+    one — this registry exercises both (session.py enables AQE)."""
+    from habits_etl_spark.operators.skew import salted_join
+
+    e = t(spark, sf_dir, "events")
+    big = e.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 < 7, F.lit("organic"))
+        .otherwise(F.concat(F.lit("ch_"), (F.col("event_id") % 23).cast("string")))
+        .alias("channel"),
+    )
+    dim = big.select("channel").distinct()
+    joined = salted_join(
+        big, dim, key="channel", n_salts=16, how="inner", salt_source="event_id"
+    )
+    return (
+        joined.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(
+                    F.col("value").cast("decimal(18,6)")
+                    * F.length("channel").cast("decimal(6,0)")
+                ).cast("double"),
+                4,
+            ).alias("wsum"),
+        )
+        .orderBy("channel")
+    )
