@@ -267,6 +267,36 @@ def main():
         if max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD:
             steal_queries.append(name)
 
+    # Sidecar-only Bloom-pruning A/B (plans/sketchjoin.py): the same
+    # selective fact-dim join pinned to a MERGE (shuffle) join — the
+    # shape a can't-broadcast dim forces — with and without the fact
+    # side Bloom-pruned before the shuffle. Wall time at local[32] is
+    # reported HONESTLY even though it favors the unpruned plan (a
+    # single-host shuffle is an in-memory copy, so the probe overhead
+    # isn't bought back); the cluster-scale quantity is rows_into_join_
+    # shuffle, where the filter cuts the fact side by ~33x with an
+    # identical result. Not part of any headline total.
+    from habits_etl_spark.plans.sketchjoin import (
+        bloom_ab_plain,
+        bloom_ab_pruned,
+        _bloom_ab_inputs,
+    )
+
+    ab_plain = round(statistics.median(time_query(bloom_ab_plain)), 3)
+    ab_pruned = round(statistics.median(time_query(bloom_ab_pruned)), 3)
+    _dim, _fact = _bloom_ab_inputs(spark, bench_dir)
+    from habits_etl_spark.operators.bloom import bloom_build, bloom_prune
+
+    _bloom = bloom_build(_dim, "o_orderkey")
+    bloom_ab = {
+        "plain_sec_median": ab_plain,
+        "pruned_sec_median": ab_pruned,
+        "fact_rows_into_join_shuffle_plain": _fact.count(),
+        "fact_rows_into_join_shuffle_pruned": bloom_prune(
+            _fact, "l_orderkey", _bloom
+        ).count(),
+    }
+
     cal_post_samples = calibrate()
     cal_post = round(statistics.median(cal_post_samples), 3)
     total = round(sum(timings.values()), 3)
@@ -310,6 +340,7 @@ def main():
             "headline2_repetitions": headline2_reps,
             "skew_stress": skew,
             "skew_agg": skew_agg,
+            "bloom_ab": bloom_ab,
             "curation": curation,
             "curation_repetitions": curation_reps,
             "probe_baseline_sec": PROBE_BASELINE_SEC,

@@ -277,3 +277,45 @@ def join_skew_salted(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+def _bloom_ab_inputs(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 7 == 0)
+    ).select("o_orderkey")
+    fact = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return dim, fact
+
+
+def bloom_ab_plain(spark, sf_dir):
+    """Bench-only A/B baseline (not registered): the same selective join
+    as join_bloom_prune with the dim pinned to a MERGE (shuffle) join —
+    the plan shape a 100 TB dim forces once it exceeds the broadcast
+    threshold. The ENTIRE fact table shuffles."""
+    dim, fact = _bloom_ab_inputs(spark, sf_dir)
+    joined = fact.join(
+        dim.hint("merge"), fact["l_orderkey"] == dim["o_orderkey"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("q"),
+    )
+
+
+def bloom_ab_pruned(spark, sf_dir):
+    """Bench-only A/B treatment (not registered): identical MERGE join,
+    but the fact side is Bloom-pruned BEFORE the shuffle — only
+    (matches + epsilon fp) rows shuffle instead of the whole table. The
+    delta between this and bloom_ab_plain is the pruning's value in the
+    can't-broadcast regime; recorded in BENCH_DETAIL.json bloom_ab."""
+    dim, fact = _bloom_ab_inputs(spark, sf_dir)
+    bloom = bloom_build(dim, "o_orderkey", _BLOOM_BITS, _BLOOM_HASHES)
+    pruned = bloom_prune(fact, "l_orderkey", bloom, _BLOOM_BITS, _BLOOM_HASHES)
+    joined = pruned.join(
+        dim.hint("merge"), pruned["l_orderkey"] == dim["o_orderkey"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("q"),
+    )
