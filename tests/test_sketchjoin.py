@@ -92,3 +92,14 @@ def test_interval_overlap_matches_naive(spark, bin_days):
         .collect()
     )
     assert got == naive  # exact pair set, each pair exactly once
+
+
+def test_bloom_ab_variants_agree(spark, sf_dir):
+    """The bench's bloom_ab section compares wall time and shuffle input
+    of two plans that MUST be result-identical — pin that here so the
+    A/B can never silently drift into comparing different answers."""
+    from habits_etl_spark.plans.sketchjoin import bloom_ab_plain, bloom_ab_pruned
+
+    plain = bloom_ab_plain(spark, sf_dir).collect()
+    pruned = bloom_ab_pruned(spark, sf_dir).collect()
+    assert plain == pruned
