@@ -8,11 +8,24 @@ BENCH_r04.json went "parsed: null" when this line outgrew the capture):
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 The FULL record (per-repetition arrays, min timings, curation section,
-skew stress) is written to the sidecar file BENCH_DETAIL.json next to
-this script; each round's copy is committed as BENCH_LOCAL_r{N}.json.
+skew stress) is written to the sidecar file BENCH_DETAIL_<git-head>.json
+next to this script. The per-HEAD name (gitignored) keeps a driver bench
+run from clobbering the committed accepted record — round 5's official
+run overwrote BENCH_DETAIL.json in the tracked tree; each round's
+accepted copy is committed as BENCH_LOCAL_r{N}.json only.
 
 Each query is forced with a noop-format write (full plan execution, no
-driver collect, no result materialization cost)."""
+driver collect, no result materialization cost).
+
+Steal recovery (round 6): the repetition-spread check doesn't just FLAG
+host CPU steal anymore — when a query's max/min rep spread exceeds the
+threshold, that query is re-run up to STEAL_RETRIES more times and the
+first clean repetition set is published (the retry count is recorded
+per-query in steal_retries). BENCH_r05.json recorded 16.0 s because one
+burst hit sink_upsert_events for a single 3.8 s rep and the protocol
+published the polluted median anyway; two independent clean runs agreed
+on ~11.0-11.9 s. steal_suspected is now true only if a query stays
+dirty after its retries."""
 
 from __future__ import annotations
 
@@ -215,23 +228,55 @@ def main():
         return reps
 
     STEAL_SPREAD = 3.0
-    timings: dict[str, float] = {}
-    timings_min: dict[str, float] = {}
-    reps_all: dict[str, list[float]] = {}
+    # Bounded per-query retries when a repetition set trips the spread
+    # check: a steal burst is transient, so a clean re-run recovers the
+    # query's true median instead of publishing the polluted one. A host
+    # under SUSTAINED steal fails all retries — then the flag stays set
+    # and the calibration probe is the corrective lens.
+    STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+
+    def _dirty(reps: list[float]) -> bool:
+        return max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD
+
     steal_queries: list[str] = []
-    for name in HEADLINE:
-        reps = time_query(QUERIES[name])
-        reps_all[name] = reps
-        timings[name] = round(statistics.median(reps), 3)
-        timings_min[name] = round(min(reps), 3)
-        if max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD:
-            steal_queries.append(name)
+    steal_retries: dict[str, int] = {}
+    dirty_reps: dict[str, list[list[float]]] = {}
+
+    def measure(name: str, fn) -> list[float]:
+        """repeat-rep timing with bounded steal recovery; every discarded
+        dirty repetition set is preserved in the sidecar (dirty_reps)."""
+        reps = time_query(fn)
+        tries = 0
+        while _dirty(reps) and tries < STEAL_RETRIES:
+            tries += 1
+            dirty_reps.setdefault(name, []).append(reps)
             print(
                 f"WARNING: {name} repetition spread {min(reps)}..{max(reps)} s "
                 f"exceeds {STEAL_SPREAD}x — host CPU steal suspected; "
+                f"re-running (retry {tries}/{STEAL_RETRIES})",
+                file=sys.stderr,
+            )
+            reps = time_query(fn)
+        if tries:
+            steal_retries[name] = tries
+        if _dirty(reps):
+            steal_queries.append(name)
+            print(
+                f"WARNING: {name} still dirty after {tries} retries "
+                f"({min(reps)}..{max(reps)} s) — steal_suspected set; "
                 "median reported, inspect repetitions[] in the JSON",
                 file=sys.stderr,
             )
+        return reps
+
+    timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    reps_all: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        reps = measure(name, QUERIES[name])
+        reps_all[name] = reps
+        timings[name] = round(statistics.median(reps), 3)
+        timings_min[name] = round(min(reps), 3)
 
     # Non-headline: skew-stress section (hot-key join, AQE vs salted;
     # see habits_etl_spark/plans/skew_stress.py). Reported, not part of
@@ -248,12 +293,10 @@ def main():
     headline2_min: dict[str, float] = {}
     headline2_reps: dict[str, list[float]] = {}
     for name in HEADLINE2:
-        reps = time_query(QUERIES[name])
+        reps = measure(name, QUERIES[name])
         headline2_reps[name] = reps
         headline2[name] = round(statistics.median(reps), 3)
         headline2_min[name] = round(min(reps), 3)
-        if max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD:
-            steal_queries.append(name)
 
     # Non-headline: curation-op timings (round-3 additions). Reported for
     # scale evidence; excluded from the headline total so the headline
@@ -261,11 +304,9 @@ def main():
     curation = {}
     curation_reps: dict[str, list[float]] = {}
     for name in CURATION:
-        reps = time_query(QUERIES[name])
+        reps = measure(name, QUERIES[name])
         curation_reps[name] = reps
         curation[name] = round(statistics.median(reps), 3)
-        if max(reps) / max(min(reps), 1e-9) > STEAL_SPREAD:
-            steal_queries.append(name)
 
     # Sidecar-only Bloom-pruning A/B (plans/sketchjoin.py): the same
     # selective fact-dim join pinned to a MERGE (shuffle) join — the
@@ -288,6 +329,15 @@ def main():
     from habits_etl_spark.operators.bloom import bloom_build, bloom_prune
 
     _bloom = bloom_build(_dim, "o_orderkey")
+    # The cluster-scale quantity, now measured rather than argued: total
+    # shuffle BYTES written by each variant's execution (read from the
+    # SQL status store — habits_etl_spark/metrics.py). Rows say the
+    # filter cuts the fact side ~32x; bytes say what the network (the
+    # scarce resource a 1000-executor shuffle actually pays) saves.
+    from habits_etl_spark.metrics import run_with_shuffle_metrics
+
+    ab_plain_m = run_with_shuffle_metrics(spark, bloom_ab_plain(spark, bench_dir))
+    ab_pruned_m = run_with_shuffle_metrics(spark, bloom_ab_pruned(spark, bench_dir))
     bloom_ab = {
         "plain_sec_median": ab_plain,
         "pruned_sec_median": ab_pruned,
@@ -295,6 +345,10 @@ def main():
         "fact_rows_into_join_shuffle_pruned": bloom_prune(
             _fact, "l_orderkey", _bloom
         ).count(),
+        "plain_shuffle_bytes": ab_plain_m["shuffle_bytes_written"],
+        "pruned_shuffle_bytes": ab_pruned_m["shuffle_bytes_written"],
+        "plain_shuffle_records": ab_plain_m["shuffle_records_written"],
+        "pruned_shuffle_records": ab_pruned_m["shuffle_records_written"],
     }
 
     cal_post_samples = calibrate()
@@ -309,6 +363,23 @@ def main():
         round(statistics.median(cal_pre_samples + cal_post_samples), 3), 1e-9
     )
     calibrated = round(total * (PROBE_BASELINE_SEC / probe_observed), 3)
+
+    # Per-HEAD sidecar name: a driver bench run must never clobber the
+    # committed accepted record (BENCH_LOCAL_r{N}.json). The pattern is
+    # gitignored, so `git status` stays clean after any bench run.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short=8", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "nohead"
+    except Exception:
+        head = "nohead"
+    detail_name = f"BENCH_DETAIL_{head}.json"
 
     # Compact line for the driver (stdout tail capture — keep < 2 KB)
     compact = {
@@ -325,7 +396,8 @@ def main():
         "queries": timings,
         "headline2_total": round(sum(headline2.values()), 3),
         "sf": sf,
-        "detail_file": "BENCH_DETAIL.json",
+        "steal_retried": sorted(steal_retries),
+        "detail_file": detail_name,
     }
     # Full record to the sidecar (committed per-round as
     # BENCH_LOCAL_r{N}.json) — everything the compact line drops.
@@ -335,6 +407,8 @@ def main():
             "queries_min": timings_min,
             "repetitions": reps_all,
             "steal_queries": steal_queries,
+            "steal_retries": steal_retries,
+            "steal_discarded_repetitions": dirty_reps,
             "headline2": headline2,
             "headline2_min": headline2_min,
             "headline2_repetitions": headline2_reps,
@@ -350,13 +424,13 @@ def main():
         }
     )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     line = json.dumps(compact)
     if len(line) > 2048:  # never let the driver line overflow again
-        for k in ("queries", "headline2_total", "layout_prep_sec"):
+        for k in ("queries", "headline2_total", "layout_prep_sec", "steal_retried"):
             compact.pop(k, None)
         line = json.dumps(compact)
     print(line)

@@ -29,6 +29,15 @@ the key side — and the probe is a map-side filter on the fact scan, so
 the expensive join shuffles only surviving rows. This is the manual
 form of the semi-join reduction every distributed engine reaches for
 when the dimension filter is selective but too big to broadcast whole.
+
+The network win is MEASURED, not argued: the bench's ``bloom_ab``
+section (BENCH_DETAIL sidecar) records execution-level shuffle bytes +
+records for the same pinned merge join with and without the prune
+(habits_etl_spark/metrics.py reads them from the SQL status store).
+Single-host wall time still favors the unpruned plan — a local shuffle
+is an in-memory copy — but the recorded bytes delta is what a
+1000-executor shuffle pays the network for; see also the constraint-
+propagation nuance documented on plans/sketchjoin.py bloom_ab_plain.
 """
 
 from __future__ import annotations

@@ -292,7 +292,18 @@ def bloom_ab_plain(spark, sf_dir):
     """Bench-only A/B baseline (not registered): the same selective join
     as join_bloom_prune with the dim pinned to a MERGE (shuffle) join —
     the plan shape a 100 TB dim forces once it exceeds the broadcast
-    threshold. The ENTIRE fact table shuffles."""
+    threshold.
+
+    Measured nuance (r6, execution-level shuffle metrics): the fact side
+    does NOT shuffle whole even here — Catalyst's constraint propagation
+    infers ``l_orderkey % 7 = 0`` from the equi-key plus the dim's
+    deterministic mod predicate and pushes it to the fact scan, a 7x
+    prune for free. What the Bloom adds on top is the NON-INFERABLE half
+    of the dim filter (o_orderpriority = '1-URGENT' has no fact-side
+    expression), which is exactly the general case: most dim filters are
+    on dim attributes no constraint rule can transpose. The recorded
+    bloom_ab bytes therefore compare inferred-predicate-only (plain) vs
+    inferred + Bloom (pruned) — the honest denominator."""
     dim, fact = _bloom_ab_inputs(spark, sf_dir)
     joined = fact.join(
         dim.hint("merge"), fact["l_orderkey"] == dim["o_orderkey"]
