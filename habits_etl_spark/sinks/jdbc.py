@@ -46,6 +46,37 @@ def write_jdbc(
     ).save()
 
 
+def jdbc_column_ddl(spark: SparkSession, schema, url: str) -> dict[str, str]:
+    """Resolve the column -> database-type mapping Spark's JDBC writer
+    would emit for ``schema`` against the dialect registered for ``url``
+    (``JdbcDialects.get``), falling back to the common JDBC mapping when
+    the dialect is silent — exactly the resolution order
+    ``JdbcUtils.getJdbcType`` applies inside ``df.write.jdbc``.
+
+    No server required: the dialect's type mapping is pure driver-side
+    logic, so the Postgres deployment's DDL (reference sql/001_schema.sql
+    :7-23 — ``timestamptz``/``text``/``double precision``/``bytea``) can
+    be pinned by a unit test even though no Postgres jar ships here
+    (tests/test_jdbc_sink.py::test_postgres_dialect_ddl)."""
+    jvm = spark._jvm  # type: ignore[union-attr]
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    jschema = spark._jsparkSession.parseDataType(schema.json())  # type: ignore[union-attr]
+    out: dict[str, str] = {}
+    it = jschema.iterator()
+    while it.hasNext():
+        field = it.next()
+        dt = field.dataType()
+        opt = dialect.getJDBCType(dt)
+        if not opt.isDefined():
+            opt = jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.getCommonJDBCType(
+                dt
+            )
+        if not opt.isDefined():
+            raise ValueError(f"no JDBC type for column {field.name()}: {dt}")
+        out[field.name()] = opt.get().databaseTypeDefinition()
+    return out
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
