@@ -142,7 +142,7 @@ def bmp_pixel_feature(arr: np.ndarray) -> list[float]:
     return [float(x) for x in head + hist.tolist()]
 
 
-def _gen_bmp(media_id: int) -> bytes:
+def _gen_pixels(media_id: int) -> np.ndarray:
     """Deterministic gradient image for media_id (the synthetic 'real
     pixels' source: size and channel ramps all derive from the id)."""
     w = 8 + media_id % 9
@@ -151,13 +151,19 @@ def _gen_bmp(media_id: int) -> bytes:
     r = (xx * 31 + media_id) % 256
     g = (yy * 57 + 2 * media_id) % 256
     b = (xx + yy + 3 * media_id) % 256
-    return encode_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _gen_bmp(media_id: int) -> bytes:
+    return encode_bmp(_gen_pixels(media_id))
 
 
 def with_real_images(df: DataFrame) -> DataFrame:
-    """Replace image-kind payloads with real generated 24-bit BMPs
-    (deterministic per media_id), Arrow-batched — the synthetic table
-    then carries genuinely decodable pixels through the pipeline."""
+    """Replace image-kind payloads with real generated images —
+    alternating container per media_id parity (even: 24-bit BMP, odd:
+    filtered+zlib PNG) over the SAME deterministic pixel field
+    (_gen_pixels) — Arrow-batched, so the synthetic table carries
+    genuinely decodable pixels through BOTH real image codecs."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -165,16 +171,189 @@ def with_real_images(df: DataFrame) -> DataFrame:
             if is_img.any():
                 content = pdf["content"].copy()
                 content[is_img] = pdf.loc[is_img, "media_id"].map(
-                    lambda m: _gen_bmp(int(m))
+                    lambda m: _gen_bmp(int(m)) if int(m) % 2 == 0 else _gen_png(int(m))
+                )
+                mime = pdf.loc[is_img, "media_id"].map(
+                    lambda m: "image/bmp" if int(m) % 2 == 0 else "image/png"
                 )
                 pdf = pdf.assign(
                     content=content,
                     n_bytes=content.map(len).astype("int64"),
-                    mime=pdf["mime"].mask(is_img, "image/bmp"),
+                    mime=pdf["mime"].mask(is_img, mime),
                 )
             yield pdf
 
     return df.mapInPandas(batches, df.schema)
+
+
+# --- real codec: PNG (pure stdlib zlib + numpy) ------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int | None = None) -> bytes:
+    """uint8 image -> PNG bytes. Accepts (h, w) grayscale, (h, w, 3) RGB
+    or (h, w, 4) RGBA (color types 0 / 2 / 6, bit depth 8, no
+    interlace). ``filter_type`` pins one scanline filter 0-4; None
+    cycles ``row % 5`` so a round-trip exercises every filter's
+    reconstruction path (Sub/Up/Average/Paeth included). Used by tests
+    and the synthetic-media generator so decode sees real zlib-
+    compressed, filtered scanlines."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    a = arr.astype(np.int64)  # filter math is mod-256 on ints
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        row = a[y]
+        ft = (y % 5) if filter_type is None else filter_type
+        left = np.vstack([np.zeros((1, ch), dtype=np.int64), row[:-1]])
+        upleft = np.vstack([np.zeros((1, ch), dtype=np.int64), prev[:-1]])
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = row - left
+        elif ft == 2:
+            out = row - prev
+        elif ft == 3:
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            out = row - _paeth(left, prev, upleft)
+        raw.append(ft)
+        raw += (out % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (RFC 2083 §6.6)."""
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+
+
+def decode_png(data: bytes) -> np.ndarray | None:
+    """PNG -> HxWx3 uint8 RGB array, or None if the payload is not a PNG
+    this parser supports. Pure-stdlib: zlib inflate + the five scanline
+    filters reconstructed per RFC 2083. Supported: bit depth 8, color
+    types 0 (gray, replicated to RGB), 2 (RGB) and 6 (RGBA, alpha
+    dropped), no interlace, any number of IDAT chunks; chunk CRCs are
+    verified so corrupt payloads are rejected rather than mis-parsed.
+    Palette/16-bit/interlaced files return None (the PIL path in a full
+    container)."""
+    import zlib
+
+    if len(data) < len(_PNG_SIG) + 25 or data[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos = len(_PNG_SIG)
+    w = h = 0
+    channels = 0
+    idat = bytearray()
+    saw_ihdr = False
+    while pos + 12 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            return None
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (
+                depth != 8
+                or color_type not in (0, 2, 6)
+                or comp != 0
+                or filt != 0
+                or interlace != 0
+                or w <= 0
+                or h <= 0
+            ):
+                return None
+            channels = {0: 1, 2: 3, 6: 4}[color_type]
+            saw_ihdr = True
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if not saw_ihdr or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, w, channels), dtype=np.int64)
+    zero_row = np.zeros((w, channels), dtype=np.int64)
+    for y in range(h):
+        ft = lines[y, 0]
+        cur = lines[y, 1:].reshape(w, channels).astype(np.int64)
+        prev = out[y - 1] if y > 0 else zero_row
+        if ft == 0:
+            row = cur
+        elif ft == 1:
+            row = cur.copy()
+            for x in range(1, w):  # sequential: depends on reconstructed left
+                row[x] = (row[x] + row[x - 1]) % 256
+        elif ft == 2:
+            row = (cur + prev) % 256
+        elif ft == 3:
+            row = cur.copy()
+            row[0] = (row[0] + prev[0] // 2) % 256
+            for x in range(1, w):
+                row[x] = (row[x] + (row[x - 1] + prev[x]) // 2) % 256
+        elif ft == 4:
+            row = cur.copy()
+            row[0] = (row[0] + _paeth(zero_row[:1], prev[:1], zero_row[:1])[0]) % 256
+            for x in range(1, w):
+                row[x] = (
+                    row[x]
+                    + _paeth(row[x - 1 : x], prev[x : x + 1], prev[x - 1 : x])[0]
+                ) % 256
+        else:
+            return None
+        out[y] = row
+    rgb = out.astype(np.uint8)
+    if channels == 1:
+        rgb = rgb.repeat(3, axis=-1)
+    elif channels == 4:
+        rgb = rgb[:, :, :3]
+    return np.ascontiguousarray(rgb)
+
+
+def _gen_png(media_id: int) -> bytes:
+    """Deterministic gradient image for media_id as a PNG — the same
+    pixel field as _gen_bmp (via _gen_pixels), filters cycling per
+    scanline, so odd-id image payloads flow real compressed PNG data."""
+    return encode_png(_gen_pixels(media_id))
 
 
 # --- real codec: 16-bit PCM WAV / RIFF (pure stdlib + numpy) -----------------
@@ -313,10 +492,10 @@ def _decode_stub(header: bytes) -> tuple[int, int, int]:
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode stage: mapInPandas over Arrow batches of binary payloads.
-    BMP payloads decode to REAL pixel dimensions (decode_bmp); PCM WAV
-    payloads decode to real sample data (decode_wav — reported as
-    width=sample_rate, height=channels, duration_ms from the true
-    sample count); other formats use the marked stub."""
+    BMP and PNG payloads decode to REAL pixel dimensions (decode_bmp /
+    decode_png); PCM WAV payloads decode to real sample data (decode_wav
+    — reported as width=sample_rate, height=channels, duration_ms from
+    the true sample count); other formats use the marked stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -324,6 +503,8 @@ def decode_media(df: DataFrame) -> DataFrame:
         def meta_of(b) -> tuple[int, int, int]:
             data = bytes(b)
             arr = decode_bmp(data)
+            if arr is None:
+                arr = decode_png(data)
             if arr is not None:  # real decode: true pixel dims, no duration
                 return arr.shape[1], arr.shape[0], 0
             wav = decode_wav(data)
@@ -352,8 +533,9 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Feature-extraction stage: BMP payloads yield a REAL pixel
-    feature (bmp_pixel_feature — channel means, grayscale histogram);
+    """Feature-extraction stage: BMP and PNG payloads yield a REAL
+    pixel feature (bmp_pixel_feature — channel means, grayscale
+    histogram — container-agnostic, it takes decoded pixels);
     PCM WAV payloads yield a REAL sample feature (wav_audio_feature —
     RMS/peak/zero-crossings + energy-over-time profile); undecodable
     payloads fall back to the deterministic hash-derived stand-in. A
@@ -366,6 +548,8 @@ def extract_features(df: DataFrame) -> DataFrame:
         def feat(b) -> list[float]:
             data = bytes(b)
             arr = decode_bmp(data)
+            if arr is None:
+                arr = decode_png(data)
             if arr is not None:
                 return bmp_pixel_feature(arr)
             wav = decode_wav(data)
