@@ -64,7 +64,7 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
     b = ext_multimodal_features(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
-    from habits_etl_spark.multimodal import _gen_bmp, _gen_wav
+    from habits_etl_spark.multimodal import _gen_bmp, _gen_png, _gen_wav
 
     docs = {
         r.doc_id: r.text
@@ -74,8 +74,11 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
     by_id = {r.media_id: r for r in a}
     for doc_id, text in list(docs.items())[:25]:
         r = by_id[doc_id]
-        if r.kind == "image":  # real generated BMP payload, really decoded
-            payload = _gen_bmp(doc_id)
+        if r.kind == "image":
+            # real generated image payload, really decoded — container
+            # alternates by parity (even: BMP, odd: PNG), matching
+            # multimodal.with_real_images
+            payload = _gen_bmp(doc_id) if doc_id % 2 == 0 else _gen_png(doc_id)
             assert r.width == 8 + doc_id % 9
             assert r.height == 5 + doc_id % 7
         elif r.kind == "audio":  # real generated WAV payload, really decoded
@@ -168,6 +171,121 @@ def test_bmp_roundtrip_and_golden_fixture():
     # non-BMP payloads are rejected, not mis-parsed
     assert decode_bmp(b"definitely not a bitmap") is None
     assert decode_bmp(data[:30]) is None
+
+
+def test_png_roundtrip_and_golden_fixture():
+    """The real PNG codec: encode->decode is pixel-identical for EVERY
+    scanline filter (0-4 pinned, plus the cycling default) and every
+    supported color type (0 gray / 2 RGB / 6 RGBA), the committed
+    fixture image decodes to KNOWN pixel statistics — real inflated,
+    filter-reconstructed pixels, not header echoes — and corrupt /
+    truncated / unsupported payloads are rejected, not mis-parsed."""
+    import os
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from habits_etl_spark.multimodal import (
+        bmp_pixel_feature,
+        decode_png,
+        encode_png,
+    )
+
+    h, w = 7, 9  # odd sizes; h > 5 so the cycling default hits all filters
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = ((xx * 37 + yy * 91) % 256).astype(np.uint8)
+    rgb = np.stack([(xx * 31) % 256, (yy * 57) % 256, (xx + yy * 3) % 256], -1).astype(
+        np.uint8
+    )
+    rgba = np.concatenate([rgb, gray[..., None]], axis=-1)
+
+    # every filter x every color type reconstructs pixel-identically
+    for ft in [None, 0, 1, 2, 3, 4]:
+        got = decode_png(encode_png(rgb, filter_type=ft))
+        assert np.array_equal(got, rgb), f"RGB filter {ft}"
+        got = decode_png(encode_png(gray, filter_type=ft))
+        assert np.array_equal(got, gray[..., None].repeat(3, -1)), f"gray filter {ft}"
+        got = decode_png(encode_png(rgba, filter_type=ft))
+        assert np.array_equal(got, rgb), f"RGBA filter {ft} (alpha dropped)"
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "gradient_7x6.png")
+    data = open(fixture, "rb").read()
+    arr = decode_png(data)
+    assert arr is not None and arr.shape == (6, 7, 3)
+    # golden per-channel means of the committed image
+    assert [round(float(arr[:, :, i].mean()), 6) for i in range(3)] == [
+        120.0,
+        112.5,
+        80.0,
+    ]
+    feat = bmp_pixel_feature(arr)
+    golden = [
+        0.006836, 0.005859, 0.470588, 0.441176, 0.313725, 0.217922,
+        0.047619, 0.095238, 0.142857, 0.166667, 0.166667, 0.119048,
+        0.119048, 0.095238, 0.047619, 0.0,
+    ]
+    assert feat == pytest.approx(golden, abs=1e-6)
+
+    # corrupt CRC: flip one byte inside the IDAT body -> rejected
+    idat_at = data.index(b"IDAT") - 4
+    (idat_len,) = struct.unpack_from(">I", data, idat_at)
+    corrupted = bytearray(data)
+    corrupted[idat_at + 8 + idat_len // 2] ^= 0xFF
+    assert decode_png(bytes(corrupted)) is None
+    # truncated mid-chunk -> rejected
+    assert decode_png(data[: len(data) // 2]) is None
+    # not a PNG at all -> rejected
+    assert decode_png(b"definitely not a png payload....") is None
+    # 16-bit depth / interlaced / palette are out of scope -> rejected
+    ihdr_body = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
+        + data[data.index(b"IDAT") - 4 :]
+    )
+    assert decode_png(deep) is None
+    ihdr_body = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # palette
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
+        + data[data.index(b"IDAT") - 4 :]
+    )
+    assert decode_png(pal) is None
+    # wrong decompressed length (claimed dims don't match pixel data) -> rejected
+    ihdr_body = struct.pack(">IIBBBBB", w + 3, h, 8, 2, 0, 0, 0)
+    bad_dims = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
+        + data[data.index(b"IDAT") - 4 :]
+    )
+    assert decode_png(bad_dims) is None
+
+
+def test_gen_png_matches_gen_bmp_pixels():
+    """_gen_png and _gen_bmp carry the SAME deterministic pixel field for
+    a given media_id — the two containers are interchangeable payloads
+    over one source of truth (_gen_pixels)."""
+    import numpy as np
+
+    from habits_etl_spark.multimodal import (
+        _gen_bmp,
+        _gen_png,
+        decode_bmp,
+        decode_png,
+    )
+
+    for mid in (1, 2, 3, 8, 15):
+        assert np.array_equal(decode_png(_gen_png(mid)), decode_bmp(_gen_bmp(mid)))
 
 
 def test_decode_media_real_pixels_for_images(spark):
