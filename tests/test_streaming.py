@@ -162,3 +162,18 @@ def test_restart_is_idempotent(spark, dirs):
     # re-run with no new data: checkpoint skips processed files; state identical
     run_once(spark, dirs)
     assert rollup_state(spark, dirs) == s1
+
+
+def test_stream_rollup_e2e_query_converges_to_batch(spark, sf_dir):
+    """The registered oracle-gated e2e query: three cron runs over one
+    checkpoint with interleaved (late) drops must converge to the exact
+    batch rollup — same keys, same counts, same decimal-exact stats."""
+    from habits_etl_spark.plans.habits import agg_daily_rollup
+    from habits_etl_spark.plans.streaming_e2e import stream_rollup_e2e
+
+    key = lambda r: (r.day, r.user_id, r.event_type)  # noqa: E731
+    got = {key(r): (r.count_done, r.avg_value, r.sum_purchase)
+           for r in stream_rollup_e2e(spark, sf_dir).collect()}
+    want = {key(r): (r.count_done, r.avg_value, r.sum_purchase)
+            for r in agg_daily_rollup(spark, sf_dir).collect()}
+    assert got == want
