@@ -244,7 +244,13 @@ def main():
 
     def measure(name: str, fn) -> list[float]:
         """repeat-rep timing with bounded steal recovery; every discarded
-        dirty repetition set is preserved in the sidecar (dirty_reps)."""
+        dirty repetition set is preserved in the sidecar (dirty_reps).
+
+        Known bias, on record in the sidecar (steal_retry_bias_note): a
+        retried query's published repetitions run after one or more extra
+        full repetition sets, so its caches/JIT are systematically warmer
+        than a first-set query's — cross-query comparisons should treat
+        retried medians as a lower bound and consult dirty_reps."""
         reps = time_query(fn)
         tries = 0
         while _dirty(reps) and tries < STEAL_RETRIES:
@@ -409,6 +415,13 @@ def main():
             "steal_queries": steal_queries,
             "steal_retries": steal_retries,
             "steal_discarded_repetitions": dirty_reps,
+            "steal_retry_bias_note": (
+                "queries listed in steal_retried published reps measured "
+                "AFTER extra discarded sets (steal_discarded_repetitions), "
+                "so their caches/JIT are warmer than first-set queries'; "
+                "treat their medians as a lower bound in cross-query "
+                "comparisons"
+            ),
             "headline2": headline2,
             "headline2_min": headline2_min,
             "headline2_repetitions": headline2_reps,

@@ -76,7 +76,16 @@ def run_with_shuffle_metrics(
     metrics are read from the LAST completed execution in the store.
     """
     store = spark._jsparkSession.sharedState().statusStore()
-    n_before = store.executionsCount()
+    # Record the max execution id BEFORE the write and accept only a
+    # strictly newer execution. (Checking executionsCount() against a
+    # separately-snapshotted executionsList() is a TOCTOU race on the
+    # async listener bus: if our execution registers between the two JVM
+    # calls, the list's last element is the PREVIOUS execution — already
+    # completed — and its metrics would be silently attributed to us.)
+    before = store.executionsList()
+    max_id_before = (
+        before.apply(before.size() - 1).executionId() if before.size() > 0 else -1
+    )
 
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -87,9 +96,12 @@ def run_with_shuffle_metrics(
     while time.monotonic() < deadline:
         execs = store.executionsList()
         n = execs.size()
-        if n > 0 and store.executionsCount() > n_before:
+        if n > 0:
             cand = execs.apply(n - 1)
-            if cand.completionTime().isDefined():
+            if (
+                cand.executionId() > max_id_before
+                and cand.completionTime().isDefined()
+            ):
                 last = cand
                 break
         time.sleep(0.1)

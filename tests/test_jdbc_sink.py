@@ -120,6 +120,11 @@ def test_postgres_dialect_ddl(spark):
         "event_date": "DATE",
     }
     assert jdbc_column_ddl(spark, LANDING_SCHEMA, url) == {
+        # DIVERGENCE from the reference DDL: sql/001_schema.sql:7 declares
+        # `row_hash bytea PRIMARY KEY`; LANDING_SCHEMA carries the hash as
+        # a hex STRING (hashing.py emits hex), so it maps to TEXT here. A
+        # df.write.jdbc against the reference's literal DDL would need
+        # decode(row_hash, 'hex') server-side or a BinaryType column.
         "row_hash": "TEXT",
         "ingested_at": "TIMESTAMP WITH TIME ZONE",
         "payload": "TEXT",  # jsonb arrives as text; cast server-side
