@@ -160,6 +160,57 @@ def optimize_layout(spark, sf_dir: str) -> tuple[str, float]:
     return out_dir, round(time.perf_counter() - t0, 3)
 
 
+def correctness_extras(
+    spark, query_dir: str, oracle_dir: str, seed: str, k: int = 18
+) -> dict:
+    """Rotating oracle audit of ids the driver's 50-query sample never
+    reaches (it has contained zero ext_* ids every round): pick k
+    ext_*/win_* oracle-gated queries — seeded by the git HEAD, so the
+    subset is deterministic per commit but rotates round to round — run
+    each on Spark at the bench scale factor and compare against its
+    DuckDB oracle with the same row-count + value-hash fingerprint the
+    driver uses. Results land in the TRACKED bench artifacts (pass/fail
+    counts on the compact line, per-id verdicts in the sidecar), so the
+    LLM-pipeline surface gets an official per-round witness instead of
+    only local ledgers."""
+    import random
+
+    import duckdb
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from check_correctness import TABLES, frame_fingerprint
+
+    from habits_etl_spark.plans import ORACLES, QUERIES
+
+    pool = sorted(n for n in ORACLES if n.startswith(("ext_", "win_")))
+    ids = sorted(random.Random(seed).sample(pool, min(k, len(pool))))
+    con = duckdb.connect()
+    for t in TABLES:
+        # oracle reads the ORIGINAL driver-generated parquet; Spark reads
+        # the layout-optimized copy of the same rows
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{oracle_dir}/{t}.parquet'")
+    results: dict[str, dict] = {}
+    for name in ids:
+        t0 = time.perf_counter()
+        try:
+            sdf = QUERIES[name](spark, query_dir).toPandas()
+            odf = con.sql(ORACLES[name]).df()
+            sn, _, sh = frame_fingerprint(sdf)
+            on, _, oh = frame_fingerprint(odf)
+            ok = sn == on and sh == oh
+            results[name] = {
+                "status": "pass" if ok else "fail",
+                "rows": sn,
+                "oracle_rows": on,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        except Exception as exc:  # a broken extra must not kill the bench
+            results[name] = {"status": "fail", "err": str(exc)[:200]}
+    return results
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -387,6 +438,13 @@ def main():
         head = "nohead"
     detail_name = f"BENCH_DETAIL_{head}.json"
 
+    # Rotating oracle audit of never-driver-sampled ids (after cal_post:
+    # correctness work, deliberately outside the timed+calibrated span).
+    extras = correctness_extras(spark, bench_dir, sf_dir, seed=head)
+    extras_fail = sorted(
+        n for n, r in extras.items() if r.get("status") != "pass"
+    )
+
     # Compact line for the driver (stdout tail capture — keep < 2 KB)
     compact = {
         "metric": "headline_queries_total_runtime",
@@ -403,6 +461,8 @@ def main():
         "headline2_total": round(sum(headline2.values()), 3),
         "sf": sf,
         "steal_retried": sorted(steal_retries),
+        "extras_pass": len(extras) - len(extras_fail),
+        "extras_fail": len(extras_fail),
         "detail_file": detail_name,
     }
     # Full record to the sidecar (committed per-round as
@@ -434,6 +494,8 @@ def main():
             "probe_observed_sec": probe_observed,
             "probe_samples_pre": cal_pre_samples,
             "probe_samples_post": cal_post_samples,
+            "correctness_extras": extras,
+            "correctness_extras_failed_ids": extras_fail,
         }
     )
     detail_path = os.path.join(

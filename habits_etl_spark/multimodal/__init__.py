@@ -3,13 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed with Arrow-batched pandas UDFs over ``mapInPandas``.
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
-shape) is real and tested, and since round 5 so is ONE codec: 24-bit
-uncompressed BMP decodes to real pixels with a pure-stdlib parser
-(struct + numpy — no PIL/ffmpeg in this container), so image-kind
-payloads flow ACTUAL pixel data through the decode and feature stages.
-Audio/video (and non-BMP images) keep the clearly-marked stub path —
-swapping in PIL/ffmpeg changes only ``_decode_stub``/``decode_bmp``
-call sites, never the Spark plumbing.
+shape) is real and tested, and so are FOUR codecs — all pure
+stdlib + numpy (no PIL/ffmpeg in this container): 24-bit BMP (r5),
+16-bit PCM WAV (r5), filtered+zlib PNG (r6), and baseline-sequential
+JPEG (r7, habits_etl_spark/multimodal/jpeg.py) — so image- and
+audio-kind payloads always flow ACTUAL pixel/sample data through the
+decode and feature stages. Only video keeps the clearly-marked stub
+path — swapping in ffmpeg changes only ``_decode_stub`` call sites,
+never the Spark plumbing.
 
 At 100 TB the shape that matters:
 - media bytes never pass through Python row-at-a-time — Arrow batches only;
@@ -29,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from habits_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: F401
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -158,12 +161,32 @@ def _gen_bmp(media_id: int) -> bytes:
     return encode_bmp(_gen_pixels(media_id))
 
 
+def _image_container(media_id: int) -> int:
+    """Deterministic container rotation for image-kind payloads. Image
+    ids arrive as every-third media_id (kind = id % 3), so rotate on
+    id // 3: 0 -> BMP, 1 -> PNG, 2 -> JPEG."""
+    return (media_id // 3) % 3
+
+
+def _gen_image(media_id: int) -> bytes:
+    c = _image_container(media_id)
+    if c == 0:
+        return _gen_bmp(media_id)
+    if c == 1:
+        return _gen_png(media_id)
+    return _gen_jpeg(media_id)
+
+
+def _image_mime(media_id: int) -> str:
+    return ("image/bmp", "image/png", "image/jpeg")[_image_container(media_id)]
+
+
 def with_real_images(df: DataFrame) -> DataFrame:
-    """Replace image-kind payloads with real generated images —
-    alternating container per media_id parity (even: 24-bit BMP, odd:
-    filtered+zlib PNG) over the SAME deterministic pixel field
+    """Replace image-kind payloads with real generated images — the
+    container rotates per image (BMP / filtered+zlib PNG / baseline
+    JPEG, see _image_container) over the SAME deterministic pixel field
     (_gen_pixels) — Arrow-batched, so the synthetic table carries
-    genuinely decodable pixels through BOTH real image codecs."""
+    genuinely decodable pixels through all THREE real image codecs."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -171,10 +194,10 @@ def with_real_images(df: DataFrame) -> DataFrame:
             if is_img.any():
                 content = pdf["content"].copy()
                 content[is_img] = pdf.loc[is_img, "media_id"].map(
-                    lambda m: _gen_bmp(int(m)) if int(m) % 2 == 0 else _gen_png(int(m))
+                    lambda m: _gen_image(int(m))
                 )
                 mime = pdf.loc[is_img, "media_id"].map(
-                    lambda m: "image/bmp" if int(m) % 2 == 0 else "image/png"
+                    lambda m: _image_mime(int(m))
                 )
                 pdf = pdf.assign(
                     content=content,
@@ -352,8 +375,17 @@ def decode_png(data: bytes) -> np.ndarray | None:
 def _gen_png(media_id: int) -> bytes:
     """Deterministic gradient image for media_id as a PNG — the same
     pixel field as _gen_bmp (via _gen_pixels), filters cycling per
-    scanline, so odd-id image payloads flow real compressed PNG data."""
+    scanline, so PNG-rotation image payloads flow real compressed PNG
+    data."""
     return encode_png(_gen_pixels(media_id))
+
+
+def _gen_jpeg(media_id: int) -> bytes:
+    """Deterministic gradient image for media_id as a baseline JPEG —
+    the same pixel field as _gen_bmp/_gen_png (via _gen_pixels), DCT
+    quantized at quality 90, so JPEG-rotation image payloads flow real
+    entropy-coded DCT data (lossy: dims exact, pixels approximate)."""
+    return encode_jpeg(_gen_pixels(media_id), quality=90)
 
 
 # --- real codec: 16-bit PCM WAV / RIFF (pure stdlib + numpy) -----------------
@@ -481,9 +513,10 @@ def with_real_audio(df: DataFrame) -> DataFrame:
 
 
 def _decode_stub(header: bytes) -> tuple[int, int, int]:
-    """STUB — real decode would use PIL/ffmpeg/soundfile (not installed in
-    this container). The fake reads the synthetic 8-byte header fields so
-    the pipeline has real, assertable data flow."""
+    """STUB — VIDEO-ONLY since r7 (images decode via BMP/PNG/JPEG, audio
+    via WAV): real video decode would be ffmpeg, not installed in this
+    container. The fake reads the synthetic 8-byte header fields so the
+    pipeline has real, assertable data flow."""
     width = int.from_bytes(header[0:4], "big")
     height = int.from_bytes(header[4:8], "big")
     duration_ms = (width * 100 + height) % 10_000
@@ -492,10 +525,11 @@ def _decode_stub(header: bytes) -> tuple[int, int, int]:
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode stage: mapInPandas over Arrow batches of binary payloads.
-    BMP and PNG payloads decode to REAL pixel dimensions (decode_bmp /
-    decode_png); PCM WAV payloads decode to real sample data (decode_wav
-    — reported as width=sample_rate, height=channels, duration_ms from
-    the true sample count); other formats use the marked stub."""
+    BMP, PNG and baseline-JPEG payloads decode to REAL pixel dimensions
+    (decode_bmp / decode_png / decode_jpeg); PCM WAV payloads decode to
+    real sample data (decode_wav — reported as width=sample_rate,
+    height=channels, duration_ms from the true sample count); other
+    formats (video) use the marked stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -505,6 +539,8 @@ def decode_media(df: DataFrame) -> DataFrame:
             arr = decode_bmp(data)
             if arr is None:
                 arr = decode_png(data)
+            if arr is None:
+                arr = decode_jpeg(data)
             if arr is not None:  # real decode: true pixel dims, no duration
                 return arr.shape[1], arr.shape[0], 0
             wav = decode_wav(data)
@@ -533,7 +569,7 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Feature-extraction stage: BMP and PNG payloads yield a REAL
+    """Feature-extraction stage: BMP, PNG and JPEG payloads yield a REAL
     pixel feature (bmp_pixel_feature — channel means, grayscale
     histogram — container-agnostic, it takes decoded pixels);
     PCM WAV payloads yield a REAL sample feature (wav_audio_feature —
@@ -550,6 +586,8 @@ def extract_features(df: DataFrame) -> DataFrame:
             arr = decode_bmp(data)
             if arr is None:
                 arr = decode_png(data)
+            if arr is None:
+                arr = decode_jpeg(data)
             if arr is not None:
                 return bmp_pixel_feature(arr)
             wav = decode_wav(data)

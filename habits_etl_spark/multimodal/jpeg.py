@@ -1,0 +1,608 @@
+"""Baseline-sequential JPEG codec, pure stdlib + numpy — the third REAL
+image container for the multimodal pipeline (after BMP and PNG), so
+image-kind payloads never hit the decode stub.
+
+Decoder (ITU-T T.81 baseline DCT, non-progressive):
+- marker walk (APPn/COM skipped), multi-table DQT/DHT segments, SOF0,
+  DRI restart intervals, RSTn handling with DC-predictor reset;
+- Huffman tables are read from the FILE's DHT segments (so third-party
+  baseline JPEGs decode too, not only our own), canonical-code
+  reconstruction per T.81 Annex C;
+- entropy decode with FF00 byte-unstuffing, DC prediction + magnitude
+  extension, AC run/size with ZRL and EOB;
+- dequantize -> inverse zigzag -> float IDCT (8x8 DCT-II basis matrix,
+  the textbook orthonormal form) -> level shift -> per-component planes
+  with integer-ratio chroma upsampling -> JFIF YCbCr->RGB.
+- Unsupported shapes return None rather than mis-parse: progressive
+  (SOF2) and every non-SOF0 frame class, 12-bit precision, non-integer
+  sampling ratios, arithmetic coding.
+
+Encoder (what the synthetic generator and tests feed the decoder):
+- 4:4:4 (or single-component grayscale), quality-scaled standard
+  quantization tables (the libjpeg 5000/q | 200-2q scaling), float
+  FDCT, and SELF-BUILT flat canonical Huffman tables (all DC symbols at
+  4 bits, all 162 AC symbols at 8 bits — valid prefix codes with the
+  all-ones code unused, carried in DHT like any other table). Flat
+  tables trade a few percent of compression for a table spec that is
+  trivially auditable; decode correctness never depends on table choice
+  because the decoder always reads tables from the stream.
+
+Round-trip is LOSSY by design (quantization); tests assert exact
+dimensions, bounded pixel error, and determinism, not bit-identity.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# --- shared constants ---------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural (row-major) index of the k-th zigzag coefficient, generated
+    by the diagonal walk (even diagonals run bottom-left -> top-right)."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(i * 8 + j for i, j in diag)
+    return np.array(order, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+# Standard quantization tables (ITU-T T.81 Annex K.1) — carried in DQT,
+# so they are a starting point for quality scaling, not an interop need.
+_QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Orthonormal 8-point DCT-II basis: C[k,n] = a(k) cos((2n+1)k pi/16);
+# FDCT(f) = C f C^T, IDCT(F) = C^T F C.
+_C = np.array(
+    [
+        [
+            (math.sqrt(1.0 / 8.0) if k == 0 else 0.5)
+            * math.cos((2 * n + 1) * k * math.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+# Encoder Huffman specs: flat canonical tables (see module docstring).
+# DC: categories 0-11 at 4 bits; AC: EOB, ZRL and every (run 0-15,
+# size 1-10) at 8 bits. 162 < 255 leaves the all-ones code unused.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _flat_bits(n_symbols: int, length: int) -> list[int]:
+    bits = [0] * 16
+    bits[length - 1] = n_symbols
+    return bits
+
+
+_DC_BITS = _flat_bits(len(_DC_SYMBOLS), 4)
+_AC_BITS = _flat_bits(len(_AC_SYMBOLS), 8)
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), T.81 Annex C code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _canonical_decoder(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial decode."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegError(Exception):
+    pass
+
+
+# --- bit I/O ------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+class _BitReader:
+    """Entropy-segment reader with FF00 unstuffing; raises _JpegError on
+    hitting a marker (the scan loop handles RSTn itself via restart())."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise _JpegError("EOF in entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else -1
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise _JpegError("marker inside entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expected
+        ):
+            raise _JpegError("missing restart marker")
+        self.pos += 2
+
+
+def _read_huff(br: _BitReader, dec: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = dec.get((length, code))
+        if sym is not None:
+            return sym
+    raise _JpegError("invalid Huffman code")
+
+
+def _extend(raw: int, ssss: int) -> int:
+    """DC/AC magnitude extension (T.81 F.2.2.1)."""
+    if ssss == 0:
+        return 0
+    return raw if raw >= (1 << (ssss - 1)) else raw - (1 << ssss) + 1
+
+
+# --- encoder ------------------------------------------------------------------
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> list[np.ndarray]:
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [y, cb, cr]
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    pred: int,
+) -> int:
+    coef = _C @ (block - 128.0) @ _C.T
+    q = np.rint(coef / qtab).astype(np.int64)
+    zz = q.reshape(64)[_ZZ]
+    dc = int(zz[0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate to (ph, pw)."""
+    h, w = p.shape
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    if ph > h:
+        pp[h:, :w] = p[h - 1 : h, :]
+    if pw > w:
+        pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 image -> baseline JFIF bytes. Accepts (h, w) grayscale (one
+    component) or (h, w, 3) RGB (YCbCr). ``subsample=True`` emits 4:2:0
+    (luma 2x2, chroma 2x2-averaged) instead of 4:4:4, and
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs — both exist so the decoder's general MCU geometry, chroma
+    upsampling and restart paths are exercised by our own streams, not
+    only by third-party files. Deterministic for given arguments."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    planes = [arr.astype(np.float64)] if gray else _rgb_to_ycbcr(arr)
+    qtabs = [_scale_quant(_QUANT_LUMA, quality)]
+    if not gray:
+        qtabs.append(_scale_quant(_QUANT_CHROMA, quality))
+    # per-component sampling factors (h, v)
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # 2x2 box-average chroma over an even-padded plane
+        eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        for c in (1, 2):
+            p = _pad_to(planes[c], eh, ew)
+            planes[c] = (
+                p.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            )
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0]
+    ) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    for tq, qtab in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([tq])
+        out += bytes(int(x) for x in qtab.reshape(64)[_ZZ])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes(
+            [c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1]
+        )
+    for tc, (bits, syms) in ((0, (_DC_BITS, _DC_SYMBOLS)), (1, (_AC_BITS, _AC_SYMBOLS))):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(syms))
+        out += bytes([tc << 4]) + bytes(bits) + bytes(syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00])  # DC table 0, AC table 0 for all comps
+    out += bytes([0, 63, 0])
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    padded = [
+        _pad_to(planes[c], mcuy * 8 * samp[c][1], mcux * 8 * samp[c][0])
+        for c in range(nc)
+    ]
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * nc
+            for c in range(nc):
+                ch, cv = samp[c]
+                qtab = qtabs[0] if c == 0 else qtabs[1]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        preds[c] = _encode_block(
+                            bw,
+                            padded[c][y0 : y0 + 8, x0 : x0 + 8],
+                            qtab,
+                            dc_codes,
+                            ac_codes,
+                            preds[c],
+                        )
+            n_mcu += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ------------------------------------------------------------------
+
+
+def _decode_block(
+    br: _BitReader,
+    dc_dec: dict[tuple[int, int], int],
+    ac_dec: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_huff(br, dc_dec)
+    dc = pred + _extend(br.read_bits(s), s)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _read_huff(br, ac_dec)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise _JpegError("AC index out of range")
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return zz, dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray | None:
+    """Baseline JPEG -> HxWx3 uint8 RGB array (grayscale replicated), or
+    None if the payload is not a baseline JPEG this parser supports
+    (progressive / 12-bit / arithmetic / fractional sampling return
+    None rather than mis-parse)."""
+    try:
+        return _decode_jpeg(data)
+    except (_JpegError, struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray | None:
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_dec: dict[int, dict] = {}
+    ac_dec: dict[int, dict] = {}
+    comps: list[dict] | None = None
+    w = h = 0
+    restart_interval = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            return None
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            return None
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0 or i + 65 > len(seg):
+                    return None  # 8-bit tables only
+                tbl = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZZ] = tbl
+                qt[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                syms = list(seg[i + 17 : i + 17 + n])
+                if len(syms) != n:
+                    return None
+                dec = _canonical_decoder(bits, syms)
+                (dc_dec if tc == 0 else ac_dec)[th] = dec
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or h == 0 or w == 0 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — start of the (single, baseline) scan
+            if comps is None:
+                return None
+            ns = seg[0]
+            if ns != len(comps):
+                return None
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next((x for x in comps if x["id"] == cid), None)
+                if comp is None:
+                    return None
+                comp["td"], comp["ta"] = tdta >> 4, tdta & 0x0F
+            return _decode_scan(
+                data,
+                pos + 2 + seg_len,
+                w,
+                h,
+                comps,
+                qt,
+                dc_dec,
+                ac_dec,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_scan(
+    data: bytes,
+    scan_pos: int,
+    w: int,
+    h: int,
+    comps: list[dict],
+    qt: dict[int, np.ndarray],
+    dc_dec: dict[int, dict],
+    ac_dec: dict[int, dict],
+    restart_interval: int,
+) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"] for c in comps
+    ):
+        raise _JpegError("unsupported sampling")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+    br = _BitReader(data, scan_pos)
+    preds = [0] * len(comps)
+    rst = 0
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                q = qt.get(c["tq"])
+                dd = dc_dec.get(c.get("td", 0))
+                ad = ac_dec.get(c.get("ta", 0))
+                if q is None or dd is None or ad is None:
+                    raise _JpegError("missing table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz, preds[ci] = _decode_block(br, dd, ad, preds[ci])
+                        nat = np.zeros(64, dtype=np.int64)
+                        nat[_ZZ] = zz
+                        block = _C.T @ (nat.reshape(8, 8) * q).astype(np.float64) @ _C
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+            n_mcu += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(g[..., None].repeat(3, axis=-1))
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.ascontiguousarray(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))

@@ -5,8 +5,8 @@ mapInPandas stages, metadata filters ahead of any Python.
 
 Rows-only by design: the pipeline's value is the mapInPandas batch shape,
 which has no SQL twin; determinism (same inputs -> same features), the
-REAL BMP/PNG pixel decode (image payloads), the REAL WAV decode (audio
-payloads), and the stub data flow for video are asserted in
+REAL BMP/PNG/JPEG pixel decode (image payloads), the REAL WAV decode
+(audio payloads), and the stub data flow for video are asserted in
 tests/test_multimodal.py.
 """
 
@@ -28,11 +28,12 @@ def ext_multimodal_features(spark, sf_dir):
     """End-to-end multimodal pass over table input: wrap each document's
     text bytes as an opaque binary payload with typed metadata (kind,
     n_bytes, mime), swap image-kind payloads for REAL generated images —
-    24-bit BMPs for even media_ids, filtered+zlib PNGs for odd ones
-    (multimodal.with_real_images) — and audio-kind payloads for REAL
-    16-bit PCM WAVs (multimodal.with_real_audio), run the Arrow-batched
-    decode stage — true pixel dimensions via the pure-stdlib BMP and
-    PNG parsers, true sample counts/rates via the pure-stdlib WAV parser,
+    the container rotating 24-bit BMP / filtered+zlib PNG / baseline
+    JPEG per image (multimodal.with_real_images) — and audio-kind
+    payloads for REAL 16-bit PCM WAVs (multimodal.with_real_audio), run
+    the Arrow-batched decode stage — true pixel dimensions via the
+    pure-stdlib BMP, PNG and JPEG parsers, true sample counts/rates via
+    the pure-stdlib WAV parser,
     the marked stub for video — then the feature extractor (real pixel
     features for BMPs, real RMS/zero-crossing/energy-profile features
     for WAVs; hash-derived stand-in otherwise), and emit one row per

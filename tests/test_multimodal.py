@@ -64,7 +64,7 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
     b = ext_multimodal_features(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
-    from habits_etl_spark.multimodal import _gen_bmp, _gen_png, _gen_wav
+    from habits_etl_spark.multimodal import _gen_image, _gen_wav
 
     docs = {
         r.doc_id: r.text
@@ -76,9 +76,9 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
         r = by_id[doc_id]
         if r.kind == "image":
             # real generated image payload, really decoded — container
-            # alternates by parity (even: BMP, odd: PNG), matching
-            # multimodal.with_real_images
-            payload = _gen_bmp(doc_id) if doc_id % 2 == 0 else _gen_png(doc_id)
+            # rotates BMP/PNG/JPEG per _image_container, matching
+            # multimodal.with_real_images; dims are exact in all three
+            payload = _gen_image(doc_id)
             assert r.width == 8 + doc_id % 9
             assert r.height == 5 + doc_id % 7
         elif r.kind == "audio":  # real generated WAV payload, really decoded
@@ -269,6 +269,96 @@ def test_png_roundtrip_and_golden_fixture():
         + data[data.index(b"IDAT") - 4 :]
     )
     assert decode_png(bad_dims) is None
+
+
+def test_jpeg_roundtrip_and_golden_fixture():
+    """The real JPEG codec (baseline sequential, pure stdlib+numpy):
+    encode->decode is dimension-exact and pixel-close (lossy DCT, so
+    bounded error instead of bit-identity) across quality levels,
+    grayscale and RGB, 4:4:4 and 4:2:0, and restart intervals; the
+    committed fixture decodes to KNOWN pixel statistics — real
+    Huffman-decoded, dequantized, IDCT'd pixels; corrupt / truncated /
+    progressive payloads are rejected, not mis-parsed."""
+    import os
+
+    import numpy as np
+
+    from habits_etl_spark.multimodal import bmp_pixel_feature
+    from habits_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 29, 37  # not multiples of 8/16: padding + crop paths
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([xx * 6, yy * 7, xx * 3 + yy * 2], -1).astype(np.uint8)
+    gray = (xx * 5 + yy * 4).astype(np.uint8)
+
+    for q, tol in ((50, 12), (90, 5), (95, 4)):
+        back = decode_jpeg(encode_jpeg(rgb, q))
+        assert back is not None and back.shape == (h, w, 3)
+        assert np.abs(back.astype(int) - rgb.astype(int)).max() <= tol, q
+    for kw, tol in (
+        ({"subsample": True}, 10),
+        ({"restart_interval": 2}, 4),
+        ({"subsample": True, "restart_interval": 1}, 10),
+    ):
+        back = decode_jpeg(encode_jpeg(rgb, 90, **kw))
+        assert back is not None and back.shape == (h, w, 3), kw
+        assert np.abs(back.astype(int) - rgb.astype(int)).max() <= tol, kw
+    back = decode_jpeg(encode_jpeg(gray, 90))
+    assert back is not None and back.shape == (h, w, 3)
+    assert np.array_equal(back[:, :, 0], back[:, :, 1])  # gray replicated
+    assert np.abs(back[:, :, 0].astype(int) - gray.astype(int)).max() <= 10
+    # deterministic bytes
+    assert encode_jpeg(rgb, 90) == encode_jpeg(rgb, 90)
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "gradient_14x12.jpg"
+    )
+    data = open(fixture, "rb").read()
+    arr = decode_jpeg(data)
+    assert arr is not None and arr.shape == (12, 14, 3)
+    # golden per-channel means of the committed image (4:2:0 + DRI=1)
+    assert [round(float(arr[:, :, i].mean()), 6) for i in range(3)] == [
+        110.672619,
+        104.178571,
+        82.446429,
+    ]
+    feat = bmp_pixel_feature(arr)
+    golden = [
+        0.013672, 0.011719, 0.43401, 0.408543, 0.323319, 0.187062,
+        0.053571, 0.10119, 0.166667, 0.166667, 0.178571, 0.160714,
+        0.113095, 0.059524, 0.0, 0.0,
+    ]
+    assert feat == pytest.approx(golden, abs=1e-6)
+
+    # rejections: not a JPEG / truncated / progressive (SOF2)
+    assert decode_jpeg(b"definitely not a jpeg payload") is None
+    assert decode_jpeg(data[: len(data) // 2]) is None
+    prog = bytearray(data)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+    # 12-bit precision rejected (precision byte follows the SOF0 length)
+    deep = bytearray(data)
+    deep[i + 4] = 12
+    assert decode_jpeg(bytes(deep)) is None
+
+
+def test_gen_jpeg_pixels_close_to_pixel_field():
+    """_gen_jpeg carries the SAME deterministic pixel field as
+    _gen_bmp/_gen_png (lossy: dims exact, pixels within quantization
+    error of the BMP ground truth)."""
+    import numpy as np
+
+    from habits_etl_spark.multimodal import _gen_bmp, _gen_jpeg, decode_bmp
+    from habits_etl_spark.multimodal.jpeg import decode_jpeg
+
+    for mid in (2, 5, 8, 14, 23):
+        truth = decode_bmp(_gen_bmp(mid))
+        got = decode_jpeg(_gen_jpeg(mid))
+        assert got is not None and got.shape == truth.shape
+        # the synthetic gradients wrap mod 256 (sharp sawtooth edges), so
+        # allow real DCT ringing while still proving it is the same field
+        assert np.abs(got.astype(int) - truth.astype(int)).mean() < 16.0
 
 
 def test_gen_png_matches_gen_bmp_pixels():
