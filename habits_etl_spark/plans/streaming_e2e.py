@@ -18,10 +18,12 @@ must equal the one-shot batch aggregate over all events. Oracle = that
 batch SQL, same shape as agg_daily_rollup.
 
 Scale: the staged pipeline is the production shape — file-source
-streaming reads scale with new-file count per trigger; each refresh
-rewrites only the day partitions named by the incoming batch (dynamic
-partition overwrite), so refresh cost is O(late-data spread), not
-O(history). Driver state per micro-batch is the distinct-day list —
+streaming reads scale with new-file count per trigger; the fact table is
+appended partitioned by event_date and each refresh both READS (partition
+filter on event_date → PartitionFilters in the scan, asserted in
+tests/test_streaming.py) and WRITES (dynamic partition overwrite) only
+the day buckets named by the incoming batch, so refresh cost is
+O(late-data spread), not O(history). Driver state per micro-batch is the distinct-day list —
 bounded by the batch's calendar span, never by row count. The staging
 directory is scoped per (session, sf_dir) and wiped at the next
 invocation, mirroring the managed_cache one-at-a-time convention.

@@ -24,9 +24,16 @@ Semantics mapping (SURVEY §2.10 / §7.3.5):
 - ``start_offset '60 days'``          -> ``backfill_horizon_days`` caps how
   far back a refresh will rewrite.
 
-Scale: each refresh touches only the day-partitions named by the incoming
-batch (dynamic partition overwrite), so cost is O(late-data spread), not
-O(history) — same property the reference buys from Timescale.
+Scale: the fact table is appended **partitioned by event_date** (same
+layout as the batch landing sink, sinks/landing.py) and each refresh
+filters on that partition column, so the refresh READ prunes to exactly
+the affected day directories (PartitionFilters in the scan, asserted in
+tests/test_streaming.py) and the refresh WRITE rewrites only those day
+buckets of the rollup (dynamic partition overwrite, set per-write). Both
+sides of the refresh are therefore O(late-data spread), not O(history) —
+the property the reference buys from Timescale's invalidation log. At the
+reference's 15-minute cadence (sql/001_schema.sql:46) this is the
+difference between 96 full-table scans/day and 96 few-partition reads.
 """
 
 from __future__ import annotations
@@ -52,6 +59,17 @@ def batch_daily_rollup(events: DataFrame, meditation_habit: str = "meditation_mi
     )
 
 
+def pruned_fact_scan(spark: SparkSession, events_path: str, days: list) -> DataFrame:
+    """Read the day-partitioned fact table restricted to ``days``.
+
+    The filter is on the PARTITION column (``event_date``), not a derived
+    ``date_trunc(ts)`` expression, so Catalyst turns it into
+    ``PartitionFilters`` on the scan and only the affected day directories
+    are listed and read — O(late-data spread) refresh reads at any history
+    size."""
+    return spark.read.parquet(events_path).filter(F.col("event_date").isin(days))
+
+
 def refresh_rollup_days(
     spark: SparkSession,
     events_path: str,
@@ -60,16 +78,18 @@ def refresh_rollup_days(
     meditation_habit: str = "meditation_minutes",
 ) -> None:
     """Recompute the given day buckets from the fact table and overwrite
-    exactly those partitions of the rollup (Timescale refresh step)."""
+    exactly those partitions of the rollup (Timescale refresh step).
+
+    Dynamic partition overwrite is requested per-write (DataFrameWriter
+    option) rather than via session conf, so callers' later partitioned
+    overwrites keep their own semantics."""
     if not days:
         return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    events = spark.read.parquet(events_path).filter(
-        F.date_trunc("DAY", F.col("ts")).cast("date").isin(days)
-    )
+    events = pruned_fact_scan(spark, events_path, days).drop("event_date")
     fresh = batch_daily_rollup(events, meditation_habit)
     (
         fresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(rollup_path)
     )
@@ -98,7 +118,16 @@ def start_continuous_rollup(
             return
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(events_path)
+            # Append day-partitioned, mirroring the batch landing layout
+            # (sinks/landing.py) — this is what lets the refresh read prune.
+            (
+                batch_df.withColumn(
+                    "event_date", F.date_trunc("DAY", F.col("ts")).cast("date")
+                )
+                .write.mode("append")
+                .partitionBy("event_date")
+                .parquet(events_path)
+            )
             horizon = F.date_sub(F.current_date(), backfill_horizon_days)
             days = [
                 r.day

@@ -177,3 +177,50 @@ def test_stream_rollup_e2e_query_converges_to_batch(spark, sf_dir):
     want = {key(r): (r.count_done, r.avg_value, r.sum_purchase)
             for r in agg_daily_rollup(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_refresh_read_prunes_fact_partitions(spark, dirs):
+    """The 100 TB property the design pays for: the fact table lands
+    day-partitioned and the refresh READ filters on the partition column,
+    so the scan shows PartitionFilters (directory pruning) instead of
+    re-reading the whole history every 15-minute refresh."""
+    import os
+
+    from habits_etl_spark.streaming.rollup import pruned_fact_scan
+
+    os.makedirs(dirs["source"], exist_ok=True)
+    spark.createDataFrame(
+        [
+            ev(5, 9, "a@x.com", "workout", 1.0),
+            ev(6, 9, "b@x.com", "workout", 0.0),
+            ev(7, 8, "b@x.com", "workout", 1.0),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    run_once(spark, dirs)
+
+    # fact table layout: one directory per day
+    parts = sorted(p for p in os.listdir(dirs["events"]) if p.startswith("event_date="))
+    assert parts == ["event_date=2024-01-05", "event_date=2024-01-06", "event_date=2024-01-07"]
+
+    scan = pruned_fact_scan(spark, dirs["events"], [dt.date(2024, 1, 5)])
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    assert "event_date" in plan.split("PartitionFilters")[1][:200], plan[:2000]
+    # and the pruned read touches exactly one day's rows
+    assert scan.count() == 1
+
+
+def test_refresh_does_not_mutate_session_overwrite_mode(spark, dirs):
+    """Dynamic partition overwrite is a per-write option, not a session-wide
+    conf flip — later partitioned overwrites in the same session must keep
+    their own (default: static) semantics."""
+    import os
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    os.makedirs(dirs["source"], exist_ok=True)
+    spark.createDataFrame(
+        [ev(5, 9, "a@x.com", "workout", 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    run_once(spark, dirs)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
