@@ -450,7 +450,10 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
     None rather than mis-parse)."""
     try:
         return _decode_jpeg(data)
-    except (_JpegError, struct.error, IndexError, ValueError):
+    except (_JpegError, struct.error, IndexError, ValueError, MemoryError):
+        # MemoryError: the geometry cap in _decode_scan bounds declared
+        # dims, but any allocator failure on untrusted bytes must still
+        # degrade to None, never crash the Arrow UDF task.
         return None
 
 
@@ -556,12 +559,24 @@ def _decode_scan(
 ) -> np.ndarray:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or any(
+    # T.81 B.2.2 bounds sampling factors to 1-4; enforce BEFORE sizing any
+    # allocation so a forged header can't request a multi-GiB plane.
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4 or any(
         c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"] for c in comps
     ):
         raise _JpegError("unsupported sampling")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Untrusted-payload geometry cap: header-declared dims drive the plane
+    # allocations below, so bound the total float64 footprint (all planes +
+    # the upsampled copies, <= 3x plane bytes) before touching numpy. 256 MB
+    # covers any plausible corpus image; a forged 65500x65500 header is
+    # rejected here instead of raising MemoryError inside an Arrow UDF task.
+    plane_bytes = sum(
+        (mcuy * 8 * c["v"]) * (mcux * 8 * c["h"]) * 8 for c in comps
+    )
+    if plane_bytes > 256 << 20:
+        raise _JpegError("declared geometry exceeds decode budget")
     planes = [
         np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
         for c in comps

@@ -341,6 +341,17 @@ def test_jpeg_roundtrip_and_golden_fixture():
     deep = bytearray(data)
     deep[i + 4] = 12
     assert decode_jpeg(bytes(deep)) is None
+    # forged geometry: a ~700-byte payload claiming 65500x65500 with 4x4
+    # sampling must return None (geometry cap), not raise MemoryError
+    # attempting a 32+ GiB plane allocation inside an Arrow UDF task.
+    forged = bytearray(data)
+    forged[i + 5 : i + 9] = (65500).to_bytes(2, "big") * 2  # height, width
+    forged[i + 11] = 0x44  # comp 0 sampling h=4, v=4
+    assert decode_jpeg(bytes(forged)) is None
+    # out-of-spec sampling factors (T.81 bounds them to 1-4) also reject
+    oversamp = bytearray(data)
+    oversamp[i + 11] = 0x88
+    assert decode_jpeg(bytes(oversamp)) is None
 
 
 def test_gen_jpeg_pixels_close_to_pixel_field():
