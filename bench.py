@@ -161,42 +161,82 @@ def optimize_layout(spark, sf_dir: str) -> tuple[str, float]:
 
 
 def correctness_extras(
-    spark, query_dir: str, oracle_dir: str, seed: str, k: int = 18
+    spark,
+    query_dir: str,
+    oracle_dir: str,
+    seed: str,
+    k: int = 18,
+    per_query_cap_sec: float = 120.0,
 ) -> dict:
     """Rotating oracle audit of ids the driver's 50-query sample never
-    reaches (it has contained zero ext_* ids every round): pick k
-    ext_*/win_* oracle-gated queries — seeded by the git HEAD, so the
-    subset is deterministic per commit but rotates round to round — run
-    each on Spark at the bench scale factor and compare against its
-    DuckDB oracle with the same row-count + value-hash fingerprint the
-    driver uses. Results land in the TRACKED bench artifacts (pass/fail
-    counts on the compact line, per-id verdicts in the sidecar), so the
-    LLM-pipeline surface gets an official per-round witness instead of
-    only local ledgers."""
+    reaches: pool = EVERY oracle-gated query minus the ids in the most
+    recent committed CORRECTNESS_r*.json (the driver's latest sample) —
+    so streaming/sink/source/op ids like stream_rollup_e2e and
+    sink_cdc_apply rotate through the tracked record, not only
+    ext_*/win_*. Pick k seeded by the git HEAD (deterministic per commit,
+    rotates round to round), run each on Spark at the bench scale factor
+    and compare against its DuckDB oracle with the same row-count +
+    value-hash fingerprint the driver uses. Timings are split into
+    spark_sec vs oracle_sec so the audit doubles as a coarse per-id perf
+    witness. Statuses: "pass" / "fail" (fingerprint mismatch — a real
+    correctness red) / "error" (exception: scale-guard refusal, transient
+    infra, or the per-query wall-clock cap cancelling a stalled Spark
+    job) — errors are counted separately from fails on the compact line
+    so a documented refusal can't masquerade as an oracle mismatch."""
+    import glob
     import random
+    import threading
 
     import duckdb
 
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo_dir, "tools"))
     from check_correctness import TABLES, frame_fingerprint
 
     from habits_etl_spark.plans import ORACLES, QUERIES
 
-    pool = sorted(n for n in ORACLES if n.startswith(("ext_", "win_")))
+    driver_ids: set[str] = set()
+    ledgers = sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")))
+    if ledgers:
+        try:
+            with open(ledgers[-1]) as fh:
+                driver_ids = set(json.load(fh))
+        except Exception:
+            pass
+    pool = sorted(n for n in ORACLES if n not in driver_ids)
     ids = sorted(random.Random(seed).sample(pool, min(k, len(pool))))
     con = duckdb.connect()
     for t in TABLES:
         # oracle reads the ORIGINAL driver-generated parquet; Spark reads
         # the layout-optimized copy of the same rows
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{oracle_dir}/{t}.parquet'")
+    sc = spark.sparkContext
     results: dict[str, dict] = {}
     for name in ids:
+        group = f"extras:{name}"
+        timed_out = threading.Event()
+        done = threading.Event()
+
+        def _watchdog(g=group, ev=timed_out, fin=done):
+            # cancelJobGroup only kills jobs in flight at call time; a
+            # stalled query keeps submitting jobs (and spends driver-side
+            # planning time with none active), so after the cap expires
+            # keep cancelling until the main thread reports done.
+            if fin.wait(per_query_cap_sec):
+                return
+            ev.set()
+            while not fin.wait(0.5):
+                sc.cancelJobGroup(g)
+
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        timer = threading.Thread(target=_watchdog, daemon=True)
+        timer.start()
         t0 = time.perf_counter()
         try:
             sdf = QUERIES[name](spark, query_dir).toPandas()
+            t1 = time.perf_counter()
             odf = con.sql(ORACLES[name]).df()
+            t2 = time.perf_counter()
             sn, _, sh = frame_fingerprint(sdf)
             on, _, oh = frame_fingerprint(odf)
             ok = sn == on and sh == oh
@@ -204,10 +244,20 @@ def correctness_extras(
                 "status": "pass" if ok else "fail",
                 "rows": sn,
                 "oracle_rows": on,
-                "sec": round(time.perf_counter() - t0, 3),
+                "spark_sec": round(t1 - t0, 3),
+                "oracle_sec": round(t2 - t1, 3),
             }
         except Exception as exc:  # a broken extra must not kill the bench
-            results[name] = {"status": "fail", "err": str(exc)[:200]}
+            results[name] = {
+                "status": "error",
+                "err": str(exc)[:200],
+                "timed_out": timed_out.is_set(),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        finally:
+            done.set()
+            timer.join(timeout=2.0)
+            sc.setLocalProperty("spark.jobGroup.id", None)
     return results
 
 
@@ -442,7 +492,10 @@ def main():
     # correctness work, deliberately outside the timed+calibrated span).
     extras = correctness_extras(spark, bench_dir, sf_dir, seed=head)
     extras_fail = sorted(
-        n for n, r in extras.items() if r.get("status") != "pass"
+        n for n, r in extras.items() if r.get("status") == "fail"
+    )
+    extras_error = sorted(
+        n for n, r in extras.items() if r.get("status") == "error"
     )
 
     # Compact line for the driver (stdout tail capture — keep < 2 KB)
@@ -461,8 +514,9 @@ def main():
         "headline2_total": round(sum(headline2.values()), 3),
         "sf": sf,
         "steal_retried": sorted(steal_retries),
-        "extras_pass": len(extras) - len(extras_fail),
+        "extras_pass": len(extras) - len(extras_fail) - len(extras_error),
         "extras_fail": len(extras_fail),
+        "extras_error": len(extras_error),
         "detail_file": detail_name,
     }
     # Full record to the sidecar (committed per-round as
@@ -496,6 +550,7 @@ def main():
             "probe_samples_post": cal_post_samples,
             "correctness_extras": extras,
             "correctness_extras_failed_ids": extras_fail,
+            "correctness_extras_error_ids": extras_error,
         }
     )
     detail_path = os.path.join(
