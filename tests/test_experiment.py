@@ -60,6 +60,25 @@ def test_psi_nonnegative(spark, sf_dir):
     assert r.n_bins >= 2
 
 
+def test_user_similarity_topk_blocked_path_matches_single_block(
+    spark, sf_dir, monkeypatch
+):
+    """The adaptive grid runs g==1 (coalesce+mapInPandas, no shuffle) at
+    test scale; force a multi-block grid and assert the SUMMA-style
+    cogroup+merge-window path returns the identical ranked result —
+    blocking must never change any value."""
+    import habits_etl_spark.plans.experiment as ex
+
+    single = sorted(
+        map(tuple, ext_user_similarity_topk(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(ex, "_CF_BLOCK_ROWS", 25)  # forces g > 1
+    blocked = sorted(
+        map(tuple, ext_user_similarity_topk(spark, sf_dir).collect())
+    )
+    assert blocked == single
+
+
 def test_user_similarity_topk_shape(spark, sf_dir):
     rows = ext_user_similarity_topk(spark, sf_dir).collect()
     assert rows
