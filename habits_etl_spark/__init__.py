@@ -15,7 +15,8 @@ Layout:
     sinks/        — landing + keyed-upsert sinks
     plans/        — the declared query surface (habits + star-schema analytics)
     streaming/    — continuous-aggregate maintenance
-    multimodal/   — binary-column (image/audio) plumbing, decode stubbed
+    multimodal/   — binary-column (image/audio/video) plumbing with real
+                    pure-stdlib codecs (BMP/PNG/JPEG/WAV/MJPEG-AVI)
 """
 
 __version__ = "0.1.0"

@@ -3,14 +3,15 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed with Arrow-batched pandas UDFs over ``mapInPandas``.
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
-shape) is real and tested, and so are FOUR codecs — all pure
+shape) is real and tested, and so are FIVE codecs — all pure
 stdlib + numpy (no PIL/ffmpeg in this container): 24-bit BMP (r5),
-16-bit PCM WAV (r5), filtered+zlib PNG (r6), and baseline-sequential
-JPEG (r7, habits_etl_spark/multimodal/jpeg.py) — so image- and
-audio-kind payloads always flow ACTUAL pixel/sample data through the
-decode and feature stages. Only video keeps the clearly-marked stub
-path — swapping in ffmpeg changes only ``_decode_stub`` call sites,
-never the Spark plumbing.
+16-bit PCM WAV (r5), filtered+zlib PNG (r6), baseline-sequential
+JPEG (r7, habits_etl_spark/multimodal/jpeg.py), and MJPEG-in-AVI
+video (r8, habits_etl_spark/multimodal/avi.py) — so every media kind
+flows ACTUAL pixel/sample/frame data through the decode, feature and
+frame-sampling stages; no stub path remains. A payload no codec
+accepts reports zeros/hash-derived stand-ins rather than fabricated
+geometry.
 
 At 100 TB the shape that matters:
 - media bytes never pass through Python row-at-a-time — Arrow batches only;
@@ -31,6 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from habits_etl_spark.multimodal.avi import (  # noqa: F401
+    decode_mjpeg_avi,
+    encode_mjpeg_avi,
+)
 from habits_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: F401
 
 MEDIA_SCHEMA = T.StructType(
@@ -512,15 +517,43 @@ def with_real_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, df.schema)
 
 
-def _decode_stub(header: bytes) -> tuple[int, int, int]:
-    """STUB — VIDEO-ONLY since r7 (images decode via BMP/PNG/JPEG, audio
-    via WAV): real video decode would be ffmpeg, not installed in this
-    container. The fake reads the synthetic 8-byte header fields so the
-    pipeline has real, assertable data flow."""
-    width = int.from_bytes(header[0:4], "big")
-    height = int.from_bytes(header[4:8], "big")
-    duration_ms = (width * 100 + height) % 10_000
-    return width, height, duration_ms
+def _gen_frames(media_id: int) -> tuple[list[np.ndarray], int]:
+    """Deterministic frame stack + fps for media_id: 2-5 frames, each the
+    id's gradient pixel field rolled one column per frame (so motion is
+    real and per-frame pixels are assertable)."""
+    base = _gen_pixels(media_id)
+    n = 2 + media_id % 4
+    fps = 5 + media_id % 10
+    return [np.roll(base, f, axis=1) for f in range(n)], fps
+
+
+def _gen_video(media_id: int) -> bytes:
+    frames, fps = _gen_frames(media_id)
+    return encode_mjpeg_avi(frames, fps=fps)
+
+
+def with_real_video(df: DataFrame) -> DataFrame:
+    """Replace video-kind payloads with real generated MJPEG AVIs
+    (deterministic per media_id, frames encoded by the baseline JPEG
+    codec), Arrow-batched — the synthetic table then carries genuinely
+    decodable video frames through decode_media and sample_frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            is_vid = pdf["kind"] == "video"
+            if is_vid.any():
+                content = pdf["content"].copy()
+                content[is_vid] = pdf.loc[is_vid, "media_id"].map(
+                    lambda m: _gen_video(int(m))
+                )
+                pdf = pdf.assign(
+                    content=content,
+                    n_bytes=content.map(len).astype("int64"),
+                    mime=pdf["mime"].mask(is_vid, "video/avi"),
+                )
+            yield pdf
+
+    return df.mapInPandas(batches, df.schema)
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -528,8 +561,11 @@ def decode_media(df: DataFrame) -> DataFrame:
     BMP, PNG and baseline-JPEG payloads decode to REAL pixel dimensions
     (decode_bmp / decode_png / decode_jpeg); PCM WAV payloads decode to
     real sample data (decode_wav — reported as width=sample_rate,
-    height=channels, duration_ms from the true sample count); other
-    formats (video) use the marked stub."""
+    height=channels, duration_ms from the true sample count); MJPEG AVI
+    payloads decode to real frames (decode_mjpeg_avi — first frame's
+    dims, duration from the true frame count over rate/scale). A payload
+    no codec accepts reports (0, 0, 0) — decode honesty, never a
+    fabricated geometry (the r5-r7 ``_decode_stub`` is gone)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -547,7 +583,15 @@ def decode_media(df: DataFrame) -> DataFrame:
             if wav is not None:  # real decode: true sample count / rate
                 samples, rate = wav
                 return rate, samples.shape[1], samples.shape[0] * 1000 // rate
-            return _decode_stub(data[:8])
+            vid = decode_mjpeg_avi(data)
+            if vid is not None:  # real decode: true frame dims / timing
+                frames, vrate, vscale = vid
+                return (
+                    frames[0].shape[1],
+                    frames[0].shape[0],
+                    len(frames) * 1000 * vscale // vrate,
+                )
+            return 0, 0, 0  # undecodable: report nothing, invent nothing
 
         for pdf in it:
             meta = pdf["content"].map(meta_of)
@@ -573,10 +617,12 @@ def extract_features(df: DataFrame) -> DataFrame:
     pixel feature (bmp_pixel_feature — channel means, grayscale
     histogram — container-agnostic, it takes decoded pixels);
     PCM WAV payloads yield a REAL sample feature (wav_audio_feature —
-    RMS/peak/zero-crossings + energy-over-time profile); undecodable
-    payloads fall back to the deterministic hash-derived stand-in. A
-    real embedding model swap-in changes ONLY the inner function,
-    never the Arrow-batched plumbing."""
+    RMS/peak/zero-crossings + energy-over-time profile); MJPEG AVI
+    payloads yield the MEAN of their frames' pixel features (a real
+    temporal pool over decoded frames); undecodable payloads fall back
+    to the deterministic hash-derived stand-in. A real embedding model
+    swap-in changes ONLY the inner function, never the Arrow-batched
+    plumbing."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -593,6 +639,12 @@ def extract_features(df: DataFrame) -> DataFrame:
             wav = decode_wav(data)
             if wav is not None:
                 return wav_audio_feature(*wav)
+            vid = decode_mjpeg_avi(data)
+            if vid is not None:
+                per_frame = np.array(
+                    [bmp_pixel_feature(f) for f in vid[0]], dtype=np.float64
+                )
+                return [float(x) for x in per_frame.mean(axis=0)]
             h = hashlib.sha256(data).digest()
             v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
             return (v / 65535.0).tolist()
@@ -606,24 +658,62 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
-    """Frame-sampling stage for 'video' payloads: split the byte stream into
-    fixed-size 'frames' and explode — pure Spark expressions, no Python.
-    (Real frame extraction would be an ffmpeg call in the decode stub.)"""
-    n_frames = F.floor(F.col("n_bytes") / every_n_bytes).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
-    return (
-        df.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.posexplode(
-                F.transform(
-                    idx,
-                    lambda i: F.substring(
-                        F.col("content"), (i * every_n_bytes + 1).cast("int"), every_n_bytes
-                    ),
-                )
-            ).alias("frame_no", "frame_bytes"),
-        )
+    """Frame-sampling stage for 'video' payloads. MJPEG AVI payloads
+    yield their REAL frames: one row per movi video chunk, frame_bytes =
+    that frame's JFIF bytes (each independently decodable with
+    decode_jpeg — no ffmpeg, the container walk is stdlib struct over
+    Arrow batches). Payloads no video codec accepts fall back to
+    fixed-size byte chunks of ``every_n_bytes`` (the pre-r8 behavior),
+    so the stage never drops a row silently.
+
+    Scale shape: the kind filter is an ordinary pushed-down column ahead
+    of any Python; the stage itself is a pure flatMap (mapInPandas, no
+    shuffle), and output rows are frame-sized, so downstream per-frame
+    decode parallelizes by repartitioning frames, not videos."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from habits_etl_spark.multimodal.avi import _iter_chunks
+
+        def frames_of(b) -> list[bytes]:
+            data = bytes(b)
+            if (
+                len(data) >= 12
+                and data[0:4] == b"RIFF"
+                and data[8:12] == b"AVI "
+            ):
+                end = min(8 + struct.unpack_from("<I", data, 4)[0], len(data))
+                out = []
+                for ckid, body, size in _iter_chunks(data, 12, end):
+                    if ckid == b"LIST" and size >= 4 and data[body : body + 4] == b"movi":
+                        for sub, sb, ss in _iter_chunks(
+                            data, body + 4, body + size
+                        ):
+                            if sub[2:4] in (b"dc", b"db"):
+                                out.append(data[sb : sb + ss])
+                if out:
+                    return out
+            return [
+                data[i : i + every_n_bytes]
+                for i in range(0, max(len(data), 1), every_n_bytes)
+            ]
+
+        for pdf in it:
+            rows = {"media_id": [], "frame_no": [], "frame_bytes": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for no, fb in enumerate(frames_of(content)):
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(no)
+                    rows["frame_bytes"].append(fb)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_no": pd.Series(rows["frame_no"], dtype="int32"),
+                    "frame_bytes": pd.Series(rows["frame_bytes"], dtype=object),
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        batches, "media_id long, frame_no int, frame_bytes binary"
     )
 
 

@@ -25,12 +25,13 @@ def test_synthetic_media_schema(spark):
     assert {r.kind for r in rows} == {"image", "audio", "video"}
 
 
-def test_decode_media_stub(spark):
+def test_decode_media_undecodable_reports_zeros(spark):
     decoded = decode_media(synthetic_media(spark, 30)).collect()
     assert len(decoded) == 30
     by_id = {r.media_id: r for r in decoded}
-    # header encodes width=(id*7)%256, height=(id*13)%256 (synthetic contract)
-    assert by_id[2].width == 14 and by_id[2].height == 26
+    # raw synthetic payloads match no codec: decode honesty is zeros,
+    # never a geometry fabricated from header bytes (r8: stub deleted)
+    assert all((r.width, r.height, r.duration_ms) == (0, 0, 0) for r in decoded)
     assert all(len(r.checksum) == 32 for r in decoded)
     # deterministic: second run identical
     again = {r.media_id: r for r in decode_media(synthetic_media(spark, 30)).collect()}
@@ -46,13 +47,136 @@ def test_extract_features_shape(spark):
     assert all(0.0 <= x <= 1.0 for r in feats for x in r.feature)
 
 
-def test_sample_frames(spark):
+def test_sample_frames_fallback_chunks_nonvideo_payloads(spark):
     frames = sample_frames(synthetic_media(spark, 30), every_n_bytes=16)
     rows = frames.collect()
     assert rows, "video rows must produce frames"
     one = [r for r in rows if r.media_id == rows[0].media_id]
     assert [r.frame_no for r in one] == list(range(len(one)))
     assert all(len(r.frame_bytes) == 16 for r in one[:-1])
+
+
+def test_sample_frames_real_mjpeg_frames(spark):
+    """MJPEG AVI payloads yield their REAL frames: one row per movi
+    chunk, each independently decodable with decode_jpeg to the exact
+    pixel field the generator encoded."""
+    import numpy as np
+
+    from habits_etl_spark.multimodal import (
+        _gen_frames,
+        decode_jpeg,
+        synthetic_media,
+        with_real_video,
+    )
+
+    media = with_real_video(synthetic_media(spark, 30))
+    rows = sample_frames(media).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert by_id
+    for mid, seq in by_id.items():
+        expect, _fps = _gen_frames(mid)
+        seq.sort(key=lambda r: r.frame_no)
+        assert [r.frame_no for r in seq] == list(range(len(expect)))
+        for r, want in zip(seq, expect):
+            got = decode_jpeg(bytes(r.frame_bytes))
+            assert got is not None and got.shape == want.shape
+            # JPEG is lossy: pixels are close, not byte-equal
+            err = np.abs(got.astype(int) - want.astype(int)).mean()
+            assert err < 12.0
+
+
+def test_mjpeg_avi_roundtrip_and_golden_fixture():
+    """The real video codec: encode->decode round-trips frame count,
+    fps and near-identical pixels; the committed fixture decodes to
+    KNOWN per-frame channel means; malformed payloads are rejected,
+    not mis-parsed."""
+    import os
+
+    import numpy as np
+
+    from habits_etl_spark.multimodal.avi import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:14]
+    base = np.stack(
+        [(xx * 18 + 7) % 256, (yy * 21 + 3) % 256, (xx * 5 + yy * 9) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    frames = [np.roll(base, f, axis=1) for f in range(3)]
+    data = encode_mjpeg_avi(frames, fps=8, quality=90)
+    # deterministic bytes
+    assert encode_mjpeg_avi(frames, fps=8, quality=90) == data
+    out = decode_mjpeg_avi(data)
+    assert out is not None
+    dec, rate, scale = out
+    assert (len(dec), rate, scale) == (3, 8, 1)
+    for got, want in zip(dec, frames):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 6.0
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "gradient3_12x14_8fps.avi"
+    )
+    fdata = open(fixture, "rb").read()
+    fout = decode_mjpeg_avi(fdata)
+    assert fout is not None
+    fdec, frate, fscale = fout
+    assert (len(fdec), frate, fscale) == (3, 8, 1)
+    golden = [
+        [123.553571, 118.511905, 81.732143],
+        [123.505952, 118.494048, 82.0],
+        [123.64881, 118.428571, 81.863095],
+    ]
+    for f, g in zip(fdec, golden):
+        assert [
+            round(float(f[:, :, i].mean()), 6) for i in range(3)
+        ] == pytest.approx(g, abs=1e-6)
+
+    # rejections: not an AVI / truncated / a movi frame that is not a
+    # baseline JPEG (strict: one bad frame rejects the whole payload)
+    assert decode_mjpeg_avi(b"definitely not an avi") is None
+    assert decode_mjpeg_avi(fdata[: len(fdata) // 2]) is None
+    bad = bytearray(fdata)
+    i = bad.find(b"\xff\xd8\xff")  # first frame's SOI
+    bad[i : i + 2] = b"XX"
+    assert decode_mjpeg_avi(bytes(bad)) is None
+
+
+def test_decode_media_real_frames_for_video(spark):
+    """Video-kind payloads swapped in by with_real_video flow REAL
+    frames: decode_media reports true frame dims and duration from the
+    frame count over fps, and the feature stage emits the mean of the
+    per-frame pixel features."""
+    import numpy as np
+
+    from habits_etl_spark.multimodal import (
+        _gen_frames,
+        bmp_pixel_feature,
+        extract_features,
+        synthetic_media,
+        with_real_video,
+    )
+
+    media = with_real_video(synthetic_media(spark, 30))
+    decoded = {r.media_id: r for r in decode_media(media).collect()}
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    vid_ids = [m for m, r in decoded.items() if r.kind == "video"]
+    assert vid_ids
+    for mid in vid_ids:
+        frames, fps = _gen_frames(mid)
+        r = decoded[mid]
+        assert (r.width, r.height) == (frames[0].shape[1], frames[0].shape[0])
+        assert r.duration_ms == len(frames) * 1000 // fps
+        # feature = mean over DECODED frames (lossy JPEG): close to the
+        # mean over source frames
+        want = np.array(
+            [bmp_pixel_feature(f) for f in frames], dtype=np.float64
+        ).mean(axis=0)
+        assert feats[mid] == pytest.approx(want, abs=0.08)
 
 
 def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
@@ -64,7 +188,7 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
     b = ext_multimodal_features(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
-    from habits_etl_spark.multimodal import _gen_image, _gen_wav
+    from habits_etl_spark.multimodal import _gen_frames, _gen_image, _gen_video, _gen_wav
 
     docs = {
         r.doc_id: r.text
@@ -85,8 +209,11 @@ def test_registered_multimodal_query_is_deterministic(spark, sf_dir):
             payload = _gen_wav(doc_id)
             assert r.width == 8000  # decoded sample rate
             assert r.height == 1  # decoded channel count
-        else:
-            payload = text.encode("utf-8")
+        else:  # real generated MJPEG AVI payload, really decoded
+            payload = _gen_video(doc_id)
+            frames, _fps = _gen_frames(doc_id)
+            assert r.width == frames[0].shape[1]
+            assert r.height == frames[0].shape[0]
         assert r.checksum == hashlib.md5(payload).hexdigest()
         assert r.n_bytes == len(payload)
         assert 0.0 < r.f_norm <= 4.0  # 16 dims in [0, 1]
@@ -486,6 +613,6 @@ def test_decode_media_real_samples_for_audio(spark):
         assert feats[mid] == pytest.approx(
             wav_audio_feature(samples, rate), abs=1e-6
         )
-    # non-audio payloads keep the stub path untouched
-    stub = [m for m, r in decoded.items() if r.kind == "video"][0]
-    assert decoded[stub].duration_ms == (decoded[stub].width * 100 + decoded[stub].height) % 10_000
+    # non-audio fake payloads match no codec and report zeros
+    vid = [m for m, r in decoded.items() if r.kind == "video"][0]
+    assert (decoded[vid].width, decoded[vid].height, decoded[vid].duration_ms) == (0, 0, 0)
