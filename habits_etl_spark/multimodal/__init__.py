@@ -50,7 +50,7 @@ MEDIA_SCHEMA = T.StructType(
 
 DECODED_SCHEMA = (
     "media_id long, kind string, n_bytes long, width int, height int, "
-    "duration_ms long, checksum string"
+    "duration_ms long, codec string, checksum string"
 )
 
 FEATURE_DIM = 16
@@ -563,26 +563,31 @@ def decode_media(df: DataFrame) -> DataFrame:
     real sample data (decode_wav — reported as width=sample_rate,
     height=channels, duration_ms from the true sample count); MJPEG AVI
     payloads decode to real frames (decode_mjpeg_avi — first frame's
-    dims, duration from the true frame count over rate/scale). A payload
-    no codec accepts reports (0, 0, 0) — decode honesty, never a
-    fabricated geometry (the r5-r7 ``_decode_stub`` is gone)."""
+    dims, duration from the true frame count over rate/scale). The
+    ``codec`` column records which parser accepted the payload; a
+    payload no codec accepts reports codec='none' with (0, 0, 0) —
+    decode honesty, never a fabricated geometry (the r5-r7
+    ``_decode_stub`` is gone), and refusals (e.g. progressive JPEG,
+    which the baseline parser deliberately rejects) stay countable
+    downstream instead of silently feature-less."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        def meta_of(b) -> tuple[int, int, int]:
+        def meta_of(b) -> tuple[int, int, int, str]:
             data = bytes(b)
-            arr = decode_bmp(data)
-            if arr is None:
-                arr = decode_png(data)
-            if arr is None:
-                arr = decode_jpeg(data)
-            if arr is not None:  # real decode: true pixel dims, no duration
-                return arr.shape[1], arr.shape[0], 0
+            for name, dec in (
+                ("bmp", decode_bmp),
+                ("png", decode_png),
+                ("jpeg", decode_jpeg),
+            ):
+                arr = dec(data)
+                if arr is not None:  # real decode: true pixel dims
+                    return arr.shape[1], arr.shape[0], 0, name
             wav = decode_wav(data)
             if wav is not None:  # real decode: true sample count / rate
                 samples, rate = wav
-                return rate, samples.shape[1], samples.shape[0] * 1000 // rate
+                return rate, samples.shape[1], samples.shape[0] * 1000 // rate, "wav"
             vid = decode_mjpeg_avi(data)
             if vid is not None:  # real decode: true frame dims / timing
                 frames, vrate, vscale = vid
@@ -590,8 +595,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                     frames[0].shape[1],
                     frames[0].shape[0],
                     len(frames) * 1000 * vscale // vrate,
+                    "mjpeg-avi",
                 )
-            return 0, 0, 0  # undecodable: report nothing, invent nothing
+            return 0, 0, 0, "none"  # undecodable: report nothing, invent nothing
 
         for pdf in it:
             meta = pdf["content"].map(meta_of)
@@ -603,6 +609,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "width": meta.map(lambda m: m[0]).astype("int32"),
                     "height": meta.map(lambda m: m[1]).astype("int32"),
                     "duration_ms": meta.map(lambda m: m[2]).astype("int64"),
+                    "codec": meta.map(lambda m: m[3]),
                     "checksum": pdf["content"].map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),

@@ -67,7 +67,7 @@ def ext_multimodal_features(spark, sf_dir):
         )
     )
     decoded = decode_media(media).select(
-        "media_id", "kind", "n_bytes", "width", "height", "checksum"
+        "media_id", "kind", "n_bytes", "width", "height", "codec", "checksum"
     )
     feats = extract_features(media).select(
         "media_id",

@@ -29,9 +29,11 @@ def test_decode_media_undecodable_reports_zeros(spark):
     decoded = decode_media(synthetic_media(spark, 30)).collect()
     assert len(decoded) == 30
     by_id = {r.media_id: r for r in decoded}
-    # raw synthetic payloads match no codec: decode honesty is zeros,
-    # never a geometry fabricated from header bytes (r8: stub deleted)
+    # raw synthetic payloads match no codec: decode honesty is zeros
+    # with codec='none', never a geometry fabricated from header bytes
+    # (r8: stub deleted); refusals stay countable downstream
     assert all((r.width, r.height, r.duration_ms) == (0, 0, 0) for r in decoded)
+    assert all(r.codec == "none" for r in decoded)
     assert all(len(r.checksum) == 32 for r in decoded)
     # deterministic: second run identical
     again = {r.media_id: r for r in decode_media(synthetic_media(spark, 30)).collect()}
@@ -146,6 +148,28 @@ def test_mjpeg_avi_roundtrip_and_golden_fixture():
     assert decode_mjpeg_avi(bytes(bad)) is None
 
 
+def test_decode_media_surfaces_progressive_jpeg_refusal(spark):
+    """A progressive JPEG (SOF2) is deliberately refused by the baseline
+    parser; through decode_media the refusal is VISIBLE as codec='none'
+    with zero geometry — countable by downstream corpus stats, not a
+    silent feature-less row."""
+    import os
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "gradient_14x12.jpg"
+    )
+    data = open(fixture, "rb").read()
+    prog = bytearray(data)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    df = spark.createDataFrame(
+        [(1, "image", len(data), bytes(data)), (2, "image", len(prog), bytes(prog))],
+        "media_id long, kind string, n_bytes long, content binary",
+    )
+    rows = {r.media_id: r for r in decode_media(df).collect()}
+    assert rows[1].codec == "jpeg" and (rows[1].width, rows[1].height) == (14, 12)
+    assert rows[2].codec == "none" and (rows[2].width, rows[2].height) == (0, 0)
+
+
 def test_decode_media_real_frames_for_video(spark):
     """Video-kind payloads swapped in by with_real_video flow REAL
     frames: decode_media reports true frame dims and duration from the
@@ -166,6 +190,7 @@ def test_decode_media_real_frames_for_video(spark):
     feats = {r.media_id: r.feature for r in extract_features(media).collect()}
     vid_ids = [m for m, r in decoded.items() if r.kind == "video"]
     assert vid_ids
+    assert all(decoded[m].codec == "mjpeg-avi" for m in vid_ids)
     for mid in vid_ids:
         frames, fps = _gen_frames(mid)
         r = decoded[mid]
