@@ -5,8 +5,8 @@ metadata, processed with Arrow-batched pandas UDFs over ``mapInPandas``.
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
 shape) is real and tested, and so are FIVE codecs — all pure
 stdlib + numpy (no PIL/ffmpeg in this container): 24-bit BMP (r5),
-16-bit PCM WAV (r5), filtered+zlib PNG (r6), baseline-sequential
-JPEG (r7, habits_etl_spark/multimodal/jpeg.py), and MJPEG-in-AVI
+16-bit PCM WAV (r5), filtered+zlib PNG (r6), baseline + progressive
+JPEG (r7/r8, habits_etl_spark/multimodal/jpeg.py), and MJPEG-in-AVI
 video (r8, habits_etl_spark/multimodal/avi.py) — so every media kind
 flows ACTUAL pixel/sample/frame data through the decode, feature and
 frame-sampling stages; no stub path remains. A payload no codec
@@ -169,8 +169,9 @@ def _gen_bmp(media_id: int) -> bytes:
 def _image_container(media_id: int) -> int:
     """Deterministic container rotation for image-kind payloads. Image
     ids arrive as every-third media_id (kind = id % 3), so rotate on
-    id // 3: 0 -> BMP, 1 -> PNG, 2 -> JPEG."""
-    return (media_id // 3) % 3
+    id // 3: 0 -> BMP, 1 -> PNG, 2 -> baseline JPEG, 3 -> progressive
+    JPEG (SOF2, spectral selection + successive approximation)."""
+    return (media_id // 3) % 4
 
 
 def _gen_image(media_id: int) -> bytes:
@@ -179,19 +180,24 @@ def _gen_image(media_id: int) -> bytes:
         return _gen_bmp(media_id)
     if c == 1:
         return _gen_png(media_id)
-    return _gen_jpeg(media_id)
+    if c == 2:
+        return _gen_jpeg(media_id)
+    return encode_jpeg(_gen_pixels(media_id), 90, progressive=True)
 
 
 def _image_mime(media_id: int) -> str:
-    return ("image/bmp", "image/png", "image/jpeg")[_image_container(media_id)]
+    return ("image/bmp", "image/png", "image/jpeg", "image/jpeg")[
+        _image_container(media_id)
+    ]
 
 
 def with_real_images(df: DataFrame) -> DataFrame:
     """Replace image-kind payloads with real generated images — the
     container rotates per image (BMP / filtered+zlib PNG / baseline
-    JPEG, see _image_container) over the SAME deterministic pixel field
-    (_gen_pixels) — Arrow-batched, so the synthetic table carries
-    genuinely decodable pixels through all THREE real image codecs."""
+    JPEG / progressive JPEG, see _image_container) over the SAME
+    deterministic pixel field (_gen_pixels) — Arrow-batched, so the
+    synthetic table carries genuinely decodable pixels through every
+    real image decode path, including multi-scan SOF2."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -567,9 +573,9 @@ def decode_media(df: DataFrame) -> DataFrame:
     ``codec`` column records which parser accepted the payload; a
     payload no codec accepts reports codec='none' with (0, 0, 0) —
     decode honesty, never a fabricated geometry (the r5-r7
-    ``_decode_stub`` is gone), and refusals (e.g. progressive JPEG,
-    which the baseline parser deliberately rejects) stay countable
-    downstream instead of silently feature-less."""
+    ``_decode_stub`` is gone), and refusals (arithmetic-coded or
+    12-bit JPEG, corrupt containers) stay countable downstream instead
+    of silently feature-less."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -1,31 +1,40 @@
-"""Baseline-sequential JPEG codec, pure stdlib + numpy — the third REAL
-image container for the multimodal pipeline (after BMP and PNG), so
-image-kind payloads never hit the decode stub.
+"""JPEG codec (baseline sequential + progressive), pure stdlib +
+numpy — the third REAL image container for the multimodal pipeline
+(after BMP and PNG), so image-kind payloads never hit a decode stub.
 
-Decoder (ITU-T T.81 baseline DCT, non-progressive):
-- marker walk (APPn/COM skipped), multi-table DQT/DHT segments, SOF0,
-  DRI restart intervals, RSTn handling with DC-predictor reset;
+Decoder (ITU-T T.81 DCT, Huffman):
+- marker walk (APPn/COM skipped), multi-table DQT/DHT segments, SOF0
+  baseline and SOF2 progressive frames, DRI restart intervals, RSTn
+  handling with DC-predictor reset;
 - Huffman tables are read from the FILE's DHT segments (so third-party
-  baseline JPEGs decode too, not only our own), canonical-code
-  reconstruction per T.81 Annex C;
+  JPEGs decode too, not only our own), canonical-code reconstruction
+  per T.81 Annex C;
 - entropy decode with FF00 byte-unstuffing, DC prediction + magnitude
   extension, AC run/size with ZRL and EOB;
+- progressive (r8): every scan's spectral-selection + successive-
+  approximation pass (DC first/refine, AC first/refine with EOBn run
+  codes, T.81 Annex G / the jdphuff control structure) accumulates
+  into per-component coefficient arrays; dequantize + IDCT run once;
 - dequantize -> inverse zigzag -> float IDCT (8x8 DCT-II basis matrix,
   the textbook orthonormal form) -> level shift -> per-component planes
   with integer-ratio chroma upsampling -> JFIF YCbCr->RGB.
-- Unsupported shapes return None rather than mis-parse: progressive
-  (SOF2) and every non-SOF0 frame class, 12-bit precision, non-integer
-  sampling ratios, arithmetic coding.
+- Unsupported shapes return None rather than mis-parse: extended-
+  sequential/lossless/hierarchical frame classes, 12-bit precision,
+  non-integer sampling ratios, arithmetic coding.
 
 Encoder (what the synthetic generator and tests feed the decoder):
-- 4:4:4 (or single-component grayscale), quality-scaled standard
-  quantization tables (the libjpeg 5000/q | 200-2q scaling), float
-  FDCT, and SELF-BUILT flat canonical Huffman tables (all DC symbols at
-  4 bits, all 162 AC symbols at 8 bits — valid prefix codes with the
-  all-ones code unused, carried in DHT like any other table). Flat
-  tables trade a few percent of compression for a table spec that is
-  trivially auditable; decode correctness never depends on table choice
-  because the decoder always reads tables from the stream.
+- 4:4:4 / 4:2:0 (or single-component grayscale), quality-scaled
+  standard quantization tables (the libjpeg 5000/q | 200-2q scaling),
+  float FDCT, and SELF-BUILT flat canonical Huffman tables (all DC
+  symbols at 4 bits, all 162 AC symbols at 8 bits — valid prefix codes
+  with the all-ones code unused, carried in DHT like any other table).
+  Flat tables trade a few percent of compression for a table spec that
+  is trivially auditable; decode correctness never depends on table
+  choice because the decoder always reads tables from the stream.
+- ``progressive=True`` emits a SOF2 scan script covering all four
+  progressive pass kinds (see encode_jpeg), so the progressive decoder
+  round-trips bit-identically against the baseline decode of the same
+  quantized coefficients.
 
 Round-trip is LOSSY by design (quantization); tests assert exact
 dimensions, bounded pixel error, and determinism, not bit-identity.
@@ -318,14 +327,21 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 image -> baseline JFIF bytes. Accepts (h, w) grayscale (one
+    """uint8 image -> JFIF bytes. Accepts (h, w) grayscale (one
     component) or (h, w, 3) RGB (YCbCr). ``subsample=True`` emits 4:2:0
     (luma 2x2, chroma 2x2-averaged) instead of 4:4:4, and
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs — both exist so the decoder's general MCU geometry, chroma
     upsampling and restart paths are exercised by our own streams, not
-    only by third-party files. Deterministic for given arguments."""
+    only by third-party files. ``progressive=True`` emits SOF2 with a
+    spectral-selection + successive-approximation scan script (DC at
+    Al=1, DC refinement, per-component AC first at Al=1, per-component
+    AC refinement) so all four progressive decode passes round-trip
+    against our own streams. Deterministic for given arguments."""
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is not supported with progressive")
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     planes = [arr.astype(np.float64)] if gray else _rgb_to_ycbcr(arr)
@@ -359,7 +375,9 @@ def encode_jpeg(
     for tq, qtab in enumerate(qtabs):
         out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([tq])
         out += bytes(int(x) for x in qtab.reshape(64)[_ZZ])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
     for c in range(nc):
         out += bytes(
             [c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1]
@@ -369,10 +387,6 @@ def encode_jpeg(
         out += bytes([tc << 4]) + bytes(bits) + bytes(syms)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for c in range(nc):
-        out += bytes([c + 1, 0x00])  # DC table 0, AC table 0 for all comps
-    out += bytes([0, 63, 0])
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
@@ -380,6 +394,17 @@ def encode_jpeg(
         _pad_to(planes[c], mcuy * 8 * samp[c][1], mcux * 8 * samp[c][0])
         for c in range(nc)
     ]
+    if progressive:
+        out += _encode_progressive_scans(
+            padded, samp, qtabs, nc, mcux, mcuy, dc_codes, ac_codes,
+            w, h, hmax, vmax,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00])  # DC table 0, AC table 0 for all comps
+    out += bytes([0, 63, 0])
     bw = _BitWriter()
     preds = [0] * nc
     rst = 0
@@ -444,10 +469,11 @@ def _decode_block(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray | None:
-    """Baseline JPEG -> HxWx3 uint8 RGB array (grayscale replicated), or
-    None if the payload is not a baseline JPEG this parser supports
-    (progressive / 12-bit / arithmetic / fractional sampling return
-    None rather than mis-parse)."""
+    """JPEG (baseline SOF0 or progressive SOF2) -> HxWx3 uint8 RGB array
+    (grayscale replicated), or None if the payload is not a JPEG this
+    parser supports (extended-sequential / lossless / 12-bit /
+    arithmetic / fractional sampling return None rather than
+    mis-parse)."""
     try:
         return _decode_jpeg(data)
     except (_JpegError, struct.error, IndexError, ValueError, MemoryError):
@@ -467,6 +493,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
     comps: list[dict] | None = None
     w = h = 0
     restart_interval = 0
+    progressive = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -505,7 +532,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 dec = _canonical_decoder(bits, syms)
                 (dc_dec if tc == 0 else ac_dec)[th] = dec
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or h == 0 or w == 0 or nc not in (1, 3):
                 return None
@@ -515,13 +543,18 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/lossless/arithmetic frame classes
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — start of the (single, baseline) scan
+        elif marker == 0xDA:  # SOS
             if comps is None:
                 return None
+            if progressive:
+                return _decode_progressive(
+                    data, pos, w, h, comps, qt, dc_dec, ac_dec,
+                    restart_interval,
+                )
             ns = seg[0]
             if ns != len(comps):
                 return None
@@ -607,6 +640,19 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
             n_mcu += 1
+    return _planes_to_rgb(planes, comps, hmax, vmax, w, h)
+
+
+def _planes_to_rgb(
+    planes: list[np.ndarray],
+    comps: list[dict],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> np.ndarray:
+    """Integer-ratio chroma upsample + crop + JFIF YCbCr->RGB (shared by
+    the sequential and progressive decode paths)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -621,3 +667,534 @@ def _decode_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.ascontiguousarray(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+
+
+# --- progressive decoder (ITU-T T.81 Annex G, Huffman) ------------------------
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    w: int,
+    h: int,
+    comps: list[dict],
+    qt: dict[int, np.ndarray],
+    dc_dec: dict[int, dict],
+    ac_dec: dict[int, dict],
+    restart_interval: int,
+) -> np.ndarray:
+    """Progressive DCT decode: walk every scan from the first SOS to EOI,
+    accumulating spectral-selection + successive-approximation passes
+    (T.81 G.1.2, the jdphuff control structure) into per-component
+    zigzag coefficient arrays; dequantize + IDCT once at the end.
+    ``pos`` points at the first SOS marker's 0xFF."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4 or any(
+        c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"] for c in comps
+    ):
+        raise _JpegError("unsupported sampling")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Same untrusted-geometry budget as the sequential path: coefficient
+    # arrays are int64[bh][bw][64], planes come later at the same order
+    # of magnitude — bound both before any allocation.
+    coef_bytes = sum(
+        (mcuy * c["v"]) * (mcux * c["h"]) * 64 * 8 for c in comps
+    )
+    if coef_bytes > 256 << 20:
+        raise _JpegError("declared geometry exceeds decode budget")
+    for c in comps:
+        c["bh"] = mcuy * c["v"]
+        c["bw"] = mcux * c["h"]
+        # non-interleaved scans code only the blocks covering the
+        # component's actual samples (T.81 A.2.2), not the MCU padding
+        c["bhu"] = (-(-h * c["v"] // vmax) + 7) // 8
+        c["bwu"] = (-(-w * c["h"] // hmax) + 7) // 8
+    coefs = [
+        np.zeros((c["bh"], c["bw"], 64), dtype=np.int64) for c in comps
+    ]
+    saw_scan = False
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise _JpegError("bad marker alignment between scans")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise _JpegError("truncated segment")
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise _JpegError("truncated segment")
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0 or i + 65 > len(seg):
+                    raise _JpegError("bad DQT")
+                tbl = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZZ] = tbl
+                qt[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                syms = list(seg[i + 17 : i + 17 + n])
+                if len(syms) != n:
+                    raise _JpegError("bad DHT")
+                dec = _canonical_decoder(bits, syms)
+                (dc_dec if tc == 0 else ac_dec)[th] = dec
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            ns = seg[0]
+            if ns < 1 or len(seg) != 4 + 2 * ns:
+                raise _JpegError("bad SOS")
+            scomps = []
+            for i in range(ns):
+                cid, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(
+                    (j for j, c in enumerate(comps) if c["id"] == cid), None
+                )
+                if ci is None:
+                    raise _JpegError("SOS names unknown component")
+                comps[ci]["td"] = tdta >> 4
+                comps[ci]["ta"] = tdta & 0x0F
+                scomps.append(ci)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_prog_scan(
+                data, pos + 2 + seg_len, coefs, comps, scomps,
+                ss, se, ah, al, dc_dec, ac_dec, restart_interval,
+                mcux, mcuy,
+            )
+            saw_scan = True
+            continue
+        pos += 2 + seg_len
+    if not saw_scan:
+        raise _JpegError("no scan in progressive stream")
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise _JpegError("missing quant table")
+        nat = np.zeros((c["bh"], c["bw"], 64), dtype=np.float64)
+        nat[:, :, _ZZ] = coefs[ci]
+        blocks = nat.reshape(c["bh"], c["bw"], 8, 8) * q[None, None]
+        spat = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        planes.append(
+            spat.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+    return _planes_to_rgb(planes, comps, hmax, vmax, w, h)
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    coefs: list[np.ndarray],
+    comps: list[dict],
+    scomps: list[int],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_dec: dict[int, dict],
+    ac_dec: dict[int, dict],
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data; returns the byte
+    position of the next marker after the scan."""
+    br = _BitReader(data, pos)
+    rst = 0
+    if ss == 0:  # DC scan (first or refinement), possibly interleaved
+        if se != 0 or al > 13 or (ah and ah != al + 1):
+            raise _JpegError("bad DC scan parameters")
+        preds = {ci: 0 for ci in scomps}
+        n_unit = 0
+
+        def dc_block(ci: int, by: int, bx: int) -> None:
+            zz = coefs[ci][by, bx]
+            if ah == 0:
+                dd = dc_dec.get(comps[ci].get("td", 0))
+                if dd is None:
+                    raise _JpegError("missing DC table")
+                s = _read_huff(br, dd)
+                preds[ci] += _extend(br.read_bits(s), s)
+                zz[0] = preds[ci] << al
+            else:  # refinement: one raw bit per block
+                if br.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+
+        if len(scomps) > 1:  # interleaved: MCU order over the full grid
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and n_unit
+                        and n_unit % restart_interval == 0
+                    ):
+                        br.restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = {ci: 0 for ci in scomps}
+                    for ci in scomps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    ci, my * c["v"] + by, mx * c["h"] + bx
+                                )
+                    n_unit += 1
+        else:  # single component: its used blocks in raster order
+            ci = scomps[0]
+            c = comps[ci]
+            for by in range(c["bhu"]):
+                for bx in range(c["bwu"]):
+                    if (
+                        restart_interval
+                        and n_unit
+                        and n_unit % restart_interval == 0
+                    ):
+                        br.restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = {ci: 0 for ci in scomps}
+                    dc_block(ci, by, bx)
+                    n_unit += 1
+    else:  # AC scan: always non-interleaved (T.81 B.2.3)
+        if len(scomps) != 1 or se < ss or se > 63 or (ah and ah != al + 1):
+            raise _JpegError("bad AC scan parameters")
+        ci = scomps[0]
+        c = comps[ci]
+        ad = ac_dec.get(c.get("ta", 0))
+        if ad is None:
+            raise _JpegError("missing AC table")
+        eobrun = 0
+        n_unit = 0
+        for by in range(c["bhu"]):
+            for bx in range(c["bwu"]):
+                if (
+                    restart_interval
+                    and n_unit
+                    and n_unit % restart_interval == 0
+                ):
+                    br.restart(rst)
+                    rst = (rst + 1) & 7
+                    eobrun = 0
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, ad, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, ad, zz, ss, se, al, eobrun)
+                n_unit += 1
+    # skip to the next real marker (stray RSTn / fill bytes tolerated)
+    p = br.pos
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise _JpegError("no marker after scan")
+
+
+def _ac_first_block(
+    br: _BitReader,
+    ad: dict,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """One block of an AC first scan (Ah == 0): run/size coding of the
+    band's coefficients at precision Al, with EOBn run codes
+    (T.81 G.1.2.2; jdphuff decode_mcu_AC_first)."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(br, ad)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise _JpegError("AC index out of band")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    br: _BitReader,
+    ad: dict,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """One block of an AC refinement scan (Ah == Al + 1): newly
+    significant coefficients arrive as run/1 codes with a sign bit;
+    already-significant coefficients receive interleaved correction
+    bits (T.81 G.1.2.3; jdphuff decode_mcu_AC_refine)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k: int) -> None:
+        c = int(zz[k])
+        if br.read_bit() and not (c & p1):
+            zz[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(br, ad)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise _JpegError("bad refinement size")
+                val = p1 if br.read_bit() else m1
+            # advance: correction bits on nonzero-history coefficients,
+            # count down r on zero-history ones
+            while k <= se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise _JpegError("refinement overruns band")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if int(zz[k]) != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# --- progressive encoder (scan script: see encode_jpeg docstring) -------------
+
+
+def _encode_progressive_scans(
+    padded: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    qtabs: list[np.ndarray],
+    nc: int,
+    mcux: int,
+    mcuy: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> bytes:
+    """Emit the SOS + entropy data for every scan of the progressive
+    script. Refinement scans mirror the decoder's advance semantics
+    exactly (T.81 G.1.2.3): correction bits for already-significant
+    coefficients are interleaved at the positions the decoder will
+    consume them, never batch-flushed."""
+    zzs = []
+    for c in range(nc):
+        p = padded[c]
+        bh, bwq = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bwq, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T)
+        qtab = qtabs[0] if c == 0 else qtabs[1]
+        qz = np.rint(coef / qtab[None, None]).astype(np.int64)
+        zzs.append(qz.reshape(bh, bwq, 64)[:, :, _ZZ])
+    used = [
+        (
+            (-(-h * samp[c][1] // vmax) + 7) // 8,
+            (-(-w * samp[c][0] // hmax) + 7) // 8,
+        )
+        for c in range(nc)
+    ]
+
+    def sos(spec: list[tuple[int, int]], ss: int, se: int, ahal: int) -> bytes:
+        b = bytearray(b"\xff\xda")
+        b += struct.pack(">HB", 6 + 2 * len(spec), len(spec))
+        for cid, tdta in spec:
+            b += bytes([cid, tdta])
+        b += bytes([ss, se, ahal])
+        return bytes(b)
+
+    def dc_blocks_mcu_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(nc):
+                    ch, cv = samp[c]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            yield c, my * cv + by, mx * ch + bx
+
+    out = bytearray()
+    # scan 1: DC first, interleaved, Al=1 (values arithmetic-shifted)
+    out += sos([(c + 1, 0x00) for c in range(nc)], 0, 0, 0x01)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for c, by, bx in dc_blocks_mcu_order():
+        dc = int(zzs[c][by, bx, 0]) >> 1
+        diff = dc - preds[c]
+        preds[c] = dc
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.buf
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    out += sos([(c + 1, 0x00) for c in range(nc)], 0, 0, 0x10)
+    bw = _BitWriter()
+    for c, by, bx in dc_blocks_mcu_order():
+        bw.write(int(zzs[c][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+    # per-component AC first scans: Ss=1 Se=63 Ah=0 Al=1
+    for c in range(nc):
+        out += sos([(c + 1, 0x00)], 1, 63, 0x01)
+        bw = _BitWriter()
+        for by in range(used[c][0]):
+            for bx in range(used[c][1]):
+                _emit_ac_first_block(bw, zzs[c][by, bx], 1, 63, 1, ac_codes)
+        bw.flush()
+        out += bw.buf
+    # per-component AC refinement scans: Ss=1 Se=63 Ah=1 Al=0
+    for c in range(nc):
+        out += sos([(c + 1, 0x00)], 1, 63, 0x10)
+        bw = _BitWriter()
+        for by in range(used[c][0]):
+            for bx in range(used[c][1]):
+                _emit_ac_refine_block(bw, zzs[c][by, bx], 1, 63, 0, ac_codes)
+        bw.flush()
+        out += bw.buf
+    return bytes(out)
+
+
+def _emit_ac_first_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """AC first-scan block: run/size over sign(v)*(|v|>>Al), per-block
+    EOB0 (no cross-block EOB runs — simpler, and the decoder's EOBRUN
+    path is still exercised with run length 1)."""
+    ts = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        ts.append(a if v >= 0 else -a)
+    nz = [i for i, t in enumerate(ts) if t]
+    last = nz[-1] if nz else -1
+    run = 0
+    for i in range(last + 1):
+        t = ts[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = abs(t).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if last < len(ts) - 1:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+
+
+def _emit_ac_refine_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """AC refinement block (Ah = Al+1): newly significant coefficients
+    (|v|>>Al == 1) as run/1 + sign, correction bits for
+    already-significant ones interleaved exactly where the decoder's
+    advance loop reads them, per-block EOB0 for the tail."""
+    kinds: list[tuple[str, int]] = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v)
+        if a >> (al + 1):  # already significant at the previous pass
+            kinds.append(("c", (a >> al) & 1))
+        elif a >> al:  # newly significant: must be exactly +-1<<Al
+            kinds.append(("n", 1 if v > 0 else 0))
+        else:
+            kinds.append(("z", 0))
+    i = 0
+    for j, (knd, sign) in enumerate(kinds):
+        if knd != "n":
+            continue
+        r = sum(1 for x in kinds[i:j] if x[0] == "z")
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            consumed = 0
+            while consumed < 16:  # the decoder stops AT the 16th zero
+                k2, pl = kinds[i]
+                if k2 == "z":
+                    consumed += 1
+                else:
+                    bw.write(pl, 1)
+                i += 1
+            r -= 16
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(sign, 1)
+        while i < j:
+            k2, pl = kinds[i]
+            if k2 == "c":
+                bw.write(pl, 1)
+            i += 1
+        i = j + 1
+    if i < len(kinds):  # anything left needs an EOB + its correction bits
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+        for k2, pl in kinds[i:]:
+            if k2 == "c":
+                bw.write(pl, 1)

@@ -148,26 +148,80 @@ def test_mjpeg_avi_roundtrip_and_golden_fixture():
     assert decode_mjpeg_avi(bytes(bad)) is None
 
 
-def test_decode_media_surfaces_progressive_jpeg_refusal(spark):
-    """A progressive JPEG (SOF2) is deliberately refused by the baseline
-    parser; through decode_media the refusal is VISIBLE as codec='none'
+def test_decode_media_surfaces_jpeg_refusal_and_decodes_progressive(spark):
+    """A REAL progressive JPEG (SOF2, multi-scan) decodes through
+    decode_media with true dims; a MALFORMED one (a baseline stream
+    whose SOF marker is flipped to SOF2 — its interleaved Ss=0,Se=63
+    scan is invalid progressive) is refused VISIBLY as codec='none'
     with zero geometry — countable by downstream corpus stats, not a
     silent feature-less row."""
     import os
+
+    import numpy as np
+
+    from habits_etl_spark.multimodal.jpeg import encode_jpeg
 
     fixture = os.path.join(
         os.path.dirname(__file__), "fixtures", "gradient_14x12.jpg"
     )
     data = open(fixture, "rb").read()
-    prog = bytearray(data)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    malformed = bytearray(data)
+    malformed[malformed.find(b"\xff\xc0") + 1] = 0xC2
+    rng = np.mgrid[0:12, 0:14]
+    px = np.stack([(rng[1] * 18) % 256, (rng[0] * 21) % 256, (rng[0] + rng[1]) % 256], axis=-1).astype(np.uint8)
+    real_prog = encode_jpeg(px, 90, progressive=True)
     df = spark.createDataFrame(
-        [(1, "image", len(data), bytes(data)), (2, "image", len(prog), bytes(prog))],
+        [
+            (1, "image", len(data), bytes(data)),
+            (2, "image", len(malformed), bytes(malformed)),
+            (3, "image", len(real_prog), bytes(real_prog)),
+        ],
         "media_id long, kind string, n_bytes long, content binary",
     )
     rows = {r.media_id: r for r in decode_media(df).collect()}
     assert rows[1].codec == "jpeg" and (rows[1].width, rows[1].height) == (14, 12)
     assert rows[2].codec == "none" and (rows[2].width, rows[2].height) == (0, 0)
+    assert rows[3].codec == "jpeg" and (rows[3].width, rows[3].height) == (14, 12)
+
+
+def test_progressive_jpeg_roundtrip_matches_baseline():
+    """The progressive path (SOF2: DC first at Al=1, DC refinement,
+    per-component AC first at Al=1, AC refinement — all four T.81
+    Annex G pass kinds) reconstructs EXACTLY the coefficients the
+    baseline scan would carry, so decoded pixels are bit-identical to
+    the baseline decode of the same image at the same quality."""
+    import numpy as np
+
+    from habits_etl_spark.multimodal import _gen_pixels
+    from habits_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:31]
+    noise = ((xx * 37 + yy * 101 + (xx * yy) % 13 * 29) % 256).astype(np.uint8)
+    images = [
+        _gen_pixels(7),
+        _gen_pixels(40),
+        np.stack([noise, noise[::-1], 255 - noise], axis=-1),  # AC stress
+    ]
+    for img in images:
+        for q in (40, 90):
+            for sub in (False, True):
+                base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+                pdata = encode_jpeg(img, q, subsample=sub, progressive=True)
+                prog = decode_jpeg(pdata)
+                assert prog is not None
+                assert np.array_equal(base, prog)
+    # grayscale too
+    gray = ((xx * 11 + yy * 7) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, 75)),
+        decode_jpeg(encode_jpeg(gray, 75, progressive=True)),
+    )
+    # determinism + restart refusal
+    assert encode_jpeg(images[0], 90, progressive=True) == encode_jpeg(
+        images[0], 90, progressive=True
+    )
+    with pytest.raises(ValueError):
+        encode_jpeg(images[0], 90, restart_interval=2, progressive=True)
 
 
 def test_decode_media_real_frames_for_video(spark):
@@ -430,7 +484,7 @@ def test_jpeg_roundtrip_and_golden_fixture():
     grayscale and RGB, 4:4:4 and 4:2:0, and restart intervals; the
     committed fixture decodes to KNOWN pixel statistics — real
     Huffman-decoded, dequantized, IDCT'd pixels; corrupt / truncated /
-    progressive payloads are rejected, not mis-parsed."""
+    malformed payloads are rejected, not mis-parsed."""
     import os
 
     import numpy as np
@@ -482,7 +536,9 @@ def test_jpeg_roundtrip_and_golden_fixture():
     ]
     assert feat == pytest.approx(golden, abs=1e-6)
 
-    # rejections: not a JPEG / truncated / progressive (SOF2)
+    # rejections: not a JPEG / truncated / malformed progressive (a
+    # baseline stream whose SOF marker is flipped to SOF2 declares an
+    # interleaved Ss=0,Se=63 scan — invalid progressive scan params)
     assert decode_jpeg(b"definitely not a jpeg payload") is None
     assert decode_jpeg(data[: len(data) // 2]) is None
     prog = bytearray(data)
