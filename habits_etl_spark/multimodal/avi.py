@@ -136,9 +136,20 @@ def decode_mjpeg_avi(
 ) -> tuple[list[np.ndarray], int, int] | None:
     """MJPEG AVI -> (frames as HxWx3 uint8 RGB, rate, scale), or None if
     the payload is not an MJPEG AVI this parser supports. fps =
-    rate/scale. Strict: every movi video chunk must baseline-decode via
+    rate/scale. Strict: every movi video chunk must decode via
     decode_jpeg, else the whole payload is rejected — a half-parsed
-    video must not flow partial frames downstream."""
+    video must not flow partial frames downstream. Like the image/audio
+    decoders, any parse failure on untrusted bytes returns None rather
+    than crash the Arrow UDF task."""
+    try:
+        return _decode_mjpeg_avi(data)
+    except (struct.error, IndexError, ValueError, MemoryError, OverflowError):
+        return None
+
+
+def _decode_mjpeg_avi(
+    data: bytes,
+) -> tuple[list[np.ndarray], int, int] | None:
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"AVI ":
         return None
     (riff_size,) = struct.unpack_from("<I", data, 4)

@@ -449,6 +449,8 @@ def _decode_block(
 ) -> tuple[np.ndarray, int]:
     zz = np.zeros(64, dtype=np.int64)
     s = _read_huff(br, dc_dec)
+    if s > 15:  # T.81 F.1.2.1: DC size categories stop at 15; a corrupt
+        raise _JpegError("bad DC size")  # DHT symbol must not drive read_bits
     dc = pred + _extend(br.read_bits(s), s)
     zz[0] = dc
     k = 1
@@ -476,10 +478,20 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
     mis-parse)."""
     try:
         return _decode_jpeg(data)
-    except (_JpegError, struct.error, IndexError, ValueError, MemoryError):
-        # MemoryError: the geometry cap in _decode_scan bounds declared
-        # dims, but any allocator failure on untrusted bytes must still
-        # degrade to None, never crash the Arrow UDF task.
+    except (
+        _JpegError,
+        struct.error,
+        IndexError,
+        ValueError,
+        MemoryError,
+        OverflowError,
+    ):
+        # MemoryError: the geometry cap bounds declared dims, but any
+        # allocator failure on untrusted bytes must still degrade to
+        # None, never crash the Arrow UDF task. OverflowError: a corrupt
+        # stream could otherwise push an unbounded Python int into an
+        # int64 coefficient slot (found by mutation fuzzing; the DC-size
+        # guard closes the known path, this closes the class).
         return None
 
 
@@ -831,6 +843,8 @@ def _decode_prog_scan(
                 if dd is None:
                     raise _JpegError("missing DC table")
                 s = _read_huff(br, dd)
+                if s > 15:  # corrupt DHT symbol (see _decode_block)
+                    raise _JpegError("bad DC size")
                 preds[ci] += _extend(br.read_bits(s), s)
                 zz[0] = preds[ci] << al
             else:  # refinement: one raw bit per block

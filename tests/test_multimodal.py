@@ -549,6 +549,17 @@ def test_jpeg_roundtrip_and_golden_fixture():
     deep = bytearray(data)
     deep[i + 4] = 12
     assert decode_jpeg(bytes(deep)) is None
+    # corrupt DC Huffman table: symbols patched to 0xFF make the decoder
+    # read a size category of 255 — without the T.81 size bound this
+    # pushed an unbounded Python int into the int64 coefficient slot and
+    # raised OverflowError through the Arrow task (found by mutation
+    # fuzzing); it must return None instead
+    baddht = bytearray(data)
+    d = baddht.find(b"\xff\xc4")
+    seg_end = d + 4 + int.from_bytes(baddht[d + 2 : d + 4], "big") - 2
+    for k in range(d + 4 + 1 + 16, seg_end):  # every DC symbol -> 0xFF
+        baddht[k] = 0xFF
+    assert decode_jpeg(bytes(baddht)) is None
     # forged geometry: a ~700-byte payload claiming 65500x65500 with 4x4
     # sampling must return None (geometry cap), not raise MemoryError
     # attempting a 32+ GiB plane allocation inside an Arrow UDF task.
