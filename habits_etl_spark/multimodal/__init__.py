@@ -309,12 +309,17 @@ def decode_png(data: bytes) -> np.ndarray | None:
         (size,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + size]
-        if len(body) != size:
+        # bound BEFORE the CRC read: a corrupt size can leave the body
+        # intact but truncate the 4 CRC bytes (found by mutation fuzzing
+        # — struct.error escaped the None contract)
+        if len(body) != size or pos + 12 + size > len(data):
             return None
         (crc,) = struct.unpack_from(">I", data, pos + 8 + size)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             return None
         if ctype == b"IHDR":
+            if len(body) != 13:
+                return None
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )

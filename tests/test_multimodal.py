@@ -536,6 +536,16 @@ def test_jpeg_roundtrip_and_golden_fixture():
     ]
     assert feat == pytest.approx(golden, abs=1e-6)
 
+    # PNG truncation leaving a chunk's body intact but cutting into its
+    # CRC bytes must return None, not raise struct.error (found by
+    # mutation fuzzing); cut mid-CRC of the IDAT chunk
+    from habits_etl_spark.multimodal import _gen_pixels, decode_png, encode_png
+
+    png = encode_png(_gen_pixels(7))
+    idat = png.find(b"IDAT")
+    idat_size = int.from_bytes(png[idat - 4 : idat], "big")
+    assert decode_png(png[: idat + 4 + idat_size + 2]) is None
+
     # rejections: not a JPEG / truncated / malformed progressive (a
     # baseline stream whose SOF marker is flipped to SOF2 declares an
     # interleaved Ss=0,Se=63 scan — invalid progressive scan params)
