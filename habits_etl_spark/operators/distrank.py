@@ -49,7 +49,8 @@ managed_cache).
 
 from __future__ import annotations
 
-from typing import Sequence
+from bisect import bisect_right
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -61,6 +62,7 @@ __all__ = [
     "with_global_running_agg",
     "with_group_position",
     "bounded_running_sum",
+    "global_order_statistics",
 ]
 
 _PID = "__dr_pid"
@@ -206,6 +208,62 @@ def with_global_ntile(
         rn <= head, F.floor((rn - 1) / F.lit(q + 1)) + 1
     ).otherwise(F.lit(rem) + F.floor((rn - 1 - head) / F.lit(max(q, 1))) + 1)
     return _probe(df, order, b).withColumn(out, tile).drop(_PID)
+
+
+def global_order_statistics(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    ranks_of: Callable[[int], Sequence[int]],
+    nparts: int | None = None,
+) -> tuple[dict[int, tuple], int]:
+    """Exact order statistics over the global ``order`` total order:
+    ``({rank: order-key tuple}, total_rows)`` for the 1-based global
+    ranks ``ranks_of(total_rows)`` requests (ranks outside [1, total]
+    are ignored). ``ranks_of`` sees the total AFTER the boundary pass,
+    so callers can ask for e.g. exact decile positions without a
+    separate count job.
+
+    This is distributed SELECTION, for callers that need a k-bounded
+    set of positions (quantile edges, a fixed rank grid — k is a domain
+    constant, so the collect is k-bounded) rather than a per-row rank:
+    pass 1 is the shared range-boundary pass; pass 2 probes the input
+    again but sorts ONLY the buckets that contain a target rank and
+    keeps exactly one row per target. Nothing row-sized is cached,
+    windowed across every bucket, or collected — compare
+    with_global_ntile, which must materialize a tile per input row.
+
+    Same exactness contract as the other helpers: unique ASC non-null
+    order key (plans/common.py rule 4); DESC via negation."""
+    b = _Buckets(df, order, _nparts(df, nparts), [])
+    counts = [] if b.empty else b.counts()
+    offs, acc = [], 0
+    for c in counts:
+        offs.append(acc)
+        acc += c
+    total = acc
+    ranks = sorted({int(r) for r in ranks_of(total) if 1 <= r <= total})
+    if not ranks:
+        return {}, total
+    # bucket index -> {local rank within bucket: global rank}
+    local: dict[int, dict[int, int]] = {}
+    for r in ranks:
+        i = bisect_right(offs, r - 1) - 1
+        local.setdefault(i, {})[r - offs[i]] = r
+    key = _key_struct(order)
+    rn = F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
+    hit = None
+    for pid, lr in local.items():
+        arm = (F.col(_PID) == pid) & F.col("__dr_rn").isin(*lr)
+        hit = arm if hit is None else (hit | arm)
+    rows = (
+        _probe(df, order, b)
+        .filter(F.col(_PID).isin(*local))
+        .withColumn("__dr_rn", rn)
+        .filter(hit)
+        .select(F.col(_PID).alias("__p"), F.col("__dr_rn").alias("__r"), key.alias("__k"))
+        .collect()
+    )
+    return {local[r["__p"]][r["__r"]]: tuple(r["__k"]) for r in rows}, total
 
 
 def with_global_lag(

@@ -100,12 +100,23 @@ def ext_heaps_law_fit(spark, sf_dir):
     points. At 100 TB checkpoints thin to a doc-id sample with the
     identical fit."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_TOK_SPARK(F.col("text"))).alias("w"))
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_toks")
-    )
+    # Per-doc token counts come from size(tokens) — pure map, no explode,
+    # no doc_id shuffle. Exactly the oracle's per-doc count(*): split on
+    # non-null text always yields >= 1 element (whitespace-only -> [""]),
+    # and NULL text — which unnest/explode would drop — is filtered the
+    # same way via the NULL size. The type-first-occurrence agg explodes
+    # array_distinct(tokens) instead of the raw stream: min(doc_id) per
+    # word is unchanged, but the shuffle input shrinks from corpus tokens
+    # to per-doc distinct types before the map-side combine even runs.
+    per_doc = d.select(
+        "doc_id", F.size(_TOK_SPARK(F.col("text"))).cast("bigint").alias("n_toks")
+    ).filter(F.col("n_toks").isNotNull())
     new_types = (
-        toks.groupBy("w")
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(_TOK_SPARK(F.col("text")))).alias("w"),
+        )
+        .groupBy("w")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))

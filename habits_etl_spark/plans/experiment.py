@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from habits_etl_spark.operators.distrank import with_global_ntile
+from habits_etl_spark.operators.distrank import global_order_statistics
 from habits_etl_spark.plans.common import dec, managed_cache, query, t
 
 # --- deterministic A/B test --------------------------------------------------
@@ -449,54 +449,79 @@ def agg_psi_drift(spark, sf_dir):
     bins adapt to the reference distribution, which is what scoring
     pipelines deploy.
 
-    Scale: reference deciles here are exact — a DISTRIBUTED two-pass
-    ntile (operators/distrank.py: range-bucket on (value, event_id),
-    per-bucket rank + broadcast offsets; no single-task sort) because
-    the oracle demands exactness; the one-pass approx_percentile-edge
-    twin keeps the identical downstream shape (see
-    tests/test_rank_twins.py). Edges ({_PSI_BINS - 1} rows) broadcast
-    into a bin-assignment join; both halves reduce to {_PSI_BINS}-row
-    histograms and the PSI reduce is the KL-drift decimal pattern."""
+    Scale: reference deciles here are exact, via DISTRIBUTED SELECTION
+    (operators/distrank.py global_order_statistics): NTILE's per-bin
+    counts and bin edges are pure arithmetic over the total row count
+    plus the values at {_PSI_BINS - 1} fixed global ranks, so the ref
+    half is never materialized with a per-row tile — one range-boundary
+    pass, then one probe pass that sorts only the ≤{_PSI_BINS - 1}
+    buckets holding a target rank and collects {_PSI_BINS - 1} rows
+    (k-bounded). The one-pass approx_percentile-edge twin keeps the
+    identical downstream shape (see tests/test_rank_twins.py). Edges
+    become literals, so actual-half bins are assigned map-side — no
+    per-row join expansion, no per-event shuffle — and both halves
+    reduce to {_PSI_BINS}-row histograms before the KL-drift-pattern
+    decimal PSI reduce. At 100 TB the whole query is two scans of the
+    ref half, one of the act half, and k-bounded state everywhere."""
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ref = ev.filter(F.col("ts") < F.lit(_PSI_BOUNDARY).cast("timestamp")).select(
         "value", "event_id"
     )
-    ref_b = managed_cache(
-        with_global_ntile(
-            ref, [F.col("value"), F.col("event_id")], _PSI_BINS, "bin"
-        ).select("value", "bin"),
-        "agg_psi_drift/ref_b",
+
+    def _tile_sizes(total: int) -> list[int]:
+        # standard NTILE: first (total mod n) tiles hold ceil(total/n)
+        q, rem = divmod(total, _PSI_BINS)
+        return [(q + 1 if i <= rem else q) for i in range(1, _PSI_BINS + 1)]
+
+    def _edge_ranks(total: int) -> list[int]:
+        sizes, cums, acc = _tile_sizes(total), [], 0
+        for s in sizes[:-1]:  # bins 1.._PSI_BINS-1, like the oracle's edges
+            acc += s
+            cums.append(acc)
+        return cums
+
+    stats, total = global_order_statistics(
+        ref, [F.col("value"), F.col("event_id")], _edge_ranks
     )
-    edges = (
-        ref_b.filter(F.col("bin") < _PSI_BINS)
-        .groupBy("bin")
-        .agg(F.max("value").alias("edge"))
-    )
-    ref_n = ref_b.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_ref")
+    sizes = _tile_sizes(total)
+    # Oracle's `edges` has one row per NON-EMPTY bin < _PSI_BINS and
+    # `ref_n` one per non-empty bin; empty tiles (total < bins) appear in
+    # neither, so they are dropped here too.
+    edges: list[float] = []
+    acc = 0
+    for s in sizes[:-1]:
+        if s > 0:
+            acc += s
+            edges.append(stats[acc][0])
+    ref_n = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(sizes) if s > 0] or [],
+        schema="bin int, n_ref bigint",
     )
     act = ev.filter(
         F.col("ts") >= F.lit(_PSI_BOUNDARY).cast("timestamp")
-    ).select("event_id", "value")
-    act_bin = (
-        act.join(F.broadcast(edges), F.col("value") > F.col("edge"), "left")
-        .groupBy("event_id")
-        .agg((1 + F.count("edge")).cast("int").alias("bin"))
+    ).select("value")
+    # bin = 1 + |{edges strictly below value}| over LITERAL edges: the
+    # act half is map-only into a {_PSI_BINS}-group hash agg — the r7
+    # shape (inequality join expanding every act row x9, then a groupBy
+    # over event_id, one group per row) had the only O(rows) shuffle in
+    # the query. Same semantics as the oracle's LEFT-join count(edge),
+    # including the no-edge (empty ref) case where both yield bin 1.
+    bin_expr = F.lit(1)
+    for e in edges:
+        bin_expr = bin_expr + (F.col("value") > F.lit(e)).cast("int")
+    act_n = (
+        act.select(bin_expr.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_act"))
     )
-    act_n = act_bin.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_act")
-    )
-    tots = (
-        ref_n.agg(F.sum("n_ref").alias("t_ref"))
-        .crossJoin(act_n.agg(F.sum("n_act").alias("t_act")))
-    )
+    tots = act_n.agg(F.sum("n_act").alias("t_act"))
     joined = (
         ref_n.join(act_n, "bin", "left")
         .crossJoin(F.broadcast(tots))
         .select(
             "bin",
             ((F.coalesce(F.col("n_act"), F.lit(0)) + 1.0) / (F.col("t_act") + _PSI_BINS)).alias("p_act"),
-            ((F.col("n_ref") + 1.0) / (F.col("t_ref") + _PSI_BINS)).alias("p_ref"),
+            ((F.col("n_ref") + 1.0) / (F.lit(total) + _PSI_BINS)).alias("p_ref"),
         )
     )
     term = (F.col("p_act") - F.col("p_ref")) * F.log(

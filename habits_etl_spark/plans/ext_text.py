@@ -553,17 +553,22 @@ def _near_dedup_pipeline(spark, sf_dir, x_sql: str, cache_key: str):
     )
 
 
-def _simhash_bit_from_hex(k: int, col: str) -> str:
-    """SUM(+1/-1) for simhash bit k, reading hex digit k//4 of an
-    ALREADY-HASHED md5-hex column — hash once per row, derive every bit
-    from the same string. Portable: instr/substr/& behave identically in
-    Spark SQL and DuckDB."""
+def _simhash_vote_from_hex(k: int, col: str) -> str:
+    """+1/-1 vote for simhash bit k, reading hex digit k//4 of an
+    ALREADY-HASHED md5-hex value — hash once, derive every bit from the
+    same string. Portable: instr/substr/& behave identically in Spark
+    SQL and DuckDB."""
     c = k // 4 + 1  # 1-based hex char position
     m = 1 << (k % 4)
     return (
-        f"sum(CASE WHEN (instr('0123456789abcdef', substr({col}, {c}, 1)) - 1) & {m} != 0 "
-        f"THEN 1 ELSE -1 END)"
+        f"CASE WHEN (instr('0123456789abcdef', substr({col}, {c}, 1)) - 1) & {m} != 0 "
+        f"THEN 1 ELSE -1 END"
     )
+
+
+def _simhash_bit_from_hex(k: int, col: str) -> str:
+    """SUM of the per-row ±1 vote for simhash bit k (grouped form)."""
+    return f"sum({_simhash_vote_from_hex(k, col)})"
 
 
 def _simhash_bit_sql(k: int, col: str = "tok") -> str:
@@ -594,21 +599,31 @@ def ext_simhash(spark, sf_dir):
     """SimHash document fingerprint (BASELINE north-star 'SimHash'):
     {_SIMHASH_BITS}-bit signature where bit k is the sign of the +1/-1 vote
     sum over tokens' md5-derived bits. Near-duplicate docs differ in few
-    bits (Hamming distance); the whole computation is one explode + one
-    grouped aggregation of integer CASE sums — a single shuffle on doc_id,
-    same cost class as a word count. md5-hex arithmetic keeps it
-    engine-portable (the identical SQL runs as the oracle)."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(_TOK_SPARK(F.col("text")))).alias("tok")
+    bits (Hamming distance).
+
+    Scale: pure MAP — each doc hashes its distinct tokens once
+    (transform -> md5 array) and folds the 16 vote sums with
+    aggregate(...) inside whole-stage codegen; no explode, no shuffle at
+    all (the r7 shape exploded every distinct token into a doc_id
+    hash-agg). Integer vote sums are order-independent, so the result is
+    bit-identical to the oracle's explode + GROUP BY form. md5-hex
+    arithmetic keeps it engine-portable (the identical grouped SQL runs
+    as the oracle)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    votes = [
+        f"aggregate(hs, 0, (acc, h) -> acc + ({_simhash_vote_from_hex(k, 'h')}))"
+        for k in range(_SIMHASH_BITS)
+    ]
+    fingerprint = " + ".join(
+        f"(CASE WHEN ({votes[k]}) >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(_SIMHASH_BITS)
     )
-    sums = toks.groupBy("doc_id").agg(
-        *[F.expr(_simhash_bit_sql(k)).alias(f"s{k}") for k in range(_SIMHASH_BITS)]
-    )
-    fingerprint = F.expr(
-        " + ".join(f"(CASE WHEN s{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS))
-    ).cast("bigint")
-    return sums.select("doc_id", fingerprint.alias("simhash"))
+    return d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(_TOK_SPARK(F.col("text"))), lambda tk: F.md5(tk)
+        ).alias("hs"),
+    ).selectExpr("doc_id", f"CAST({fingerprint} AS BIGINT) AS simhash")
 
 
 _CGRAM_N = 5  # character shingle width

@@ -313,12 +313,20 @@ def agg_approx_percentiles(spark, sf_dir):
     bounds vs the exact twin are asserted in tests/test_extra_ops.py."""
     e = t(spark, sf_dir, "events")
     acc = F.lit(10000)
+    # One GK sketch per group queried at three ranks — not three separate
+    # percentile_approx aggregates, which would build (and shuffle) three
+    # identical sketches over the same column.
+    qs = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), acc
+    )
     return (
         e.groupBy("event_type")
-        .agg(
-            F.round(F.percentile_approx("value", F.lit(0.5), acc), 4).alias("p50"),
-            F.round(F.percentile_approx("value", F.lit(0.9), acc), 4).alias("p90"),
-            F.round(F.percentile_approx("value", F.lit(0.99), acc), 4).alias("p99"),
+        .agg(qs.alias("qs"))
+        .select(
+            "event_type",
+            F.round(F.element_at("qs", 1), 4).alias("p50"),
+            F.round(F.element_at("qs", 2), 4).alias("p90"),
+            F.round(F.element_at("qs", 3), 4).alias("p99"),
         )
         .orderBy("event_type")
     )

@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from habits_etl_spark.operators.distrank import (
+    global_order_statistics,
     with_global_lag,
     with_global_ntile,
     with_global_row_number,
@@ -50,6 +51,44 @@ def test_ntile_formula_matches_sql_ntile(spark, n, rows):
     assert _collect_sorted(got.select("id", "tile"), "id") == _collect_sorted(
         want, "id"
     )
+
+
+@pytest.mark.parametrize("rows,nparts", [(257, 7), (30, 4), (5, 4)])
+def test_order_statistics_match_sorted_positions(spark, rows, nparts):
+    # duplicate values + unique tie-break; ranks at both ends, the
+    # middle, duplicates-heavy positions, and out-of-range requests
+    data = [(i, (i * 7) % 13) for i in range(rows)]
+    df = spark.createDataFrame(data, "id int, v int")
+    want_order = sorted(data, key=lambda r: (r[1], r[0]))
+    asked = [1, 2, rows // 3, rows // 2, rows, 0, -4, rows + 9]
+    stats, total = global_order_statistics(
+        df, [F.col("v"), F.col("id")], lambda t: asked, nparts=nparts
+    )
+    assert total == rows
+    valid = {r for r in asked if 1 <= r <= rows}
+    assert set(stats) == valid
+    for r in valid:
+        v, i = want_order[r - 1][1], want_order[r - 1][0]
+        assert stats[r] == (v, i), (r, stats[r], (v, i))
+
+
+def test_order_statistics_sees_total(spark):
+    # ranks_of receives the boundary-pass total, so callers can ask for
+    # e.g. the median position without a separate count job
+    df = spark.createDataFrame([(i, i) for i in range(101)], "id int, v int")
+    stats, total = global_order_statistics(
+        df, [F.col("v"), F.col("id")], lambda t: [(t + 1) // 2], nparts=5
+    )
+    assert total == 101
+    assert stats == {51: (50, 50)}
+
+
+def test_order_statistics_empty_input(spark):
+    df = spark.createDataFrame([], "id int, v int")
+    stats, total = global_order_statistics(
+        df, [F.col("v"), F.col("id")], lambda t: [1, 2, 3], nparts=4
+    )
+    assert (stats, total) == ({}, 0)
 
 
 def test_ntile_desc_order(spark, sf_dir):
