@@ -63,6 +63,7 @@ __all__ = [
     "with_group_position",
     "bounded_running_sum",
     "global_order_statistics",
+    "with_global_ntile_by_selection",
 ]
 
 _PID = "__dr_pid"
@@ -208,6 +209,51 @@ def with_global_ntile(
         rn <= head, F.floor((rn - 1) / F.lit(q + 1)) + 1
     ).otherwise(F.lit(rem) + F.floor((rn - 1 - head) / F.lit(max(q, 1))) + 1)
     return _probe(df, order, b).withColumn(out, tile).drop(_PID)
+
+
+def with_global_ntile_by_selection(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    n: int,
+    out: str = "tile",
+    nparts: int | None = None,
+) -> DataFrame:
+    """df + column ``out`` (bigint) = exact SQL NTILE(n), assigned
+    MAP-SIDE: the n-1 tile-boundary keys are selected exactly with
+    global_order_statistics, pinned as literals, and each row's tile is
+    1 + |{boundaries strictly below its key}|. Identical output to
+    with_global_ntile (rank r lies in tile i ⇔ exactly i-1 boundary
+    ranks precede r, by the total order), but the per-row pass is pure
+    whole-stage codegen with NO window and no per-row shuffle at all:
+    with_global_ntile's probe pass must locally sort EVERY range
+    bucket, while this sorts only the ≤ n-1 buckets holding a boundary
+    and then streams. The price is O(n) struct comparisons per row —
+    use it when n is a small domain constant (deciles/quintiles), the
+    plain two-pass ntile for large n."""
+
+    def _ranks(total: int) -> list[int]:
+        q, rem = divmod(total, n)
+        cums, acc = [], 0
+        for i in range(1, n):
+            acc += q + 1 if i <= rem else q
+            cums.append(acc)
+        return cums
+
+    stats, total = global_order_statistics(df, order, _ranks, nparts)
+    if total == 0:
+        return df.withColumn(out, F.lit(None).cast("bigint"))
+    key = _key_struct(order)
+    key_types = [f.dataType for f in df.select(key).schema[0].dataType]
+    tile = F.lit(1).cast("bigint")
+    for r in sorted(stats):
+        boundary = F.struct(
+            *[
+                F.lit(v).cast(ty).alias(f"_k{j}")
+                for j, (v, ty) in enumerate(zip(stats[r], key_types))
+            ]
+        )
+        tile = tile + (key > boundary).cast("bigint")
+    return df.withColumn(out, tile)
 
 
 def global_order_statistics(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from habits_etl_spark.operators.approx_rank import with_approx_ntile
-from habits_etl_spark.operators.distrank import with_global_ntile
+from habits_etl_spark.operators.distrank import with_global_ntile_by_selection
 from habits_etl_spark.plans.common import dec, managed_cache, query, t
 
 # --- RFM features ------------------------------------------------------------
@@ -62,15 +62,18 @@ def ext_rfm_features(spark, sf_dir):
     churn/LTV models, and the first thing a CRM segmentation asks for.
 
     Scale: one hash-agg shrinks events to |users| rows BEFORE any
-    ranking; each quintile is then an exact DISTRIBUTED two-pass ntile
-    (operators/distrank.py: range-bucket on the score key, per-bucket
-    local rank + broadcast offsets — no single-task sort even at 10⁸
-    users), computed per dimension off the cached user table and
-    joined back on user_id. The approx-percentile-cutoff twin
+    ranking; each quintile is an exact SELECTION ntile
+    (operators/distrank.py with_global_ntile_by_selection: the 4
+    boundary keys are picked exactly by the two-pass order-statistics
+    probe, then every row's score is a map-side comparison against the
+    pinned literals — no per-row window, no join-back, no single-task
+    sort even at 10⁸ users), computed per dimension off the cached
+    user table. The approx-percentile-cutoff twin
     (ext_rfm_features_approx) trades boundary-tie exactness for one
-    pass. Every ntile order carries a user_id tie-break (common.py
-    rule 4), so scores are deterministic; DESC recency is expressed as
-    the negated ASC key (distrank's asc-only contract)."""
+    pass and has the identical per-row shape. Every ntile order
+    carries a user_id tie-break (common.py rule 4), so scores are
+    deterministic; DESC recency is expressed as the negated ASC key
+    (distrank's asc-only contract)."""
     rfm = managed_cache(_rfm_base(spark, sf_dir), "ext_rfm_features/rfm")
     scores = {
         "r_score": [-F.col("recency_days"), F.col("user_id")],
@@ -79,10 +82,8 @@ def ext_rfm_features(spark, sf_dir):
     }
     out = rfm
     for name, order in scores.items():
-        ranked = with_global_ntile(rfm, order, _RFM_NTILES, name).select(
-            "user_id", F.col(name).cast("int").alias(name)
-        )
-        out = out.join(ranked, "user_id")
+        out = with_global_ntile_by_selection(out, order, _RFM_NTILES, name)
+        out = out.withColumn(name, F.col(name).cast("int"))
     return out.select(
         "user_id", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
@@ -241,17 +242,20 @@ def ext_quantile_bin(spark, sf_dir):
     table a feature pipeline persists so serving can bucket new values
     by the same boundaries.
 
-    Scale: the decile split is an exact DISTRIBUTED two-pass ntile
-    (operators/distrank.py — range-bucket on (value, key), per-bucket
-    rank + broadcast offsets; two scans of orders, no single-task
-    sort). The one-pass approximate path remains the equi-depth
-    histogram (agg_equidepth_hist) whose approx-percentile boundaries
-    broadcast into a map-side width_bucket — this query is its exact
-    twin and doubles as that query's precision reference (see
+    Scale: the decile split is an exact SELECTION ntile
+    (operators/distrank.py with_global_ntile_by_selection — the 9
+    boundary keys come from the two-pass order-statistics probe, which
+    sorts only the buckets holding a boundary; every order is then
+    binned map-side against the pinned literals, so no per-row window
+    or rank shuffle exists anywhere; no single-task sort). The one-pass
+    approximate path remains the equi-depth histogram
+    (agg_equidepth_hist) whose approx-percentile boundaries broadcast
+    into a map-side width_bucket — this query is its exact twin and
+    doubles as that query's precision reference (see
     tests/test_rank_twins.py). Deterministic under value ties via the
     o_orderkey tie-break."""
     o = t(spark, sf_dir, "orders")
-    b = with_global_ntile(
+    b = with_global_ntile_by_selection(
         o.select(F.col("o_totalprice").alias("y"), "o_orderkey"),
         [F.col("y"), F.col("o_orderkey")],
         _QB_BINS,

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from habits_etl_spark.operators.distrank import (
     bounded_running_sum,
-    with_global_ntile,
+    with_global_ntile_by_selection,
 )
 from habits_etl_spark.plans.common import dec, managed_cache, query, t
 from habits_etl_spark.plans.ext_text import (
@@ -245,11 +245,13 @@ def ext_cumulative_gains(spark, sf_dir):
     wave-22 query already scores.
 
     Scale: scoring is a pure map (cached: the decile split reads it
-    twice); the decile split is an exact DISTRIBUTED two-pass ntile
-    over (score DESC as negated ASC key, doc_id) —
-    operators/distrank.py, no single-task sort; the one-pass 100 TB
-    shortcut swaps in approx-percentile cut points broadcast into a
-    map-side CASE. Everything after is a {_GAINS_BINS}-row table whose
+    twice); the decile split is an exact SELECTION ntile over (score
+    DESC as negated ASC key, doc_id) — operators/distrank.py
+    with_global_ntile_by_selection picks the 9 boundary keys exactly,
+    then every doc is binned map-side against the pinned literals (no
+    per-row window, no single-task sort); the one-pass 100 TB shortcut
+    swaps in approx-percentile cut points broadcast into a map-side
+    CASE. Everything after is a {_GAINS_BINS}-row table whose
     running totals are a triangular broadcast self-join (windowless,
     bounded by {_GAINS_BINS}). Exact integer ratios."""
     d = t(spark, sf_dir, "documents")
@@ -265,7 +267,7 @@ def ext_cumulative_gains(spark, sf_dir):
         ),
         "ext_cumulative_gains/scored",
     )
-    ranked = with_global_ntile(
+    ranked = with_global_ntile_by_selection(
         scored, [-F.col("score"), F.col("doc_id")], _GAINS_BINS, "decile"
     ).select("label", "decile")
     per = ranked.groupBy("decile").agg(

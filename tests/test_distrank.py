@@ -15,6 +15,7 @@ from habits_etl_spark.operators.distrank import (
     global_order_statistics,
     with_global_lag,
     with_global_ntile,
+    with_global_ntile_by_selection,
     with_global_row_number,
     with_global_running_agg,
     with_group_position,
@@ -51,6 +52,31 @@ def test_ntile_formula_matches_sql_ntile(spark, n, rows):
     assert _collect_sorted(got.select("id", "tile"), "id") == _collect_sorted(
         want, "id"
     )
+
+
+@pytest.mark.parametrize("n,rows", [(4, 23), (5, 5), (7, 3), (3, 30), (10, 100)])
+def test_selection_ntile_matches_sql_ntile(spark, n, rows):
+    # the map-side boundary-comparison tile must equal SQL NTILE on the
+    # same shapes the two-pass ntile is pinned against (duplicate
+    # values, N % n != 0, N < n)
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(rows)], "id int, v int"
+    )
+    got = with_global_ntile_by_selection(
+        df, [F.col("v"), F.col("id")], n, "tile", nparts=4
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("v", "id")
+    want = df.select("id", F.ntile(n).over(w).cast("bigint").alias("tile"))
+    assert _collect_sorted(got.select("id", "tile"), "id") == _collect_sorted(
+        want, "id"
+    )
+
+
+def test_selection_ntile_empty_input(spark):
+    df = spark.createDataFrame([], "id int, v int")
+    got = with_global_ntile_by_selection(df, [F.col("v"), F.col("id")], 10)
+    assert got.count() == 0
+    assert dict(got.dtypes)["tile"] == "bigint"
 
 
 @pytest.mark.parametrize("rows,nparts", [(257, 7), (30, 4), (5, 4)])
