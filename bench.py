@@ -185,6 +185,7 @@ def correctness_extras(
     so a documented refusal can't masquerade as an oracle mismatch."""
     import glob
     import random
+    import re
     import threading
 
     import duckdb
@@ -196,7 +197,15 @@ def correctness_extras(
     from habits_etl_spark.plans import ORACLES, QUERIES
 
     driver_ids: set[str] = set()
-    ledgers = sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")))
+    # "most recent" = highest PARSED round number, not lexical filename
+    # order — lexical sorting would rank r9 above r100 (or a non-padded
+    # r10 below r09) and silently audit against the wrong sample.
+    ledgers = sorted(
+        glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")),
+        key=lambda p: int(
+            re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)).group(1)
+        ),
+    )
     if ledgers:
         try:
             with open(ledgers[-1]) as fh:
@@ -221,12 +230,22 @@ def correctness_extras(
             # cancelJobGroup only kills jobs in flight at call time; a
             # stalled query keeps submitting jobs (and spends driver-side
             # planning time with none active), so after the cap expires
-            # keep cancelling until the main thread reports done.
+            # keep cancelling until the main thread reports done. The
+            # DuckDB half of the pair runs on the same connection in the
+            # main thread — con.interrupt() (thread-safe by design) makes
+            # a stalled ORACLE raise duckdb.InterruptException instead of
+            # hanging the bench past the cap; interrupting an idle
+            # connection is a no-op, and the loop re-fires every 0.5 s so
+            # an oracle that STARTS after the cap expires is still caught.
             if fin.wait(per_query_cap_sec):
                 return
             ev.set()
             while not fin.wait(0.5):
                 sc.cancelJobGroup(g)
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass  # older duckdb without interrupt(): Spark-only cap
 
         sc.setJobGroup(group, name, interruptOnCancel=True)
         timer = threading.Thread(target=_watchdog, daemon=True)

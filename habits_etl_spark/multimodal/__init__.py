@@ -680,9 +680,11 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     yield their REAL frames: one row per movi video chunk, frame_bytes =
     that frame's JFIF bytes (each independently decodable with
     decode_jpeg — no ffmpeg, the container walk is stdlib struct over
-    Arrow batches). Payloads no video codec accepts fall back to
-    fixed-size byte chunks of ``every_n_bytes`` (the pre-r8 behavior),
-    so the stage never drops a row silently.
+    Arrow batches). Payloads no video codec accepts fall back to byte
+    CHUNKING: ceil(len/n) fixed-stride slices of ``every_n_bytes``
+    INCLUDING the short tail slice — deliberately not the pre-r8 stub's
+    floor(len/n) chunking, which silently dropped the tail bytes — so
+    the stage never drops a row, or a byte, silently.
 
     Scale shape: the kind filter is an ordinary pushed-down column ahead
     of any Python; the stage itself is a pure flatMap (mapInPandas, no

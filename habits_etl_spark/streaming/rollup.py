@@ -34,6 +34,12 @@ sides of the refresh are therefore O(late-data spread), not O(history) —
 the property the reference buys from Timescale's invalidation log. At the
 reference's 15-minute cadence (sql/001_schema.sql:46) this is the
 difference between 96 full-table scans/day and 96 few-partition reads.
+
+Layout break (r8): the fact table moved from root-level parquet files to
+``event_date=`` partition directories. ``start_continuous_rollup`` refuses
+a legacy unpartitioned ``events_path`` up front
+(assert_partitioned_fact_layout) rather than mixing the two layouts —
+migrate old tables by rewriting them day-partitioned to a fresh path.
 """
 
 from __future__ import annotations
@@ -95,6 +101,39 @@ def refresh_rollup_days(
     )
 
 
+def assert_partitioned_fact_layout(spark: SparkSession, events_path: str) -> None:
+    """Refuse to append day-partitioned files into a legacy UNPARTITIONED
+    fact table.
+
+    The fact layout changed in r8 from root-level parquet files to
+    ``event_date=YYYY-MM-DD/`` directories. Appending the new layout on
+    top of the old one (e.g. resuming a pre-r8 checkpoint against its old
+    ``events_path``) would mix root-level data files with partition
+    directories — partition discovery then either fails outright or
+    surfaces rows with a NULL ``event_date``, which the pruned refresh
+    read would silently never see. Detect the legacy layout up front
+    (any root-level non-hidden FILE is a data file: a partitioned table
+    keeps all data under ``event_date=*/`` directories) and raise with a
+    migration hint instead. Uses the Hadoop FileSystem of the path's own
+    scheme, so the check works wherever the write will."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(events_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            raise ValueError(
+                f"events_path {events_path!r} holds root-level data file "
+                f"{name!r}: a legacy UNPARTITIONED fact table. Migrate it "
+                "first (read it, add event_date = date_trunc('DAY', ts), "
+                "rewrite with partitionBy('event_date') to a fresh path) — "
+                "appending the day-partitioned layout on top would mix "
+                "layouts and break partition discovery / refresh pruning."
+            )
+
+
 def start_continuous_rollup(
     spark: SparkSession,
     source_dir: str,
@@ -111,7 +150,11 @@ def start_continuous_rollup(
     files, append them to the fact table, refresh affected rollup buckets.
 
     Returns the StreamingQuery; callers stop it or use
-    ``trigger={"availableNow": True}`` for a cron-style one-shot run."""
+    ``trigger={"availableNow": True}`` for a cron-style one-shot run.
+
+    Raises ValueError if ``events_path`` holds a legacy unpartitioned
+    fact table (see assert_partitioned_fact_layout)."""
+    assert_partitioned_fact_layout(spark, events_path)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -224,3 +224,29 @@ def test_refresh_does_not_mutate_session_overwrite_mode(spark, dirs):
     ).coalesce(1).write.mode("append").parquet(dirs["source"])
     run_once(spark, dirs)
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
+
+
+def test_legacy_unpartitioned_fact_table_is_refused(spark, dirs):
+    """r8 changed the fact layout from root-level parquet files to
+    event_date= partition directories; starting the stream against a
+    path still holding the OLD layout must fail loudly (mixing layouts
+    breaks partition discovery and silently defeats refresh pruning)
+    instead of appending on top."""
+    import os
+
+    # a pre-r8 events_path: data files at the table ROOT, no partition dirs
+    spark.createDataFrame(
+        [ev(5, 9, "a@x.com", "workout", 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirs["events"])
+    os.makedirs(dirs["source"], exist_ok=True)
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        run_once(spark, dirs)
+
+    # the partitioned layout (and a nonexistent path) start cleanly
+    spark.createDataFrame(
+        [ev(5, 9, "a@x.com", "workout", 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    fresh = dict(dirs, events=dirs["events"] + "_v2")
+    run_once(spark, fresh)
+    parts = [p for p in os.listdir(fresh["events"]) if p.startswith("event_date=")]
+    assert parts  # day-partitioned from the first append
