@@ -64,6 +64,7 @@ __all__ = [
     "bounded_running_sum",
     "global_order_statistics",
     "with_global_ntile_by_selection",
+    "grouped_ntile_by_selection",
 ]
 
 _PID = "__dr_pid"
@@ -415,6 +416,183 @@ def with_global_running_agg(
     return res.drop(_PID)
 
 
+def _grouped_boundary_cells(
+    df: DataFrame,
+    gnames: list[str],
+    order: Sequence[Column | str],
+    nparts: int,
+    max_cells: int,
+    caller: str,
+) -> tuple[list, Column | None, dict[int, int]]:
+    """Shared pass 1 of the grouped two-pass decompositions: range-
+    partition on (groups..., order...), collect one (bucket, group) cell
+    per co-occurrence — ≤ n_partitions + |groups| rows, guarded by
+    ``max_cells`` — and pin the observed bucket boundaries as a literal
+    row-key → bucket-index when-chain (see _Buckets.bucket_expr for why
+    boundaries are pinned rather than re-sampled).
+
+    Returns (key-sorted cells, bucket expr, {pid: key-ordered bucket
+    index}); ([], None, {}) on empty input."""
+    full_order: list[Column | str] = [*gnames, *order]
+    fkey = _key_struct(full_order)
+    key_types = [f.dataType for f in df.select(fkey).schema[0].dataType]
+    part = df.repartitionByRange(nparts, *_order_cols(full_order))
+    cells = (
+        part.withColumn(_PID, F.spark_partition_id())
+        .groupBy(_PID, *gnames)
+        .agg(F.count(F.lit(1)).alias(_CNT), F.max(fkey).alias(_KEY))
+        .collect()
+    )
+    if not cells:
+        return [], None, {}
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"{caller} collected {len(cells)} (bucket, group) "
+            f"cells (> {max_cells}): group cardinality is data-sized — "
+            "use a plain partitioned window instead"
+        )
+    # key leads with the group fields, so key-order == (group, position)
+    cells.sort(key=lambda r: tuple(r[_KEY]))
+    # bucket boundaries: per-pid max cell key, ordered by key
+    bound_by_pid: dict[int, tuple] = {}
+    for r in cells:
+        k, p = tuple(r[_KEY]), r[_PID]
+        if p not in bound_by_pid or k > bound_by_pid[p]:
+            bound_by_pid[p] = k
+    bounds = sorted(bound_by_pid.items(), key=lambda kv: kv[1])
+    bucket_of = {pid: i for i, (pid, _) in enumerate(bounds)}
+    # row key -> bucket index via pinned literal boundaries (≤ nparts arms)
+    bexpr = None
+    for i, (_, bk) in enumerate(bounds[:-1]):
+        lit = F.struct(
+            *[
+                F.lit(v).cast(t).alias(f"_k{j}")
+                for j, (v, t) in enumerate(zip(bk, key_types))
+            ]
+        )
+        arm = (fkey <= lit, F.lit(i))
+        bexpr = F.when(*arm) if bexpr is None else bexpr.when(*arm)
+    last = F.lit(len(bounds) - 1)
+    bexpr = last if bexpr is None else bexpr.otherwise(last)
+    return cells, bexpr, bucket_of
+
+
+def grouped_ntile_by_selection(
+    df: DataFrame,
+    groups: Sequence[str],
+    order: Sequence[Column | str],
+    n: int,
+    out: str = "tile",
+    nparts: int | None = None,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """df + column ``out`` (bigint) = exact SQL
+    ``NTILE(n) OVER (PARTITION BY groups ORDER BY order)``, assigned
+    MAP-SIDE — the grouped twin of with_global_ntile_by_selection, for
+    the FEW-LARGE-GROUPS regime where ``Window.partitionBy(groups)``
+    would pin each giant group's full sort on one task.
+
+    Per group, the n-1 tile-boundary keys are selected exactly (pass 1 =
+    _grouped_boundary_cells' range pass; pass 2 sorts ONLY the ≤
+    |groups|·(n-1) range buckets holding a boundary rank and collects
+    exactly the boundary rows) and pinned as literals; each row's tile
+    is then 1 + |{its group's boundaries strictly below its order key}|
+    under a |groups|-arm when-chain — identical to the window's output
+    (rank r lies in tile i ⇔ exactly i-1 boundary ranks precede r, by
+    the group's total order), but the per-row pass is pure whole-stage
+    codegen with NO window and no per-row shuffle. Groups whose total <
+    n duplicate their top boundary rank; the duplicates sit at rank =
+    group total, above every real row, so the sum still counts correctly.
+
+    Exactness rules: unique ASC non-null (groups..., order...) total
+    order — DESC via negation — plus NON-NULL group keys (the final
+    when-chain matches groups by literal equality). Collect budget:
+    pass 1 ≤ ``max_cells`` cells, pass 2 ≤ |groups|·(n-1) boundary rows
+    (both domain constants). The price vs the window is two extra
+    evaluations of the input subtree — callers with expensive upstreams
+    cache the input first (plans/common.py managed_cache)."""
+    gnames = list(groups)
+    cells, bexpr, bucket_of = _grouped_boundary_cells(
+        df, gnames, order, _nparts(df, nparts), max_cells,
+        "grouped_ntile_by_selection",
+    )
+    if not cells:
+        return df.withColumn(out, F.lit(None).cast("bigint"))
+    # per-group totals, then per-group NTILE boundary ranks
+    totals: dict[tuple, int] = {}
+    for r in cells:
+        gkey = tuple(r[g] for g in gnames)
+        totals[gkey] = totals.get(gkey, 0) + r[_CNT]
+    b_ranks: dict[tuple, list[int]] = {}
+    for gkey, total in totals.items():
+        q, rem = divmod(total, n)
+        cums, acc = [], 0
+        for i in range(1, n):
+            acc += q + 1 if i <= rem else q
+            cums.append(acc)
+        b_ranks[gkey] = cums
+    # (bucket, group) -> {local rank: global rank} in one key-ordered sweep
+    run_off: dict[tuple, int] = {}
+    local: dict[tuple[int, tuple], dict[int, int]] = {}
+    for r in cells:
+        gkey = tuple(r[g] for g in gnames)
+        off = run_off.get(gkey, 0)
+        for gr in set(b_ranks[gkey]):
+            if off < gr <= off + r[_CNT]:
+                local.setdefault((bucket_of[r[_PID]], gkey), {})[gr - off] = gr
+        run_off[gkey] = off + r[_CNT]
+    gtypes = {g: df.schema[g].dataType for g in gnames}
+
+    def _geq(gkey: tuple) -> Column:
+        cond = F.lit(True)
+        for g, v in zip(gnames, gkey):
+            cond = cond & (F.col(g) == F.lit(v).cast(gtypes[g]))
+        return cond
+
+    okey = _key_struct(order)
+    prune, hit = None, None
+    for (b, gkey), lr in local.items():
+        here = (F.col(_PID) == b) & _geq(gkey)
+        prune = here if prune is None else prune | here
+        arm = here & F.col("__dr_rn").isin(*lr)
+        hit = arm if hit is None else hit | arm
+    rn = F.row_number().over(
+        Window.partitionBy(_PID, *gnames).orderBy(*_order_cols(order))
+    )
+    rows = (
+        df.withColumn(_PID, bexpr)
+        .filter(prune)  # whole buckets: local rn below stays the true rank
+        .withColumn("__dr_rn", rn)
+        .filter(hit)
+        .select(
+            F.col(_PID).alias("__p"),
+            *[F.col(g).alias(f"__g{i}") for i, g in enumerate(gnames)],
+            F.col("__dr_rn").alias("__r"),
+            okey.alias("__k"),
+        )
+        .collect()
+    )
+    key_of: dict[tuple[tuple, int], tuple] = {}
+    for r in rows:
+        gkey = tuple(r[f"__g{i}"] for i in range(len(gnames)))
+        key_of[(gkey, local[(r["__p"], gkey)][r["__r"]])] = tuple(r["__k"])
+    okey_types = [f.dataType for f in df.select(okey).schema[0].dataType]
+    expr = None
+    for gkey, total in totals.items():
+        tile: Column = F.lit(1).cast("bigint")
+        for gr in b_ranks[gkey]:
+            blit = F.struct(
+                *[
+                    F.lit(v).cast(t).alias(f"_k{j}")
+                    for j, (v, t) in enumerate(zip(key_of[(gkey, gr)], okey_types))
+                ]
+            )
+            tile = tile + (okey > blit).cast("bigint")
+        arm = (_geq(gkey), tile)
+        expr = F.when(*arm) if expr is None else expr.when(*arm)
+    return df.withColumn(out, expr)
+
+
 def with_group_position(
     df: DataFrame,
     groups: Sequence[str],
@@ -443,49 +621,13 @@ def with_group_position(
     arithmetically: ntile (see with_global_ntile's formula), percent_rank
     = (rn-1)/(count-1), cume_dist = rn/count (unique order ⇒ no peers)."""
     gnames = list(groups)
-    full_order: list[Column | str] = [*gnames, *order]
-    key = _key_struct(full_order)
-    key_types = [f.dataType for f in df.select(key).schema[0].dataType]
-    part = df.repartitionByRange(_nparts(df, nparts), *_order_cols(full_order))
-    cells = (
-        part.withColumn(_PID, F.spark_partition_id())
-        .groupBy(_PID, *gnames)
-        .agg(F.count(F.lit(1)).alias(_CNT), F.max(key).alias(_KEY))
-        .collect()
+    cells, bexpr, bucket_of = _grouped_boundary_cells(
+        df, gnames, order, _nparts(df, nparts), max_cells, "with_group_position"
     )
     if not cells:
         return df.withColumn(rn_out, F.lit(None).cast("bigint")).withColumn(
             cnt_out, F.lit(None).cast("bigint")
         )
-    if len(cells) > max_cells:
-        raise ValueError(
-            f"with_group_position collected {len(cells)} (bucket, group) "
-            f"cells (> {max_cells}): group cardinality is data-sized — "
-            "use a plain partitioned window instead"
-        )
-    # key leads with the group fields, so key-order == (group, position)
-    cells.sort(key=lambda r: tuple(r[_KEY]))
-    # bucket boundaries: per-pid max cell key, ordered by key
-    bound_by_pid: dict[int, tuple] = {}
-    for r in cells:
-        k, p = tuple(r[_KEY]), r[_PID]
-        if p not in bound_by_pid or k > bound_by_pid[p]:
-            bound_by_pid[p] = k
-    bounds = sorted(bound_by_pid.items(), key=lambda kv: kv[1])
-    bucket_of = {pid: i for i, (pid, _) in enumerate(bounds)}
-    # row key -> bucket index via pinned literal boundaries (≤ nparts arms)
-    bexpr = None
-    for i, (_, bk) in enumerate(bounds[:-1]):
-        lit = F.struct(
-            *[
-                F.lit(v).cast(t).alias(f"_k{j}")
-                for j, (v, t) in enumerate(zip(bk, key_types))
-            ]
-        )
-        arm = (key <= lit, F.lit(i))
-        bexpr = F.when(*arm) if bexpr is None else bexpr.when(*arm)
-    last = F.lit(len(bounds) - 1)
-    bexpr = last if bexpr is None else bexpr.otherwise(last)
 
     def geq(r) -> Column:
         cond = F.lit(True)

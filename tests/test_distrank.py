@@ -260,3 +260,67 @@ def test_no_unpartitioned_window_in_plan(spark, sf_dir):
     ):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert unpartitioned_windows(plan) == []
+
+
+@pytest.mark.parametrize("n,rows,groups", [(3, 40, 3), (4, 23, 2), (7, 9, 4), (10, 100, 1)])
+def test_grouped_selection_ntile_matches_partitioned_window(spark, n, rows, groups):
+    # straddling groups, duplicate values, unique tie-break; per-group
+    # N % n != 0 and N < n (groups=4, rows=9 gives 2-3 rows per group)
+    from habits_etl_spark.operators.distrank import grouped_ntile_by_selection
+
+    df = spark.createDataFrame(
+        [(f"g{i % groups}", i, (i * 3) % 5) for i in range(rows)],
+        "g string, id int, v int",
+    )
+    got = grouped_ntile_by_selection(
+        df, ["g"], [F.col("v"), F.col("id")], n, "tile", nparts=5
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.select("g", "id", F.ntile(n).over(w).cast("bigint").alias("tile"))
+    assert _collect_sorted(got.select("g", "id", "tile"), "g", "id") == _collect_sorted(
+        want, "g", "id"
+    )
+
+
+def test_grouped_selection_ntile_real_data_desc(spark, sf_dir):
+    # few-large-groups regime on real data, DESC value via negation
+    from habits_etl_spark.operators.distrank import grouped_ntile_by_selection
+
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    got = grouped_ntile_by_selection(
+        ev,
+        ["event_type"],
+        [(-F.col("value")).alias("nv"), F.col("event_id")],
+        4,
+        "tile",
+        nparts=7,
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    want = ev.select(
+        "event_id", F.ntile(4).over(w).cast("bigint").alias("tile")
+    )
+    assert _collect_sorted(
+        got.select("event_id", "tile"), "event_id"
+    ) == _collect_sorted(want, "event_id")
+
+
+def test_grouped_selection_ntile_empty_guard_and_no_window_over_input(spark):
+    from habits_etl_spark.operators.distrank import grouped_ntile_by_selection
+
+    empty = spark.createDataFrame([], "g string, id int")
+    got = grouped_ntile_by_selection(empty, ["g"], ["id"], 3)
+    assert got.count() == 0
+    assert dict(got.dtypes)["tile"] == "bigint"
+    many = spark.createDataFrame(
+        [(f"g{i}", i) for i in range(50)], "g string, id int"
+    )
+    with pytest.raises(ValueError, match="cells"):
+        grouped_ntile_by_selection(many, ["g"], ["id"], 3, nparts=4, max_cells=10)
+    # the RETURNED frame's plan has no window at all: the tile is a pure
+    # map-side expression over pinned literals
+    small = spark.createDataFrame([(f"g{i % 2}", i) for i in range(20)], "g string, id int")
+    out = grouped_ntile_by_selection(small, ["g"], ["id"], 3, nparts=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan
