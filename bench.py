@@ -134,6 +134,18 @@ CURATION = [
     "ext_heaps_law_fit",
     "agg_poisson_bootstrap_ci",
     "ext_knn_ndcg_eval",
+    # round 9: every id rewritten onto the shuffle-free selection engine
+    # (operators/distrank.py _order_statistics) gets a tracked number in
+    # the round it changed — the r8 verdict's rule that directive
+    # closures land in committed artifacts, not NOTES. rfm/quantile_bin/
+    # cumulative_gains were rewritten in r8 without a tracked witness.
+    "ext_rfm_features",
+    "ext_quantile_bin",
+    "ext_cumulative_gains",
+    "agg_equidepth_hist",
+    "ext_lang_quality_buckets",
+    "ext_admission_decision",
+    "win_distribution_ranks",
 ]
 
 

@@ -49,7 +49,6 @@ managed_cache).
 
 from __future__ import annotations
 
-from bisect import bisect_right
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -257,6 +256,170 @@ def with_global_ntile_by_selection(
     return df.withColumn(out, tile)
 
 
+# Selection-engine tuning. Below _SMALL_PROBE_ROWS total rows the probe
+# runs as ONE bucket per group (each group sorted whole — bounded by the
+# constant, so never a data-sized single task) and the exact-bucket-count
+# pass is skipped entirely; above it, candidate edges split the probe
+# into ~_TARGET_BUCKET_ROWS-row buckets so no task ever sorts more.
+_SMALL_PROBE_ROWS = 131_072
+_TARGET_BUCKET_ROWS = 65_536
+
+
+def _selection_edges(
+    df: DataFrame,
+    gnames: list[str],
+    order: Sequence[Column | str],
+    nparts: int,
+    max_cells: int,
+) -> tuple[dict[tuple, int], list]:
+    """Pass A of the selection engine: per-group row counts plus pooled
+    candidate bucket EDGES of the first order column — one aggregation
+    job, NO data shuffle (partial aggs only; compare the per-row
+    helpers' _Buckets, which must range-shuffle the whole relation
+    because every row needs a stable bucket). Edges come from
+    percentile_approx and only BALANCE the probe's bucket sizes; every
+    exact quantity downstream comes from exact bucket counts and exact
+    probe ranks, so edge placement (and the sketch's merge-order
+    nondeterminism) can never affect results — only task sizing. Heavy
+    ties on the first order key coarsen buckets (equal values can't be
+    split without the tie-break); the probe still sorts only the
+    affected buckets. Returns ({group key tuple: total}, ascending
+    deduped edges — [] when the input is empty, below
+    _SMALL_PROBE_ROWS, or the first order key is non-numeric)."""
+    from pyspark.sql.types import NumericType
+
+    c1 = _order_cols(order)[0]
+    numeric = isinstance(
+        df.select(c1.alias("__c1")).schema[0].dataType, NumericType
+    )
+    aggs = [F.count(F.lit(1)).alias(_CNT)]
+    if numeric and nparts > 1:
+        probs = [i / nparts for i in range(1, nparts)]
+        aggs.append(F.percentile_approx(c1, probs).alias(_KEY))
+    rows = df.groupBy(*gnames).agg(*aggs).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"order-statistics selection collected {len(rows)} group rows "
+            f"(> {max_cells}): group cardinality is data-sized — use a "
+            "plain partitioned window instead"
+        )
+    totals = {tuple(r[g] for g in gnames): r[_CNT] for r in rows}
+    total = sum(totals.values())
+    if not (numeric and nparts > 1 and total > _SMALL_PROBE_ROWS):
+        return totals, []
+    pool = sorted({e for r in rows for e in (r[_KEY] or []) if e is not None})
+    want = min(nparts - 1, max(1, -(-total // _TARGET_BUCKET_ROWS) - 1))
+    if not pool or not want:
+        return totals, []
+    # evenly spaced subset of the pooled per-group candidates
+    edges = sorted({pool[round((i + 1) * len(pool) / (want + 1)) - 1] for i in range(want)})
+    return totals, edges
+
+
+def _order_statistics(
+    df: DataFrame,
+    gnames: list[str],
+    order: Sequence[Column | str],
+    ranks_of: Callable[[int], Sequence[int]],
+    nparts: int,
+    max_cells: int,
+) -> tuple[dict[tuple, dict[int, tuple]], dict[tuple, int]]:
+    """Shared engine behind global_order_statistics /
+    grouped_order_statistics (global = the empty group list). Three
+    passes, none of which shuffles the relation:
+
+    A. _selection_edges — per-group totals + pooled approximate bucket
+       edges of the first order key (one agg job, partial aggs only).
+    B. EXACT per-(group, bucket) counts under the pinned literal edges
+       (map-side bucket assign into a ≤ |groups|·|edges+1|-row hash
+       agg). Buckets are intervals of each group's total order — an
+       edge comparison depends only on the order key's leading field —
+       so these counts give each bucket's exact starting rank. Skipped
+       when pass A chose a single bucket (small input / non-numeric
+       key): pass A's totals already are the bucket counts.
+    C. Probe: rows get their bucket map-side (one Σ-of-comparisons
+       expression — referenced ONCE in the pre-window prune, which
+       collapses into the projection and would clone per reference),
+       only the ≤ |groups|·k buckets holding a target rank are sorted,
+       and exactly one row per (group, target) is collected.
+
+    All three collects are domain-constant-bounded (``max_cells``
+    guards the group cardinality; k = |ranks| is a domain constant).
+    Exactness never depends on the approximate edges — they only bound
+    how many rows the probe's per-bucket sorts see."""
+    totals, edges = _selection_edges(df, gnames, order, nparts, max_cells)
+    if not totals:
+        return {}, {}
+    c1 = _order_cols(order)[0]
+    bucket: Column = F.lit(0)
+    for e in edges:
+        bucket = bucket + (c1 > F.lit(e)).cast("int")
+    if edges:
+        cells = [
+            (tuple(r[g] for g in gnames), r[_PID], r[_CNT])
+            for r in df.groupBy(*gnames, bucket.alias(_PID))
+            .agg(F.count(F.lit(1)).alias(_CNT))
+            .collect()
+        ]
+    else:
+        cells = [(gkey, 0, cnt) for gkey, cnt in totals.items()]
+    cells.sort(key=lambda c: (c[0], c[1]))  # (group, ascending bucket)
+    ranks = {
+        gkey: sorted({int(r) for r in ranks_of(tot) if 1 <= r <= tot})
+        for gkey, tot in totals.items()
+    }
+    # (bucket, group) -> {local rank within bucket: global rank}
+    run_off: dict[tuple, int] = {}
+    local: dict[tuple[int, tuple], dict[int, int]] = {}
+    for gkey, b, cnt in cells:
+        off = run_off.get(gkey, 0)
+        for gr in ranks[gkey]:
+            if off < gr <= off + cnt:
+                local.setdefault((b, gkey), {})[gr - off] = gr
+        run_off[gkey] = off + cnt
+    stats: dict[tuple, dict[int, tuple]] = {gkey: {} for gkey in totals}
+    if not local:
+        return stats, totals
+    gtypes = {g: df.schema[g].dataType for g in gnames}
+    okey = _key_struct(order)
+    hit = None
+    for (b, gkey), lr in local.items():
+        cond: Column = F.col(_PID) == b
+        for g, v in zip(gnames, gkey):
+            cond = cond & (F.col(g) == F.lit(v).cast(gtypes[g]))
+        arm = cond & F.col("__dr_rn").isin(*lr)
+        hit = arm if hit is None else hit | arm
+    # Pre-window prune: a SUPERSET of the exact (bucket, group) targets,
+    # shaped so _PID (and each group column) is referenced exactly ONCE
+    # — see pass C note above. Whole buckets survive, so local ranks
+    # stay true; the extra (bucket, group) partitions are dropped by
+    # `hit`, which is NOT pushable below the window (every disjunct
+    # references the window output) and reads _PID materialized.
+    prune = F.col(_PID).isin(sorted({b for b, _ in local}))
+    for i, g in enumerate(gnames):
+        prune = prune & F.col(g).isin(sorted({gkey[i] for _, gkey in local}))
+    rn = F.row_number().over(
+        Window.partitionBy(_PID, *gnames).orderBy(*_order_cols(order))
+    )
+    rows = (
+        df.withColumn(_PID, bucket)
+        .filter(prune)  # whole buckets: local rn below stays the true rank
+        .withColumn("__dr_rn", rn)
+        .filter(hit)
+        .select(
+            F.col(_PID).alias("__p"),
+            *[F.col(g).alias(f"__g{i}") for i, g in enumerate(gnames)],
+            F.col("__dr_rn").alias("__r"),
+            okey.alias("__k"),
+        )
+        .collect()
+    )
+    for r in rows:
+        gkey = tuple(r[f"__g{i}"] for i in range(len(gnames)))
+        stats[gkey][local[(r["__p"], gkey)][r["__r"]]] = tuple(r["__k"])
+    return stats, totals
+
+
 def global_order_statistics(
     df: DataFrame,
     order: Sequence[Column | str],
@@ -266,51 +429,23 @@ def global_order_statistics(
     """Exact order statistics over the global ``order`` total order:
     ``({rank: order-key tuple}, total_rows)`` for the 1-based global
     ranks ``ranks_of(total_rows)`` requests (ranks outside [1, total]
-    are ignored). ``ranks_of`` sees the total AFTER the boundary pass,
-    so callers can ask for e.g. exact decile positions without a
-    separate count job.
+    are ignored). ``ranks_of`` sees the total AFTER pass A, so callers
+    can ask for e.g. exact decile positions without a separate count
+    job.
 
     This is distributed SELECTION, for callers that need a k-bounded
     set of positions (quantile edges, a fixed rank grid — k is a domain
-    constant, so the collect is k-bounded) rather than a per-row rank:
-    pass 1 is the shared range-boundary pass; pass 2 probes the input
-    again but sorts ONLY the buckets that contain a target rank and
-    keeps exactly one row per target. Nothing row-sized is cached,
-    windowed across every bucket, or collected — compare
-    with_global_ntile, which must materialize a tile per input row.
+    constant, so the collect is k-bounded) rather than a per-row rank.
+    Unlike the per-row helpers, NO pass shuffles the relation: see
+    _order_statistics for the three-pass engine (approx edges → exact
+    bucket counts → probe of only the buckets holding a target).
 
     Same exactness contract as the other helpers: unique ASC non-null
     order key (plans/common.py rule 4); DESC via negation."""
-    b = _Buckets(df, order, _nparts(df, nparts), [])
-    counts = [] if b.empty else b.counts()
-    offs, acc = [], 0
-    for c in counts:
-        offs.append(acc)
-        acc += c
-    total = acc
-    ranks = sorted({int(r) for r in ranks_of(total) if 1 <= r <= total})
-    if not ranks:
-        return {}, total
-    # bucket index -> {local rank within bucket: global rank}
-    local: dict[int, dict[int, int]] = {}
-    for r in ranks:
-        i = bisect_right(offs, r - 1) - 1
-        local.setdefault(i, {})[r - offs[i]] = r
-    key = _key_struct(order)
-    rn = F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
-    hit = None
-    for pid, lr in local.items():
-        arm = (F.col(_PID) == pid) & F.col("__dr_rn").isin(*lr)
-        hit = arm if hit is None else (hit | arm)
-    rows = (
-        _probe(df, order, b)
-        .filter(F.col(_PID).isin(*local))
-        .withColumn("__dr_rn", rn)
-        .filter(hit)
-        .select(F.col(_PID).alias("__p"), F.col("__dr_rn").alias("__r"), key.alias("__k"))
-        .collect()
+    stats, totals = _order_statistics(
+        df, [], order, ranks_of, _nparts(df, nparts), 4096
     )
-    return {local[r["__p"]][r["__r"]]: tuple(r["__k"]) for r in rows}, total
+    return stats.get((), {}), totals.get((), 0)
 
 
 def with_global_lag(
@@ -477,6 +612,36 @@ def _grouped_boundary_cells(
     return cells, bexpr, bucket_of
 
 
+def grouped_order_statistics(
+    df: DataFrame,
+    groups: Sequence[str],
+    order: Sequence[Column | str],
+    ranks_of: Callable[[int], Sequence[int]],
+    nparts: int | None = None,
+    max_cells: int = 4096,
+) -> tuple[dict[tuple, dict[int, tuple]], dict[tuple, int]]:
+    """Exact PER-GROUP order statistics — the grouped twin of
+    global_order_statistics: ``({group key tuple: {rank: order-key
+    tuple}}, {group key tuple: total rows})`` for the 1-based WITHIN-
+    GROUP ranks ``ranks_of(group_total)`` requests (ranks outside
+    [1, total] ignored; ``ranks_of`` sees each group's own total).
+
+    Runs on the shuffle-free three-pass engine (_order_statistics):
+    approx candidate edges + per-group totals in one agg, exact
+    per-(group, bucket) counts map-side, then a probe that sorts ONLY
+    the buckets holding a target rank of some group and collects
+    exactly one row per (group, target) — ≤ |groups|·k rows. No pass
+    shuffles the relation; nothing row-sized is windowed across every
+    bucket or collected (``max_cells`` guards group cardinality).
+
+    Exactness rules: unique ASC non-null (groups..., order...) total
+    order — DESC via negation — plus NON-NULL group keys (targets are
+    matched back by literal group equality)."""
+    return _order_statistics(
+        df, list(groups), order, ranks_of, _nparts(df, nparts), max_cells
+    )
+
+
 def grouped_ntile_by_selection(
     df: DataFrame,
     groups: Sequence[str],
@@ -492,10 +657,10 @@ def grouped_ntile_by_selection(
     the FEW-LARGE-GROUPS regime where ``Window.partitionBy(groups)``
     would pin each giant group's full sort on one task.
 
-    Per group, the n-1 tile-boundary keys are selected exactly (pass 1 =
-    _grouped_boundary_cells' range pass; pass 2 sorts ONLY the ≤
-    |groups|·(n-1) range buckets holding a boundary rank and collects
-    exactly the boundary rows) and pinned as literals; each row's tile
+    Per group, the n-1 tile-boundary keys are selected exactly by
+    grouped_order_statistics (shuffle-free: approx edges, exact bucket
+    counts, then sorting only the ≤ |groups|·(n-1) buckets holding a
+    boundary rank) and pinned as literals; each row's tile
     is then 1 + |{its group's boundaries strictly below its order key}|
     under a |groups|-arm when-chain — identical to the window's output
     (rank r lies in tile i ⇔ exactly i-1 boundary ranks precede r, by
@@ -511,85 +676,38 @@ def grouped_ntile_by_selection(
     (both domain constants). The price vs the window is two extra
     evaluations of the input subtree — callers with expensive upstreams
     cache the input first (plans/common.py managed_cache)."""
-    gnames = list(groups)
-    cells, bexpr, bucket_of = _grouped_boundary_cells(
-        df, gnames, order, _nparts(df, nparts), max_cells,
-        "grouped_ntile_by_selection",
-    )
-    if not cells:
-        return df.withColumn(out, F.lit(None).cast("bigint"))
-    # per-group totals, then per-group NTILE boundary ranks
-    totals: dict[tuple, int] = {}
-    for r in cells:
-        gkey = tuple(r[g] for g in gnames)
-        totals[gkey] = totals.get(gkey, 0) + r[_CNT]
-    b_ranks: dict[tuple, list[int]] = {}
-    for gkey, total in totals.items():
+    def _ranks(total: int) -> list[int]:
         q, rem = divmod(total, n)
         cums, acc = [], 0
         for i in range(1, n):
             acc += q + 1 if i <= rem else q
             cums.append(acc)
-        b_ranks[gkey] = cums
-    # (bucket, group) -> {local rank: global rank} in one key-ordered sweep
-    run_off: dict[tuple, int] = {}
-    local: dict[tuple[int, tuple], dict[int, int]] = {}
-    for r in cells:
-        gkey = tuple(r[g] for g in gnames)
-        off = run_off.get(gkey, 0)
-        for gr in set(b_ranks[gkey]):
-            if off < gr <= off + r[_CNT]:
-                local.setdefault((bucket_of[r[_PID]], gkey), {})[gr - off] = gr
-        run_off[gkey] = off + r[_CNT]
+        return cums
+
+    gnames = list(groups)
+    stats, totals = grouped_order_statistics(
+        df, gnames, order, _ranks, nparts, max_cells
+    )
+    if not totals:
+        return df.withColumn(out, F.lit(None).cast("bigint"))
     gtypes = {g: df.schema[g].dataType for g in gnames}
-
-    def _geq(gkey: tuple) -> Column:
-        cond = F.lit(True)
-        for g, v in zip(gnames, gkey):
-            cond = cond & (F.col(g) == F.lit(v).cast(gtypes[g]))
-        return cond
-
     okey = _key_struct(order)
-    prune, hit = None, None
-    for (b, gkey), lr in local.items():
-        here = (F.col(_PID) == b) & _geq(gkey)
-        prune = here if prune is None else prune | here
-        arm = here & F.col("__dr_rn").isin(*lr)
-        hit = arm if hit is None else hit | arm
-    rn = F.row_number().over(
-        Window.partitionBy(_PID, *gnames).orderBy(*_order_cols(order))
-    )
-    rows = (
-        df.withColumn(_PID, bexpr)
-        .filter(prune)  # whole buckets: local rn below stays the true rank
-        .withColumn("__dr_rn", rn)
-        .filter(hit)
-        .select(
-            F.col(_PID).alias("__p"),
-            *[F.col(g).alias(f"__g{i}") for i, g in enumerate(gnames)],
-            F.col("__dr_rn").alias("__r"),
-            okey.alias("__k"),
-        )
-        .collect()
-    )
-    key_of: dict[tuple[tuple, int], tuple] = {}
-    for r in rows:
-        gkey = tuple(r[f"__g{i}"] for i in range(len(gnames)))
-        key_of[(gkey, local[(r["__p"], gkey)][r["__r"]])] = tuple(r["__k"])
     okey_types = [f.dataType for f in df.select(okey).schema[0].dataType]
     expr = None
     for gkey, total in totals.items():
         tile: Column = F.lit(1).cast("bigint")
-        for gr in b_ranks[gkey]:
+        for gr in _ranks(total):
             blit = F.struct(
                 *[
                     F.lit(v).cast(t).alias(f"_k{j}")
-                    for j, (v, t) in enumerate(zip(key_of[(gkey, gr)], okey_types))
+                    for j, (v, t) in enumerate(zip(stats[gkey][gr], okey_types))
                 ]
             )
             tile = tile + (okey > blit).cast("bigint")
-        arm = (_geq(gkey), tile)
-        expr = F.when(*arm) if expr is None else expr.when(*arm)
+        cond = F.lit(True)
+        for g, v in zip(gnames, gkey):
+            cond = cond & (F.col(g) == F.lit(v).cast(gtypes[g]))
+        expr = F.when(cond, tile) if expr is None else expr.when(cond, tile)
     return df.withColumn(out, expr)
 
 

@@ -452,20 +452,27 @@ def agg_psi_drift(spark, sf_dir):
     Scale: reference deciles here are exact, via DISTRIBUTED SELECTION
     (operators/distrank.py global_order_statistics): NTILE's per-bin
     counts and bin edges are pure arithmetic over the total row count
-    plus the values at {_PSI_BINS - 1} fixed global ranks, so the ref
-    half is never materialized with a per-row tile — one range-boundary
-    pass, then one probe pass that sorts only the ≤{_PSI_BINS - 1}
-    buckets holding a target rank and collects {_PSI_BINS - 1} rows
-    (k-bounded). The one-pass approx_percentile-edge twin keeps the
-    identical downstream shape (see tests/test_rank_twins.py). Edges
-    become literals, so actual-half bins are assigned map-side — no
-    per-row join expansion, no per-event shuffle — and both halves
-    reduce to {_PSI_BINS}-row histograms before the KL-drift-pattern
-    decimal PSI reduce. At 100 TB the whole query is two scans of the
-    ref half, one of the act half, and k-bounded state everywhere."""
+    plus the values at {_PSI_BINS - 1} fixed global ranks. The
+    selection engine never shuffles the ref half at all — one agg pass
+    (count + approx candidate edges), one exact-bucket-count pass, then
+    a probe that sorts only the buckets holding a target rank and
+    collects {_PSI_BINS - 1} rows (k-bounded); the ref (value,
+    event_id) projection is CACHED across those passes so the
+    events scan+filter runs once. The one-pass approx_percentile-edge
+    twin keeps the identical downstream shape (see
+    tests/test_rank_twins.py). Edges become literals, so actual-half
+    bins are assigned map-side — no per-row join expansion, no
+    per-event shuffle — and both halves reduce to {_PSI_BINS}-row
+    histograms before the KL-drift-pattern decimal PSI reduce. At
+    100 TB the whole query is one scan of each half plus two reads of
+    the cached two-column ref projection, and k-bounded state
+    everywhere."""
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    ref = ev.filter(F.col("ts") < F.lit(_PSI_BOUNDARY).cast("timestamp")).select(
-        "value", "event_id"
+    ref = managed_cache(
+        ev.filter(F.col("ts") < F.lit(_PSI_BOUNDARY).cast("timestamp")).select(
+            "value", "event_id"
+        ),
+        "agg_psi_drift/ref",
     )
 
     def _tile_sizes(total: int) -> list[int]:

@@ -214,11 +214,19 @@ def ext_unigram_lm_score(spark, sf_dir):
     BROADCASTS (at 100 TB: top-V vocab plus an OOV smoothing mass — a
     top-V cut keeps the broadcast bounded; OOV tokens score at the
     floor probability); doc scoring is scan + broadcast-join + doc_id
-    hash-agg. The tercile window partitions by language — bounded
-    partitions, never a global sort. Exact-sum rule: per-token nll is
-    cast to DECIMAL(28,12) before summation so both engines produce the
-    identical total regardless of partial-sum order."""
-    from habits_etl_spark.plans.common import dec
+    hash-agg. Language is a FEW-LARGE-GROUPS key (a per-lang tercile
+    window would pin each language's full doc sort on one task), so the
+    terciles come from grouped exact selection (operators/distrank.py
+    grouped_ntile_by_selection): the 2 boundary (nll, doc_id) keys per
+    language are selected in two k-bounded passes over the CACHED
+    |docs|-row score table and the bucket label is a pure map-side
+    comparison — no window anywhere in the plan. Exact-sum rule:
+    per-token nll is cast to DECIMAL(28,12) before summation so both
+    engines produce the identical total regardless of partial-sum
+    order, and terciles cut on the pre-ROUNDED score, so both engines
+    select identical boundaries."""
+    from habits_etl_spark.operators.distrank import grouped_ntile_by_selection
+    from habits_etl_spark.plans.common import dec, managed_cache
 
     d = t(spark, sf_dir, "documents")
     toks = d.select(
@@ -227,7 +235,7 @@ def ext_unigram_lm_score(spark, sf_dir):
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").cast("bigint").alias("s"))
     term = -F.log(F.col("c").cast("double") / F.col("s"))
-    nll = (
+    nll = managed_cache(
         toks.join(F.broadcast(cnt), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang")
@@ -235,15 +243,19 @@ def ext_unigram_lm_score(spark, sf_dir):
             F.round(
                 F.sum(dec(term, 28, 12)).cast("double") / F.count(F.lit(1)), 6
             ).alias("nll")
-        )
+        ),
+        "ext_unigram_lm_score/nll",
     )
-    bucket = F.ntile(3).over(
-        Window.partitionBy("lang").orderBy(F.col("nll").asc(), F.col("doc_id"))
+    tiled = grouped_ntile_by_selection(
+        nll, ["lang"], [F.col("nll"), F.col("doc_id")], 3, "__tile"
     )
     return (
-        nll.withColumn(
+        tiled.withColumn(
             "ppl_bucket",
-            F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail"),
+            F.when(F.col("__tile") == 1, "head")
+            .when(F.col("__tile") == 2, "middle")
+            .otherwise("tail"),
         )
+        .drop("__tile")
         .orderBy("doc_id")
     )

@@ -365,22 +365,36 @@ def ext_lang_quality_buckets(spark, sf_dir):
     Determinism: the score is rounded to 4 digits BEFORE ranking and ties
     break on doc_id, so both engines cut identical tercile boundaries.
 
-    Scale: one map stage for the score, one shuffle on lang for the
-    ntile window. Language is low-cardinality, so at 100 TB the window
-    would salt or pre-aggregate to score-histogram quantiles per language
-    (constant memory) rather than a full per-language sort; at the tested
-    scales the exact window is the oracle-matched reference semantics."""
+    Scale: one map stage for the score; language is a FEW-LARGE-GROUPS
+    key (a per-lang ntile window would pin each language's full doc
+    sort on one task), so the terciles come from grouped exact
+    selection (operators/distrank.py grouped_ntile_by_selection): the 2
+    boundary (quality, doc_id) keys per language are selected in two
+    k-bounded passes over the CACHED |docs|-row score table, and the
+    bucket label is a pure map-side comparison — no window, no
+    per-language sort, exact at any language skew. DESC quality is
+    expressed by negating the (non-null) score, per distrank's
+    ASC-keys rule."""
+    from habits_etl_spark.operators.distrank import grouped_ntile_by_selection
+    from habits_etl_spark.plans.common import managed_cache
     from habits_etl_spark.plans.ext_text import _quality_col
 
     d = t(spark, sf_dir, "documents")
-    q = d.select("doc_id", "lang", _quality_col().alias("quality"))
-    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    q = managed_cache(
+        d.select("doc_id", "lang", _quality_col().alias("quality")),
+        "ext_lang_quality_buckets/scores",
+    )
+    tiled = grouped_ntile_by_selection(
+        q, ["lang"], [(-F.col("quality")).alias("nq"), F.col("doc_id")], 3, "__tile"
+    )
     bucket = (
-        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
-        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        F.when(F.col("__tile") == 1, F.lit("head"))
+        .when(F.col("__tile") == 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return q.select("doc_id", "lang", "quality", bucket.alias("bucket")).orderBy("doc_id")
+    return tiled.select(
+        "doc_id", "lang", "quality", bucket.alias("bucket")
+    ).orderBy("doc_id")
 
 
 # --- combined admission gate -------------------------------------------------
@@ -478,9 +492,16 @@ def ext_admission_decision(spark, sf_dir):
     carries its cluster_id (own id when unclustered) so downstream can
     audit any decision.
 
-    Scale: scrub+quality are map stages; the tercile window shuffles
-    (doc_id, lang, quality) only; cluster ranking shuffles collision-scale
-    rows. The corpus text moves once (the MinHash signature pass)."""
+    Scale: scrub+quality are map stages into a CACHED |docs|-row gate
+    table (read by the tercile passes, the cluster join and the final
+    join — the regex scrub runs once); the per-language tail cut is
+    grouped exact selection (operators/distrank.py
+    grouped_ntile_by_selection — no window, no per-language sort, 2
+    pinned boundary keys per language); cluster ranking shuffles
+    collision-scale rows. The corpus text moves once (the MinHash
+    signature pass)."""
+    from habits_etl_spark.operators.distrank import grouped_ntile_by_selection
+    from habits_etl_spark.plans.common import managed_cache
     from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
 
     _C, _T = _FUNNEL_MIN_CHARS, _FUNNEL_MIN_TOKENS
@@ -506,14 +527,17 @@ def ext_admission_decision(spark, sf_dir):
         .when(n_unique.cast("double") / g < _U, F.lit("quality_diversity"))
         .when(n_stop.cast("double") / g < _S, F.lit("quality_stopwords"))
     )
-    q = d.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").alias("n_chars_orig"),
-        _scrub_spark(F.col("text")).alias("text2"),
-    ).select(
-        "doc_id", "lang", "n_chars_orig",
-        quality.alias("quality"), stage_q.alias("stage_q"),
+    q = managed_cache(
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("n_chars_orig"),
+            _scrub_spark(F.col("text")).alias("text2"),
+        ).select(
+            "doc_id", "lang", "n_chars_orig",
+            quality.alias("quality"), stage_q.alias("stage_q"),
+        ),
+        "ext_admission_decision/gates",
     )
 
     pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
@@ -528,10 +552,11 @@ def ext_admission_decision(spark, sf_dir):
     )
 
     surv = q.filter(F.col("stage_q").isNull())
-    wl = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
-    buck = surv.select(
+    buck = grouped_ntile_by_selection(
+        surv, ["lang"], [(-F.col("quality")).alias("nq"), F.col("doc_id")], 3, "__tile"
+    ).select(
         "doc_id",
-        F.when(F.ntile(3).over(wl) == 3, F.lit("lang_tail")).alias("stage_b"),
+        F.when(F.col("__tile") == 3, F.lit("lang_tail")).alias("stage_b"),
     )
     bsurv = (
         surv.join(buck, "doc_id")

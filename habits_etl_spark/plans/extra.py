@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from habits_etl_spark.functions.datetime_ops import parse_report_date_expr
+from habits_etl_spark.operators.distrank import grouped_order_statistics
 from habits_etl_spark.operators.pivot import pivot_long_rows
 from habits_etl_spark.plans.common import (
     TS_FMT_DUCK,
@@ -763,25 +764,58 @@ def agg_equidepth_hist(spark, sf_dir):
     values). Equi-depth bounds are what a CBO stores and what a
     skew-aware partitioner samples.
 
-    Scale: one shuffle partitioned by group; within-group sort. For a
-    single giant group the exact tile becomes the sketch path
-    (percentile_approx) — that trade is the documented reason both
-    queries exist."""
+    Scale: the whole result is an order-statistics problem — bucket row
+    counts are NTILE arithmetic over each group's total, and lo/hi are
+    the values at each bucket's edge RANKS — so there is no per-row
+    tile, no window, and no per-group single-task sort anywhere
+    (pre-r9 this plan shuffled every event into a per-group ntile
+    window). operators/distrank.py grouped_order_statistics selects the
+    ≤ 2·{_HIST_BUCKETS} edge values per event_type in two k-bounded
+    passes (range-boundary cells, then sorting only the buckets holding
+    a target rank); the |groups|·{_HIST_BUCKETS}-row histogram itself is
+    a local relation — domain-bounded, the registry's k-bounded rule.
+    At 100 TB that is two scans and two tiny collects, total."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    b = e.select(
-        "event_type",
-        "value",
-        F.ntile(_HIST_BUCKETS)
-        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
-        .cast("bigint")  # DuckDB's ntile returns BIGINT; Spark's INT
-        .alias("bucket"),
+
+    def _edges(total: int) -> list[int]:
+        # per-bucket [lo, hi] ranks under NTILE sizing: first total%n
+        # tiles hold ceil(total/n) rows, the rest floor(total/n)
+        q, rem = divmod(total, _HIST_BUCKETS)
+        ranks, acc = [], 0
+        for i in range(1, _HIST_BUCKETS + 1):
+            size = q + 1 if i <= rem else q
+            if size > 0:
+                ranks += [acc + 1, acc + size]
+                acc += size
+        return ranks
+
+    stats, totals = grouped_order_statistics(
+        e, ["event_type"], [F.col("value"), F.col("event_id")], _edges
     )
+    rows = []
+    for (etype,), total in totals.items():
+        q, rem = divmod(total, _HIST_BUCKETS)
+        acc = 0
+        for i in range(1, _HIST_BUCKETS + 1):
+            size = q + 1 if i <= rem else q
+            if size > 0:  # empty tiles (total < buckets) don't appear,
+                rows.append(  # matching the oracle's ntile GROUP BY
+                    (etype, i, size, stats[(etype,)][acc + 1][0],
+                     stats[(etype,)][acc + size][0])
+                )
+                acc += size
     return (
-        b.groupBy("event_type", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.round(F.min("value"), 6).alias("lo"),
-            F.round(F.max("value"), 6).alias("hi"),
+        spark.createDataFrame(
+            rows,
+            schema="event_type string, bucket bigint, n_rows bigint, "
+                   "lo_raw double, hi_raw double",
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n_rows",
+            F.round("lo_raw", 6).alias("lo"),
+            F.round("hi_raw", 6).alias("hi"),
         )
         .orderBy("event_type", "bucket")
     )

@@ -362,7 +362,15 @@ def win_distribution_ranks(spark, sf_dir):
     arithmetically from (rn, group_count) — with the unique user_id
     tiebreak there are no rank peers, so percent_rank = (rn-1)/(n-1)
     and cume_dist = rn/n exactly. DESC spend is expressed by negating
-    the (non-null) total, per the helper's ASC-keys rule."""
+    the (non-null) total, per the helper's ASC-keys rule.
+
+    r9 selection audit: unlike the tile-only plans (agg_equidepth_hist,
+    the per-language tercile cuts), this output is PER-ROW — pct_rank
+    and cume need every row's exact rank, not just n-1 boundary keys —
+    so boundary SELECTION cannot replace the per-bucket window here;
+    with_group_position's range decomposition (parallel across bucket
+    ranges, no per-type single-task sort) is already the right
+    scale shape for a per-row rank."""
     ev = t(spark, sf_dir, "events")
     totals = managed_cache(
         ev.groupBy("event_type", "user_id").agg(

@@ -316,7 +316,7 @@ def test_grouped_selection_ntile_empty_guard_and_no_window_over_input(spark):
     many = spark.createDataFrame(
         [(f"g{i}", i) for i in range(50)], "g string, id int"
     )
-    with pytest.raises(ValueError, match="cells"):
+    with pytest.raises(ValueError, match="group cardinality is data-sized"):
         grouped_ntile_by_selection(many, ["g"], ["id"], 3, nparts=4, max_cells=10)
     # the RETURNED frame's plan has no window at all: the tile is a pure
     # map-side expression over pinned literals
@@ -324,3 +324,38 @@ def test_grouped_selection_ntile_empty_guard_and_no_window_over_input(spark):
     out = grouped_ntile_by_selection(small, ["g"], ["id"], 3, nparts=3)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_selection_edged_path_matches_window(spark, monkeypatch):
+    """Force the large-input path (approx edges + exact bucket counts +
+    bucket-pruned probe) on small data and pin it against SQL NTILE and
+    direct sorted positions — the path sf-scale unit data would
+    otherwise never exercise (below _SMALL_PROBE_ROWS the engine runs
+    one bucket per group by design)."""
+    import habits_etl_spark.operators.distrank as dr
+
+    monkeypatch.setattr(dr, "_SMALL_PROBE_ROWS", 0)
+    monkeypatch.setattr(dr, "_TARGET_BUCKET_ROWS", 8)
+    # global: duplicate values, ranks at ends/middle
+    data = [(i, (i * 7) % 13) for i in range(257)]
+    df = spark.createDataFrame(data, "id int, v int")
+    want_order = sorted(data, key=lambda r: (r[1], r[0]))
+    stats, total = dr.global_order_statistics(
+        df, [F.col("v"), F.col("id")], lambda t: [1, 80, 128, 200, t], nparts=6
+    )
+    assert total == 257
+    for r in [1, 80, 128, 200, 257]:
+        assert stats[r] == (want_order[r - 1][1], want_order[r - 1][0])
+    # grouped ntile through the same forced path
+    gdf = spark.createDataFrame(
+        [(f"g{i % 3}", i, (i * 5) % 11) for i in range(100)],
+        "g string, id int, v int",
+    )
+    got = dr.grouped_ntile_by_selection(
+        gdf, ["g"], [F.col("v"), F.col("id")], 4, "tile", nparts=6
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = gdf.select("g", "id", F.ntile(4).over(w).cast("bigint").alias("tile"))
+    assert _collect_sorted(got.select("g", "id", "tile"), "g", "id") == _collect_sorted(
+        want, "g", "id"
+    )
