@@ -1,50 +1,62 @@
-"""Distributed exact global ranks: two-pass range-bucketed
-row_number / ntile / lag / running aggregates.
+"""Distributed exact global ranks and order statistics: bucketed
+row_number / ntile / lag / running aggregates, plus shuffle-free
+selection (quantile edges at exact ranks).
 
 Spark's ``Window.orderBy(...)`` without a partition spec moves the whole
 relation into ONE task — correct, but a single-machine bottleneck the
 moment the input stops being k-bounded (Spark logs "No Partition Defined
 for Window operation" and the plan pins an all-data sort on one core).
-These helpers compute the IDENTICAL exact result with the classic
-two-pass decomposition every distributed sort shares:
+These helpers compute the IDENTICAL exact result with a bucket
+decomposition:
 
-1. **Boundary pass**: ``repartitionByRange`` on the order key, then one
-   per-partition aggregation (row count, the partition's LAST key, and
-   the operator's boundary value — last lag value / extremum / sum),
-   collected on the driver. At most ``n_partitions`` rows move — the
-   registry's k-bounded-collect rule (n_partitions is a config
-   constant, never data-sized).
-2. Offsets / carries prefix-combined in plain Python over those rows.
-3. **Probe pass**: each row's bucket is assigned by comparing its key
-   against the LITERAL boundary keys collected in pass 1 (a when-chain
-   — codegen-friendly, no join). Spark's range sampler is NOT
-   deterministic across evaluations, so the probe never re-runs
-   ``repartitionByRange``; pinning the observed boundaries as literals
-   makes the bucketing exact and reproducible, and the counts collected
-   in pass 1 are by construction the counts of exactly those buckets.
-4. A per-bucket window (parallel across buckets — one hash shuffle)
-   combined with the broadcast offset/carry.
+1. **Boundary pass** (r9, numeric leading order key — every registered
+   caller): ONE aggregation job collects row counts and
+   percentile_approx candidate EDGES of the leading order column; a
+   second map-side hash agg under the pinned literal edges yields each
+   bucket's exact count and the operator's boundary value (last lag
+   value / extremum / sum). No data shuffle anywhere in the pass —
+   partial aggs only. Edges are approximate and only BALANCE bucket
+   sizes (heavy leading-key ties coarsen them); every downstream
+   quantity is an exact aggregate under those pinned edges, so results
+   never depend on the sketch. (Non-numeric leading keys fall back to
+   the legacy ``repartitionByRange`` + spark_partition_id pass —
+   _Buckets — which moves the relation once just to learn boundary
+   state.)
+2. Offsets / carries prefix-combined in plain Python over the
+   collected bucket rows — at most ~n_partitions + |groups| of them,
+   the registry's k-bounded-collect rule.
+3. **Probe pass**: each row's bucket is a Σ-of-comparisons against the
+   literal edges (codegen-friendly, no join, reproducible across
+   evaluations — Spark's range sampler is not, which is why nothing
+   re-runs ``repartitionByRange``).
+4. A per-bucket window (parallel across buckets) combined with the
+   broadcast offset/carry. This window's hash exchange is the ONLY
+   time the relation moves in the whole operator.
+
+The SELECTION helpers (global_order_statistics and friends) go
+further: they never window every bucket — only the buckets holding a
+requested rank are sorted, and exactly one row per target is
+collected.
 
 Exactness requires:
 - a TOTAL order: a unique tie-break column (plans/common.py rule 4);
   equal keys could otherwise straddle a bucket boundary with an
   arbitrary tie order. Every caller orders by (value, unique_id).
-- ASCENDING, NON-NULL order keys: bucket assignment compares key
-  structs lexicographically (struct comparison is field-wise ASC) and
-  a null field would void the comparison. Callers express DESC on
-  numeric keys by negating the value.
+- ASCENDING, NON-NULL order keys: bucket assignment compares keys
+  field-wise ASC and a null field would void the comparison. Callers
+  express DESC on numeric keys by negating the value.
 
 ``with_global_lag`` / ``with_global_running_agg`` exchange only the
 partition-boundary value (each bucket's last/extremum), which is the
 decomposition plans/opsaudit.py's docstrings promise.
 
-At 100 TB: pass 1 is one shuffle + an n_partitions-row collect; the
-probe is map-side bucketing + one hash shuffle; everything after the
-offsets is embarrassingly parallel. No step materializes the relation
-on one node. The price vs the single-task window is one extra
-evaluation of the input subtree (boundary pass + probe pass) — callers
-with expensive upstreams cache the input first (plans/common.py
-managed_cache).
+At 100 TB: the boundary pass is two agg-only scans + a bucket-count
+collect; the probe is map-side bucketing + the window's one hash
+shuffle; everything after the offsets is embarrassingly parallel. No
+step materializes the relation on one node. The price vs the
+single-task window is extra evaluations of the input subtree —
+callers with expensive upstreams cache the input first
+(plans/common.py managed_cache).
 """
 
 from __future__ import annotations
@@ -88,7 +100,9 @@ def _key_struct(order: Sequence[Column | str]) -> Column:
 
 
 class _Buckets:
-    """Pass-1 result: literal range boundaries + per-bucket stats."""
+    """Pass-1 result: literal range boundaries + per-bucket stats (the
+    range-shuffle fallback for NON-NUMERIC leading order keys; numeric
+    keys take _EdgeBuckets' shuffle-free pass — see _buckets_for)."""
 
     def __init__(self, df: DataFrame, order, nparts: int, aggs: list[Column]):
         key = _key_struct(order)
@@ -107,6 +121,12 @@ class _Buckets:
     @property
     def empty(self) -> bool:
         return not self.rows
+
+    def ids(self) -> list[int]:
+        """Probe-side bucket ids, ascending in the total order. The
+        when-chain in bucket_expr assigns positions in boundary-key
+        order, so ids are just 0..n-1 here; _EdgeBuckets has gaps."""
+        return list(range(len(self.rows)))
 
     def counts(self) -> list[int]:
         return [r[_CNT] for r in self.rows]
@@ -133,6 +153,69 @@ class _Buckets:
             expr = F.when(*arm) if expr is None else expr.when(*arm)
         last = F.lit(len(self.rows) - 1)
         return last if expr is None else expr.otherwise(last)
+
+
+class _EdgeBuckets:
+    """_Buckets twin on the shuffle-free edge engine, for NUMERIC
+    leading order keys (every registered caller): buckets are intervals
+    of the total order delimited by pinned literal percentile_approx
+    candidates of the first order column, and the per-bucket stats come
+    from ONE map-side hash agg. _Buckets range-shuffles the whole
+    relation just to learn boundary state and then throws that
+    partitioning away — with edge buckets the relation moves exactly
+    once in the whole operator, in the per-bucket window's own
+    exchange. Edge placement is approximate and only balances bucket
+    sizes (heavy first-key ties coarsen them); counts, carries and
+    extrema are exact aggregates under the pinned edges, so results
+    never depend on the sketch. Bucket indices may have gaps (empty
+    intervals) — ids() is the probe-side contract."""
+
+    def __init__(self, df: DataFrame, order, nparts: int, aggs: list[Column]):
+        totals, edges = _selection_edges(df, [], order, nparts, 4096, small_ok=False)
+        c1 = _order_cols(order)[0]
+        bexpr: Column = F.lit(0)
+        for e in edges:
+            bexpr = bexpr + (c1 > F.lit(e)).cast("int")
+        self._bexpr = bexpr
+        if totals.get((), 0) == 0:
+            self.rows = []
+            return
+        grouped = (
+            df.groupBy(bexpr.alias(_PID))
+            .agg(F.count(F.lit(1)).alias(_CNT), *aggs)
+            .collect()
+        )
+        grouped.sort(key=lambda r: r[_PID])  # bucket index == order
+        self.rows = grouped
+
+    @property
+    def empty(self) -> bool:
+        return not self.rows
+
+    def ids(self) -> list[int]:
+        return [r[_PID] for r in self.rows]
+
+    def counts(self) -> list[int]:
+        return [r[_CNT] for r in self.rows]
+
+    def values(self, field: str) -> list:
+        return [r[field] for r in self.rows]
+
+    def bucket_expr(self, order) -> Column:
+        return self._bexpr
+
+
+def _buckets_for(df: DataFrame, order, nparts: int, aggs: list[Column]):
+    """Boundary-state provider dispatch: shuffle-free edge buckets when
+    the leading order key is numeric (all registered callers), the
+    range-shuffle pass otherwise (strings/timestamps lack a
+    percentile_approx edge; correctness is identical either way)."""
+    from pyspark.sql.types import NumericType
+
+    c1 = _order_cols(order)[0]
+    if isinstance(df.select(c1.alias("__c1")).schema[0].dataType, NumericType):
+        return _EdgeBuckets(df, order, nparts, aggs)
+    return _Buckets(df, order, nparts, aggs)
 
 
 def _pid_case(pairs: list[tuple[int, object]], cast_to) -> Column:
@@ -162,12 +245,12 @@ def with_global_row_number(
 ) -> DataFrame:
     """df + column ``out`` (bigint) = 1-based row_number over the global
     total order."""
-    b = _Buckets(df, order, _nparts(df, nparts), [])
+    b = _buckets_for(df, order, _nparts(df, nparts), [])
     if b.empty:  # empty input: nothing to rank
         return df.withColumn(out, F.lit(None).cast("bigint"))
     offs, acc = [], 0
-    for i, c in enumerate(b.counts()):
-        offs.append((i, acc))
+    for pid, c in zip(b.ids(), b.counts()):
+        offs.append((pid, acc))
         acc += c
     w_loc = Window.partitionBy(_PID).orderBy(*order)
     return (
@@ -193,12 +276,12 @@ def with_global_ntile(
     Standard NTILE semantics: with N rows, the first N mod n tiles hold
     ceil(N/n) rows, the rest floor(N/n) — derived arithmetically from
     the distributed global row number; no single-task sort."""
-    b = _Buckets(df, order, _nparts(df, nparts), [])
+    b = _buckets_for(df, order, _nparts(df, nparts), [])
     if b.empty:
         return df.withColumn(out, F.lit(None).cast("bigint"))
     offs, acc = [], 0
-    for i, c in enumerate(b.counts()):
-        offs.append((i, acc))
+    for pid, c in zip(b.ids(), b.counts()):
+        offs.append((pid, acc))
         acc += c
     total = acc
     q, rem = divmod(total, n)
@@ -271,6 +354,7 @@ def _selection_edges(
     order: Sequence[Column | str],
     nparts: int,
     max_cells: int,
+    small_ok: bool = True,
 ) -> tuple[dict[tuple, int], list]:
     """Pass A of the selection engine: per-group row counts plus pooled
     candidate bucket EDGES of the first order column — one aggregation
@@ -285,7 +369,10 @@ def _selection_edges(
     split without the tie-break); the probe still sorts only the
     affected buckets. Returns ({group key tuple: total}, ascending
     deduped edges — [] when the input is empty, below
-    _SMALL_PROBE_ROWS, or the first order key is non-numeric)."""
+    _SMALL_PROBE_ROWS (selection probes only; the per-row helpers pass
+    ``small_ok=False`` because their window sorts EVERY bucket, so
+    they always want the split), or the first order key is
+    non-numeric)."""
     from pyspark.sql.types import NumericType
 
     c1 = _order_cols(order)[0]
@@ -299,15 +386,21 @@ def _selection_edges(
     rows = df.groupBy(*gnames).agg(*aggs).collect()
     if len(rows) > max_cells:
         raise ValueError(
-            f"order-statistics selection collected {len(rows)} group rows "
+            f"order-statistics selection collected {len(rows)} group cells "
             f"(> {max_cells}): group cardinality is data-sized — use a "
             "plain partitioned window instead"
         )
     totals = {tuple(r[g] for g in gnames): r[_CNT] for r in rows}
     total = sum(totals.values())
-    if not (numeric and nparts > 1 and total > _SMALL_PROBE_ROWS):
+    if not (numeric and nparts > 1 and total > 0):
+        return totals, []
+    if small_ok and total <= _SMALL_PROBE_ROWS:
         return totals, []
     pool = sorted({e for r in rows for e in (r[_KEY] or []) if e is not None})
+    # Buckets target a CONSTANT row budget, so parallelism grows with the
+    # data until it caps at nparts — at bench scale a couple of ~64k-row
+    # buckets beat a 32-way split (fewer comparison arms, fewer tiny
+    # tasks); past nparts·_TARGET_BUCKET_ROWS rows the split is full.
     want = min(nparts - 1, max(1, -(-total // _TARGET_BUCKET_ROWS) - 1))
     if not pool or not want:
         return totals, []
@@ -461,13 +554,13 @@ def with_global_lag(
     bucket i takes bucket i-1's last value; every other row lags
     locally."""
     last = F.max_by(F.col(col), _key_struct(order)).alias(_AGG)
-    b = _Buckets(df, order, _nparts(df, nparts), [last])
+    b = _buckets_for(df, order, _nparts(df, nparts), [last])
     dtype = df.schema[col].dataType
     if b.empty:
         return df.withColumn(out, F.lit(None).cast(dtype))
     carries, prev = [], None
-    for i, v in enumerate(b.values(_AGG)):
-        carries.append((i, prev))
+    for pid, v in zip(b.ids(), b.values(_AGG)):
+        carries.append((pid, prev))
         prev = v
     w_loc = Window.partitionBy(_PID).orderBy(*order)
     return (
@@ -510,7 +603,7 @@ def with_global_running_agg(
         cols = {out: F.col(col) if isinstance(col, str) else col}
     names = list(cols)
     aggs = [fn(cols[o]).alias(f"{_AGG}{i}") for i, o in enumerate(names)]
-    b = _Buckets(df, order, _nparts(df, nparts), aggs)
+    b = _buckets_for(df, order, _nparts(df, nparts), aggs)
     agg_types = {
         o: df.select(fn(cols[o]).alias("x")).schema[0].dataType for o in names
     }
@@ -527,8 +620,8 @@ def with_global_running_agg(
     res = _probe(df, order, b)
     for i, o in enumerate(names):
         carries, acc = [], None
-        for bi, v in enumerate(b.values(f"{_AGG}{i}")):
-            carries.append((bi, acc))
+        for pid, v in zip(b.ids(), b.values(f"{_AGG}{i}")):
+            carries.append((pid, acc))
             if v is not None:
                 if acc is None:
                     acc = v
@@ -738,10 +831,41 @@ def with_group_position(
     From (rn, count) the caller derives every distribution rank
     arithmetically: ntile (see with_global_ntile's formula), percent_rank
     = (rn-1)/(count-1), cume_dist = rn/count (unique order ⇒ no peers)."""
+    from pyspark.sql.types import NumericType
+
     gnames = list(groups)
-    cells, bexpr, bucket_of = _grouped_boundary_cells(
-        df, gnames, order, _nparts(df, nparts), max_cells, "with_group_position"
-    )
+    np_ = _nparts(df, nparts)
+    c1 = _order_cols(order)[0]
+    if isinstance(df.select(c1.alias("__c1")).schema[0].dataType, NumericType):
+        # Shuffle-free boundary state (the _EdgeBuckets design, grouped):
+        # pinned approx edges of the leading order key bucket every group
+        # simultaneously — an edge comparison depends only on the order
+        # key, so buckets are intervals of EVERY group's own total order
+        # — and one map-side hash agg yields the exact (bucket, group)
+        # cells. The relation then moves once, in the window's exchange.
+        _, edges = _selection_edges(df, gnames, order, np_, max_cells, small_ok=False)
+        bexpr = F.lit(0)
+        for e in edges:
+            bexpr = bexpr + (c1 > F.lit(e)).cast("int")
+        cells = (
+            df.groupBy(bexpr.alias(_PID), *gnames)
+            .agg(F.count(F.lit(1)).alias(_CNT))
+            .collect()
+        )
+        if len(cells) > max_cells:
+            raise ValueError(
+                f"with_group_position collected {len(cells)} (bucket, group) "
+                f"cells (> {max_cells}): group cardinality is data-sized — "
+                "use a plain partitioned window instead"
+            )
+        # (group, ascending bucket) == (group, position); probe id is the
+        # bucket index itself (gaps fine)
+        cells.sort(key=lambda r: (tuple(r[g] for g in gnames), r[_PID]))
+        bucket_of = {r[_PID]: r[_PID] for r in cells}
+    else:
+        cells, bexpr, bucket_of = _grouped_boundary_cells(
+            df, gnames, order, np_, max_cells, "with_group_position"
+        )
     if not cells:
         return df.withColumn(rn_out, F.lit(None).cast("bigint")).withColumn(
             cnt_out, F.lit(None).cast("bigint")

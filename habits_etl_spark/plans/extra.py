@@ -770,11 +770,12 @@ def agg_equidepth_hist(spark, sf_dir):
     tile, no window, and no per-group single-task sort anywhere
     (pre-r9 this plan shuffled every event into a per-group ntile
     window). operators/distrank.py grouped_order_statistics selects the
-    ≤ 2·{_HIST_BUCKETS} edge values per event_type in two k-bounded
-    passes (range-boundary cells, then sorting only the buckets holding
-    a target rank); the |groups|·{_HIST_BUCKETS}-row histogram itself is
-    a local relation — domain-bounded, the registry's k-bounded rule.
-    At 100 TB that is two scans and two tiny collects, total."""
+    ≤ 2·{_HIST_BUCKETS} edge values per event_type on the shuffle-free
+    selection engine (approx candidate edges, exact bucket counts, then
+    sorting only the buckets holding a target rank); the
+    |groups|·{_HIST_BUCKETS}-row histogram itself is a local relation —
+    domain-bounded, the registry's k-bounded rule. At 100 TB that is
+    three scans, three tiny collects, and zero shuffles, total."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
     def _edges(total: int) -> list[int]:

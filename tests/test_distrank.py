@@ -359,3 +359,30 @@ def test_selection_edged_path_matches_window(spark, monkeypatch):
     assert _collect_sorted(got.select("g", "id", "tile"), "g", "id") == _collect_sorted(
         want, "g", "id"
     )
+
+
+def test_non_numeric_leading_key_takes_range_fallback(spark):
+    """String leading order keys can't take percentile_approx edges, so
+    the provider dispatch must route them through the legacy range-
+    shuffle _Buckets pass — same exact results, pinned here against the
+    single-partition window."""
+    rows = [(f"k{i:03d}", i % 7) for i in range(41)]
+    df = spark.createDataFrame(rows, "s string, v int")
+    got_rn = with_global_row_number(df, ["s"], "rn", nparts=5)
+    got_lag = with_global_lag(df, ["s"], "v", "pv", nparts=5)
+    w = Window.partitionBy(F.lit(0)).orderBy("s")
+    want_rn = df.select("s", "v", F.row_number().over(w).cast("bigint").alias("rn"))
+    want_lag = df.select("s", "v", F.lag("v").over(w).alias("pv"))
+    assert _collect_sorted(got_rn, "s") == _collect_sorted(want_rn, "s")
+    assert _collect_sorted(got_lag, "s") == _collect_sorted(want_lag, "s")
+    # group-position fallback: string order key under string groups
+    gp = with_group_position(df.withColumn("g", F.col("v") % 2), ["g"], ["s"], nparts=5)
+    wg = Window.partitionBy("g").orderBy("s")
+    want_gp = df.withColumn("g", F.col("v") % 2).select(
+        "g", "s",
+        F.row_number().over(wg).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("group_count"),
+    )
+    assert _collect_sorted(
+        gp.select("g", "s", "rn", "group_count"), "g", "s"
+    ) == _collect_sorted(want_gp, "g", "s")
