@@ -66,9 +66,26 @@ def main():
     if "--json" in args:
         i = args.index("--json")
         if i + 1 >= len(args):
-            sys.exit("usage: check_correctness.py [--json OUT.json] [query ...]")
+            sys.exit("usage: check_correctness.py [--json OUT.json] "
+                     "[--sf SF_DIR] [query ...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    # --sf overrides the env var. Parsed explicitly because the old
+    # behavior — unknown flags silently became query-NAME filters — made
+    # `--sf DIR` run the named queries at the DEFAULT scale factor (or,
+    # with no names, filter every query out and write an empty ledger)
+    # while looking like a successful larger-scale check.
+    if "--sf" in args:
+        i = args.index("--sf")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_correctness.py [--json OUT.json] "
+                     "[--sf SF_DIR] [query ...]")
+        sf_dir = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    unknown = [a for a in args if a.startswith("-")]
+    if unknown:
+        sys.exit(f"unknown flag(s) {unknown}: "
+                 "usage: check_correctness.py [--json OUT.json] [--sf SF_DIR] [query ...]")
     only = set(args)
 
     import __spark_entry__ as entry_mod
