@@ -722,15 +722,35 @@ _SBJ_FP = " + ".join(
 )
 
 
+# Oracle cost note (r10): the r9 oracle verified candidates by joining the
+# exploded gram table twice (cand x grams-of-a ~= 225M rows at sf0.1) and
+# DuckDB re-inlined the multi-referenced gram CTE on top — the oracle ALONE
+# ran >10 min at sf0.1 and tripped the bench's 120 s watchdog every round
+# (status `error`, never `fail`; the id was hash-green in the uncapped
+# ledger). This rewrite keeps the SAME result (verified cell-identical at
+# sf0.01 + sf0.1) but computes the exact intersection over dense-gram-id
+# BITSETS: dictionary-encode grams (row_number over the distinct set), pack
+# each doc's gram set into 63-bit BIGINT words (bit_or; 63 not 64 because
+# DuckDB range-checks signed left shifts), and count per-pair intersections
+# as sum(bit_count(wa & wb)) — pair fan-out drops from |cand| x grams/doc to
+# |cand| x words/doc. MATERIALIZED pins the shared CTEs so DuckDB cannot
+# re-derive them per reference. sf0.1: >600 s -> ~14 s. Spark side untouched.
 @query(
     "ext_ngram_jaccard_simhash_blocked",
     f"""
-    WITH g AS (
+    WITH g AS MATERIALIZED (
       SELECT doc_id,
              unnest(list_distinct([text[i:i+{_CGRAM_N - 1}] for i in range(1, length(text) - {_CGRAM_N - 2})])) AS gram
       FROM documents WHERE length(text) >= {_CGRAM_N}
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    dict AS (SELECT gram, row_number() OVER (ORDER BY gram) - 1 AS gid FROM (SELECT DISTINCT gram FROM g)),
+    gi AS (SELECT g.doc_id, d.gid FROM g JOIN dict d ON d.gram = g.gram),
+    words AS MATERIALIZED (
+      SELECT doc_id, CAST(gid // 63 AS INT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(gid % 63 AS INT)) AS bits
+      FROM gi GROUP BY 1, 2
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, CAST(sum(bit_count(bits)) AS BIGINT) AS n FROM words GROUP BY 1),
     gh AS (SELECT doc_id, md5(gram) AS h FROM g),
     sums AS (
       SELECT doc_id,
@@ -742,15 +762,15 @@ _SBJ_FP = " + ".join(
       SELECT doc_id, k, (simhash >> (k * {_SBJ_BW})) & {(1 << _SBJ_BW) - 1} AS bv
       FROM sh, range({_SBJ_BANDS}) r(k)
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
     ),
     inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      SELECT c.doc_a, c.doc_b, CAST(sum(bit_count(wa.bits & wb.bits)) AS BIGINT) AS n_common
       FROM cand c
-      JOIN g ga ON ga.doc_id = c.doc_a
-      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      JOIN words wa ON wa.doc_id = c.doc_a
+      JOIN words wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
