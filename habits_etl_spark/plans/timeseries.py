@@ -352,19 +352,24 @@ def ext_linear_attribution(spark, sf_dir):
     not raw pairs. Credit fractions are exact rationals rounded to 12
     digits in both engines before the decimal reduce."""
     ev = t(spark, sf_dir, "events")
+    # Both sides derive from the SAME events scan; joining on bare
+    # attribute Columns (purchases.user_id == touches.user_id) makes
+    # Spark 4 warn "Constructing trivially true equals predicate" and
+    # auto-disambiguate by lineage — one resolution change away from a
+    # silent cross product. Qualified plan aliases pin the resolution.
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
-    )
+    ).alias("p")
     touches = ev.filter(F.col("event_type") != "purchase").select(
         "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("touch_type")
-    )
+    ).alias("tc")
     pairs = purchases.join(
         touches,
-        (purchases.user_id == touches.user_id)
-        & (touches.t_ts < purchases.p_ts)
+        (F.col("p.user_id") == F.col("tc.user_id"))
+        & (F.col("tc.t_ts") < F.col("p.p_ts"))
         & (
-            touches.t_ts
-            >= purchases.p_ts - F.expr(f"INTERVAL {_LIN_WINDOW_DAYS} DAYS")
+            F.col("tc.t_ts")
+            >= F.col("p.p_ts") - F.expr(f"INTERVAL {_LIN_WINDOW_DAYS} DAYS")
         ),
     ).select("p_id", "touch_type")
     per_type = pairs.groupBy("p_id", "touch_type").agg(
