@@ -18,10 +18,16 @@ decomposition:
    partial aggs only. Edges are approximate and only BALANCE bucket
    sizes (heavy leading-key ties coarsen them); every downstream
    quantity is an exact aggregate under those pinned edges, so results
-   never depend on the sketch. (Non-numeric leading keys fall back to
+   never depend on the sketch. Non-numeric leading keys fall back to
    the legacy ``repartitionByRange`` + spark_partition_id pass —
    _Buckets — which moves the relation once just to learn boundary
-   state.)
+   state. Leading-key TIES the edges cannot split are guarded in every
+   engine (per-row, selection, group-position): when the exact counts
+   show one bucket past both _DEGENERATE_BUCKET_ROWS and 2x the fair
+   total/nparts share, boundary state is rebuilt on the range pass,
+   whose full (value, tiebreak) key splits ties — so a constant or
+   low-cardinality leading key costs one extra shuffle instead of
+   pinning a data-sized sort on one task.
 2. Offsets / carries prefix-combined in plain Python over the
    collected bucket rows — at most ~n_partitions + |groups| of them,
    the registry's k-bounded-collect rule.
@@ -165,10 +171,22 @@ class _EdgeBuckets:
     partitioning away — with edge buckets the relation moves exactly
     once in the whole operator, in the per-bucket window's own
     exchange. Edge placement is approximate and only balances bucket
-    sizes (heavy first-key ties coarsen them); counts, carries and
-    extrema are exact aggregates under the pinned edges, so results
-    never depend on the sketch. Bucket indices may have gaps (empty
-    intervals) — ids() is the probe-side contract."""
+    sizes; counts, carries and extrema are exact aggregates under the
+    pinned edges, so results never depend on the sketch. Bucket indices
+    may have gaps (empty intervals) — ids() is the probe-side contract.
+
+    Edges compare the leading order column ONLY, so ties on it can
+    never be split across buckets (degenerate worst case: a constant
+    leading key collapses to one bucket and the per-bucket window
+    single-tasks a data-sized sort). The exact counts expose that
+    outcome, whatever its cause: ``degenerate`` is True when the
+    largest bucket exceeds both the constant budget
+    (_DEGENERATE_BUCKET_ROWS) and 2x the fair per-bucket share — the
+    second bound keeps huge-but-balanced inputs (parallelism capped at
+    nparts, no ties) off the fallback, where a range pass would yield
+    the same bucket sizes for an extra shuffle. _buckets_for answers
+    True by rebuilding on _Buckets, whose range pass splits ties via
+    the full (value, tiebreak) key."""
 
     def __init__(self, df: DataFrame, order, nparts: int, aggs: list[Column]):
         totals, edges = _selection_edges(df, [], order, nparts, 4096, small_ok=False)
@@ -177,7 +195,9 @@ class _EdgeBuckets:
         for e in edges:
             bexpr = bexpr + (c1 > F.lit(e)).cast("int")
         self._bexpr = bexpr
-        if totals.get((), 0) == 0:
+        self.degenerate = False
+        total = totals.get((), 0)
+        if total == 0:
             self.rows = []
             return
         grouped = (
@@ -187,6 +207,9 @@ class _EdgeBuckets:
         )
         grouped.sort(key=lambda r: r[_PID])  # bucket index == order
         self.rows = grouped
+        self.degenerate = max(r[_CNT] for r in grouped) > max(
+            _DEGENERATE_BUCKET_ROWS, 2 * total // max(nparts, 1)
+        )
 
     @property
     def empty(self) -> bool:
@@ -209,12 +232,18 @@ def _buckets_for(df: DataFrame, order, nparts: int, aggs: list[Column]):
     """Boundary-state provider dispatch: shuffle-free edge buckets when
     the leading order key is numeric (all registered callers), the
     range-shuffle pass otherwise (strings/timestamps lack a
-    percentile_approx edge; correctness is identical either way)."""
+    percentile_approx edge; correctness is identical either way).
+    Numeric keys whose TIES defeat the edge split (low-cardinality /
+    constant leading key — _EdgeBuckets.degenerate) also take the range
+    pass: it buckets by the full (value, tiebreak) key, so per-task
+    rows stay ~total/nparts no matter how heavy the ties."""
     from pyspark.sql.types import NumericType
 
     c1 = _order_cols(order)[0]
     if isinstance(df.select(c1.alias("__c1")).schema[0].dataType, NumericType):
-        return _EdgeBuckets(df, order, nparts, aggs)
+        eb = _EdgeBuckets(df, order, nparts, aggs)
+        if not eb.degenerate:
+            return eb
     return _Buckets(df, order, nparts, aggs)
 
 
@@ -346,6 +375,13 @@ def with_global_ntile_by_selection(
 # into ~_TARGET_BUCKET_ROWS-row buckets so no task ever sorts more.
 _SMALL_PROBE_ROWS = 131_072
 _TARGET_BUCKET_ROWS = 65_536
+# A single (bucket, group) cell bigger than this (and bigger than 2x the
+# fair total/nparts share) means the edge split failed — leading-key ties
+# an edge comparison cannot separate, or a non-numeric key that never had
+# edges — and the task that sorts it is data-sized. Both engines then
+# fall back to the range boundary pass, which splits ties via the full
+# (value, tiebreak) key.
+_DEGENERATE_BUCKET_ROWS = 4 * _TARGET_BUCKET_ROWS
 
 
 def _selection_edges(
@@ -404,8 +440,12 @@ def _selection_edges(
     want = min(nparts - 1, max(1, -(-total // _TARGET_BUCKET_ROWS) - 1))
     if not pool or not want:
         return totals, []
-    # evenly spaced subset of the pooled per-group candidates
-    edges = sorted({pool[round((i + 1) * len(pool) / (want + 1)) - 1] for i in range(want)})
+    # evenly spaced subset of the pooled per-group candidates (index
+    # clamped: a small pool vs large want rounds to 0, and -1 would
+    # silently pick the LARGEST candidate as a low edge)
+    edges = sorted(
+        {pool[max(0, round((i + 1) * len(pool) / (want + 1)) - 1)] for i in range(want)}
+    )
     return totals, edges
 
 
@@ -456,6 +496,28 @@ def _order_statistics(
         ]
     else:
         cells = [(gkey, 0, cnt) for gkey, cnt in totals.items()]
+    # Degeneracy guard (the selection twin of _EdgeBuckets.degenerate):
+    # one (group, bucket) cell above both the constant budget and 2x the
+    # fair total/nparts share means the edge split failed — leading-key
+    # ties an edge comparison cannot separate, or a non-numeric leading
+    # key that never had edges — and the probe would single-task a
+    # data-sized sort on any target rank landing in that cell. Rebuild
+    # boundary state with the range pass: it buckets by the FULL
+    # (groups..., order...) key, so ties split via the tiebreak. Within a
+    # group its buckets form a contiguous run ascending in the group's
+    # own order (the full key leads with the group fields), which is all
+    # the offset sweep below needs.
+    total_rows = sum(totals.values())
+    if cells and max(c[2] for c in cells) > max(
+        _DEGENERATE_BUCKET_ROWS, 2 * total_rows // max(nparts, 1)
+    ):
+        raw, bexpr, bucket_of = _grouped_boundary_cells(
+            df, gnames, order, nparts, max_cells, "order-statistics selection"
+        )
+        cells = [
+            (tuple(r[g] for g in gnames), bucket_of[r[_PID]], r[_CNT]) for r in raw
+        ]
+        bucket = bexpr
     cells.sort(key=lambda c: (c[0], c[1]))  # (group, ascending bucket)
     ranks = {
         gkey: sorted({int(r) for r in ranks_of(tot) if 1 <= r <= tot})
@@ -836,6 +898,7 @@ def with_group_position(
     gnames = list(groups)
     np_ = _nparts(df, nparts)
     c1 = _order_cols(order)[0]
+    cells = None
     if isinstance(df.select(c1.alias("__c1")).schema[0].dataType, NumericType):
         # Shuffle-free boundary state (the _EdgeBuckets design, grouped):
         # pinned approx edges of the leading order key bucket every group
@@ -862,7 +925,17 @@ def with_group_position(
         # bucket index itself (gaps fine)
         cells.sort(key=lambda r: (tuple(r[g] for g in gnames), r[_PID]))
         bucket_of = {r[_PID]: r[_PID] for r in cells}
-    else:
+        # Same tie-degeneracy guard as _EdgeBuckets / the selection
+        # engine: a cell the edges could not split (heavy leading-key
+        # ties) would pin a data-sized sort on one window task — take
+        # the range pass below, which splits ties via the full key.
+        if cells:
+            total = sum(r[_CNT] for r in cells)
+            if max(r[_CNT] for r in cells) > max(
+                _DEGENERATE_BUCKET_ROWS, 2 * total // max(np_, 1)
+            ):
+                cells = None
+    if cells is None:
         cells, bexpr, bucket_of = _grouped_boundary_cells(
             df, gnames, order, np_, max_cells, "with_group_position"
         )

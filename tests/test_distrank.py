@@ -361,6 +361,60 @@ def test_selection_edged_path_matches_window(spark, monkeypatch):
     )
 
 
+def test_degenerate_leading_key_ties_take_range_fallback(spark, monkeypatch):
+    """A constant (or low-cardinality) numeric leading key defeats the
+    edge split — edges compare the leading column only, so its ties can
+    never straddle an edge and the whole relation coarsens into one
+    bucket. The degeneracy guard must detect it from the exact counts
+    and rebuild on the range pass, whose full (value, tiebreak) key
+    bounds per-task rows at ~total/nparts; results stay identical to
+    the single-partition window."""
+    import habits_etl_spark.operators.distrank as dr
+
+    # data scale, shrunk: trip the guard at 16-row buckets
+    monkeypatch.setattr(dr, "_SMALL_PROBE_ROWS", 0)
+    monkeypatch.setattr(dr, "_TARGET_BUCKET_ROWS", 8)
+    monkeypatch.setattr(dr, "_DEGENERATE_BUCKET_ROWS", 16)
+    rows = [(i, 7) for i in range(120)]  # constant leading key, unique id
+    df = spark.createDataFrame(rows, "id int, v int")
+    order = [F.col("v"), F.col("id")]
+
+    # provider dispatch: _EdgeBuckets reports degenerate, _buckets_for
+    # answers with the range pass, and its buckets actually split the tie
+    b = dr._buckets_for(df, order, 6, [])
+    assert isinstance(b, dr._Buckets), type(b)
+    assert max(b.counts()) < 120, b.counts()
+
+    got_rn = dr.with_global_row_number(df, order, "rn", nparts=6)
+    w = Window.partitionBy(F.lit(0)).orderBy("v", "id")
+    want_rn = df.select("id", F.row_number().over(w).cast("bigint").alias("rn"))
+    assert _collect_sorted(got_rn.select("id", "rn"), "id") == _collect_sorted(
+        want_rn, "id"
+    )
+
+    # selection engine under the same degenerate key: exact positions
+    stats, total = dr.global_order_statistics(
+        df, order, lambda t: [1, 60, t], nparts=6
+    )
+    assert total == 120
+    assert stats == {1: (7, 0), 60: (7, 59), 120: (7, 119)}
+
+    # grouped position under a degenerate leading key within each group
+    gdf = spark.createDataFrame(
+        [(f"g{i % 2}", i, 3) for i in range(100)], "g string, id int, v int"
+    )
+    gp = dr.with_group_position(gdf, ["g"], [F.col("v"), F.col("id")], nparts=6)
+    wg = Window.partitionBy("g").orderBy("v", "id")
+    want_gp = gdf.select(
+        "g", "id",
+        F.row_number().over(wg).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("group_count"),
+    )
+    assert _collect_sorted(
+        gp.select("g", "id", "rn", "group_count"), "g", "id"
+    ) == _collect_sorted(want_gp, "g", "id")
+
+
 def test_non_numeric_leading_key_takes_range_fallback(spark):
     """String leading order keys can't take percentile_approx edges, so
     the provider dispatch must route them through the legacy range-
