@@ -212,12 +212,18 @@ def correctness_extras(
     # "most recent" = highest PARSED round number, not lexical filename
     # order — lexical sorting would rank r9 above r100 (or a non-padded
     # r10 below r09) and silently audit against the wrong sample.
+    # Filter before sorting: the glob also matches suffixed files (e.g.
+    # CORRECTNESS_r10_sf01.json) whose non-matching names would make
+    # .group(1) raise on None.
     ledgers = sorted(
-        glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")),
-        key=lambda p: int(
-            re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)).group(1)
+        (
+            (p, m)
+            for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)))
         ),
+        key=lambda pm: int(pm[1].group(1)),
     )
+    ledgers = [p for p, _ in ledgers]
     if ledgers:
         try:
             with open(ledgers[-1]) as fh:
