@@ -1,26 +1,48 @@
-"""Connected components: transitive closure, convergence, and the dup-cluster query."""
+"""Connected components: transitive closure, convergence, and the dup-cluster query.
+
+Both strategies are pinned: the bounded driver union-find (default for
+small measured edge counts) and the distributed label-propagation loop
+(forced via driver_solve_max_edges=0 — the path big pair graphs take)."""
 
 from __future__ import annotations
 
+import pytest
+
 from habits_etl_spark.operators.clusters import connected_components
 
+# kwargs per strategy: driver union-find (default) vs forced distributed loop
+_STRATS = [{}, {"driver_solve_max_edges": 0}]
 
-def comps_of(spark, edges):
+
+def comps_of(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
-    return {r.vertex: r.component for r in connected_components(df).collect()}
+    return {r.vertex: r.component for r in connected_components(df, **kw).collect()}
 
 
-def test_transitive_chain(spark):
+@pytest.mark.parametrize("kw", _STRATS)
+def test_transitive_chain(spark, kw):
     # 1-2, 2-3, 3-4 one component; 10-11 another
-    c = comps_of(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    c = comps_of(spark, [(1, 2), (2, 3), (3, 4), (10, 11)], **kw)
     assert c[1] == c[2] == c[3] == c[4] == 1
     assert c[10] == c[11] == 10
 
 
-def test_long_chain_converges(spark):
+@pytest.mark.parametrize("kw", _STRATS)
+def test_long_chain_converges(spark, kw):
     # a 40-vertex path needs ~log rounds of min-label propagation
-    c = comps_of(spark, [(i, i + 1) for i in range(40)])
+    c = comps_of(spark, [(i, i + 1) for i in range(40)], **kw)
     assert set(c.values()) == {0} and len(c) == 41
+
+
+def test_strategies_agree_on_random_graph(spark):
+    # same (vertex, component) map from the driver solve and the loop
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    a = comps_of(spark, edges)
+    b = comps_of(spark, edges, driver_solve_max_edges=0)
+    assert a == b
 
 
 def test_dup_clusters_query(spark, sf_dir):
