@@ -214,7 +214,12 @@ def ext_unigram_lm_score(spark, sf_dir):
     BROADCASTS (at 100 TB: top-V vocab plus an OOV smoothing mass — a
     top-V cut keeps the broadcast bounded; OOV tokens score at the
     floor probability); doc scoring is scan + broadcast-join + doc_id
-    hash-agg. Language is a FEW-LARGE-GROUPS key (a per-lang tercile
+    hash-agg. The vocab table is CACHED so the corpus is tokenized
+    exactly twice (count pass + score pass — the two-pass shape is
+    inherent: scoring needs the finished counts); the scalar token
+    total is a 1-row collect off the cached vocab, pinned as a literal
+    instead of a third broadcast whose lineage would re-tokenize.
+    Language is a FEW-LARGE-GROUPS key (a per-lang tercile
     window would pin each language's full doc sort on one task), so the
     terciles come from grouped exact selection (operators/distrank.py
     grouped_ntile_by_selection): the 2 boundary (nll, doc_id) keys per
@@ -232,12 +237,14 @@ def ext_unigram_lm_score(spark, sf_dir):
     toks = d.select(
         "doc_id", "lang", F.explode(_TOK_SPARK(F.col("text"))).alias("tok")
     )
-    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(F.sum("c").cast("bigint").alias("s"))
-    term = -F.log(F.col("c").cast("double") / F.col("s"))
+    cnt = managed_cache(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+        "ext_unigram_lm_score/vocab",
+    )
+    s = cnt.agg(F.sum("c").cast("bigint")).collect()[0][0]  # 1-row collect
+    term = -F.log(F.col("c").cast("double") / F.lit(s))
     nll = managed_cache(
         toks.join(F.broadcast(cnt), "tok")
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(
             F.round(

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import dec, query, t
+from habits_etl_spark.plans.common import dec, managed_cache, query, t
 from habits_etl_spark.plans.ext_text import _TOK_DUCK, _TOK_SPARK
 
 # --- character entropy -------------------------------------------------------
@@ -174,19 +174,31 @@ def ext_bigram_lm_score(spark, sf_dir):
     # exactly ONE join — three joins on the big side collapsed into one
     # (measured ~2.0 → ~1.4 s warm at sf0.1; hash-identical output, since
     # the per-occurrence nll values are unchanged).
-    cab = bi.groupBy("bg", "w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    # Both reduced count tables are CACHED (MEMORY_AND_DISK; they were
+    # already materialized in full inside every broadcast lineage), so
+    # the corpus is exploded exactly three times — bigram count, token
+    # count, and the scoring pass itself — instead of five: previously
+    # cctx, tot and the score join each re-derived their parent count
+    # table from the raw stream. The scalar token total is a 1-row
+    # collect off the cached unigram table, pinned as a literal.
+    cab = managed_cache(
+        bi.groupBy("bg", "w1", "w2").agg(F.count(F.lit(1)).alias("c_bg")),
+        "ext_bigram_lm_score/cab",
+    )
     cctx = cab.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
     toks = d.select(F.explode(_TOK_SPARK(F.col("text"))).alias("tok"))
-    cuni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
-    tot = cuni.agg(F.sum("c_uni").cast("bigint").alias("n_total"))
+    cuni = managed_cache(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni")),
+        "ext_bigram_lm_score/cuni",
+    )
+    n_total = cuni.agg(F.sum("c_uni").cast("bigint")).collect()[0][0]  # 1 row
     nll = -F.log(
         _LM_LAMBDA * (F.col("c_bg").cast("double") / F.col("c_ctx"))
-        + (1 - _LM_LAMBDA) * (F.col("c_uni").cast("double") / F.col("n_total"))
+        + (1 - _LM_LAMBDA) * (F.col("c_uni").cast("double") / F.lit(n_total))
     )
     score = (
         cab.join(F.broadcast(cctx), "w1")
         .join(F.broadcast(cuni), cab["w2"] == cuni["tok"])
-        .crossJoin(F.broadcast(tot))
         .select("bg", nll.alias("nll"))
     )
     return (
