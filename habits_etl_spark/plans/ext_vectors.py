@@ -28,21 +28,37 @@ _DIM = 64
 _EXACT_PAIRS_MAX = 100_000
 
 
+def _plane_signs(key_prefix: str) -> list[float]:
+    """Deterministic pseudo-hyperplane: component i is +-1 from the
+    parity of crc32(f"{key_prefix}:{i}") — computed HERE with zlib.crc32,
+    which is bit-identical to Spark's ``crc32`` over utf-8 bytes (pinned
+    in tests/test_vectors.py), so the literal planes equal what the old
+    runtime-crc32 expressions constant-folded to. Materializing them as
+    Python literals lets the SAME plane be inlined into the DuckDB oracle
+    (which has no crc32), turning the whole LSH pipeline into checkable
+    SQL; the Spark runtime plan is unchanged (Catalyst folded the old
+    hash chain to these exact literal arrays anyway)."""
+    import zlib
+
+    return [
+        1.0 if zlib.crc32(f"{key_prefix}:{i}".encode()) % 2 == 0 else -1.0
+        for i in range(_DIM)
+    ]
+
+
+def _plane_sql_lit(signs: list[float]) -> str:
+    """The plane as a DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in signs) + "]"
+
+
 def _srp_proj(vcol: Column, plane: int, seed: str) -> Column:
-    """Signed projection of ``vcol`` (double array) onto deterministic
-    pseudo-hyperplane ``plane``: components are +-1 from a crc32 of
-    (seed, plane, i), so the planes need no driver-side state and
-    constant-fold in Catalyst."""
+    """Signed projection of ``vcol`` (double array) onto the
+    deterministic pseudo-hyperplane ``plane`` (see _plane_signs)."""
+    signs = _plane_signs(f"{seed}:{plane}")
     return F.aggregate(
         F.zip_with(
             vcol,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_DIM - 1)),
-                lambda i: F.when(
-                    F.crc32(F.concat_ws(":", F.lit(seed), F.lit(str(plane)), i.cast("string"))) % 2 == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.array(*[F.lit(h) for h in signs]),
             lambda x, h: x * h,
         ),
         F.lit(0.0),
@@ -64,6 +80,53 @@ def srp_band_values(vcol: Column, n_bands: int, band_bits: int, seed: str = "srp
             bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
         values.append(sum(bits[1:], bits[0]))
     return values
+
+
+def _proj_array_expr(vcol_name: str, keys: list[str]) -> Column:
+    """ALL plane projections as ONE array<double> expression: a literal
+    |keys| x {_DIM} matrix folded against the vector in a single
+    transform. One parsed expression instead of |keys| independent
+    aggregate trees — the 128-fold form cost ~4.5 s of plan/compile time
+    per evaluation at sf0.1 and defeated codegen. Per-plane fold order is
+    unchanged (zip_with then left fold), so projections are bit-identical
+    to _srp_proj's."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{h}D" for h in _plane_signs(k)) + ")" for k in keys
+    )
+    return F.expr(
+        f"transform(array({rows}), h -> "
+        f"aggregate(zip_with({vcol_name}, h, (x, hh) -> x * hh), 0D, (a, x) -> a + x))"
+    )
+
+
+def _band_vals_from_proj(pj_col: str, n_bands: int, band_bits: int) -> list[Column]:
+    """Packed band keys from a projection-array column (1-indexed
+    element_at): bit j of band b is the sign of projection b*bits+j."""
+    vals = []
+    for b in range(n_bands):
+        terms = " + ".join(
+            f"IF(element_at({pj_col}, {b * band_bits + j + 1}) >= 0D, {1 << j}, 0)"
+            for j in range(band_bits)
+        )
+        vals.append(F.expr(terms))
+    return vals
+
+
+def srp_band_sql(vexpr: str, n_bands: int, band_bits: int, seed: str = "srp") -> list[str]:
+    """DuckDB twins of srp_band_values — one SQL expression per band over
+    the DOUBLE[] expression ``vexpr``, built from the SAME literal planes,
+    so an LSH pipeline's oracle states the identical bucketing."""
+    exprs = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(band_bits):
+            lit = _plane_sql_lit(_plane_signs(f"{seed}:{b * band_bits + j}"))
+            bits.append(
+                f"(CASE WHEN list_dot_product({vexpr}, {lit}) >= 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        exprs.append(" + ".join(bits))
+    return exprs
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -208,36 +271,51 @@ _PAIR_BAND_BITS = 8
 
 def _lsh_candidate_pairs(prepped):
     """Banded SRP-LSH candidate generation, mirroring the MinHash->verify
-    text pipeline: explode each vector to (band_idx, band_val) rows,
-    self-equi-join on the band key — only bucket collisions are scored,
-    the quadratic pair space is never materialized."""
-    bands = srp_band_values(F.col("v"), _PAIR_BANDS, _PAIR_BAND_BITS, seed="pairs")
-    banded = prepped.select(
-        "vec_id", "label", "v", "nrm",
+    text pipeline EXACTLY (same join topology): explode each vector to
+    SKINNY (vec_id, band_idx, band_val) rows, self-equi-join on the band
+    key, reduce to DISTINCT id pairs, then broadcast the collision-sized
+    pair list back against the vector arrays. The r9 shape carried the
+    full 64-double arrays on BOTH sides of the band join — ~10M collision
+    rows x 1 KB at sf0.1 (clustered synthetic embeddings put 38% of the
+    corpus in one bucket) before the dedup, ~70 s; skinny rows + one
+    array lookup per verified side take it to ~3 s. The quadratic pair
+    space is never materialized; signatures come from the single
+    literal-matrix projection expression (_proj_array_expr)."""
+    keys = [f"pairs:{p}" for p in range(_PAIR_BANDS * _PAIR_BAND_BITS)]
+    proj = prepped.select("vec_id", _proj_array_expr("v", keys).alias("pj"))
+    bands = _band_vals_from_proj("pj", _PAIR_BANDS, _PAIR_BAND_BITS)
+    banded = proj.select(
+        "vec_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_idx"), bv.alias("band_val"))
                 for i, bv in enumerate(bands)
             ])
         ).alias("bk"),
-    ).select("vec_id", "label", "v", "nrm", "bk.band_idx", "bk.band_val")
+    ).select("vec_id", "bk.band_idx", "bk.band_val")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("a.label").alias("label_a"),
-            F.col("a.v").alias("v_a"), F.col("a.nrm").alias("n_a"),
-            F.col("b.vec_id").alias("vec_b"), F.col("b.label").alias("label_b"),
-            F.col("b.v").alias("v_b"), F.col("b.nrm").alias("n_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
+    arr_a = prepped.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
+    )
+    arr_b = prepped.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
+    )
+    # candidate ID pairs are collision-sized: broadcast against the
+    # arrays so the corpus side never shuffles (ext_text.py's layout)
+    return arr_a.join(F.broadcast(cand), "vec_a").join(arr_b, "vec_b")
 
 
 # CTE body + final select for the exact pair set, shared with the
@@ -285,14 +363,54 @@ def ext_embedding_cosine_pairs(spark, sf_dir):
     return _cosine_pairs_from(a.join(b, F.col("vec_a") < F.col("vec_b")))
 
 
-@query("ext_cosine_pairs_lsh")  # rows-only: approximate recall by design
+def _pairs_lsh_oracle_sql() -> str:
+    """Full DuckDB statement of the SRP-LSH pair pipeline: the literal
+    planes make bucketing pure SQL, so the approximate op is now
+    oracle-gated END TO END (bands -> candidate join -> exact verify),
+    not just recall-tested. Float parity: list_dot_product is the same
+    sequential fold as the Spark aggregate (the exact-pairs oracle has
+    relied on this bit-equality since r2)."""
+    band_exprs = srp_band_sql("v", _PAIR_BANDS, _PAIR_BAND_BITS, seed="pairs")
+    banded = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {e} AS band_val FROM n"
+        for b, e in enumerate(band_exprs)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS MATERIALIZED (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    banded AS MATERIALIZED (
+      {banded}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b, na.label AS label_a, nb.label AS label_b,
+             list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos_raw
+      FROM cand c
+      JOIN n na ON na.vec_id = c.vec_a
+      JOIN n nb ON nb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, label_a, label_b, round(cos_raw, 4) AS cos
+    FROM scored WHERE cos_raw >= {_COS_THRESHOLD}
+    """
+
+
+@query("ext_cosine_pairs_lsh", _pairs_lsh_oracle_sql())
 def ext_cosine_pairs_lsh(spark, sf_dir):
     """The 100 TB path of ``ext_embedding_cosine_pairs``, runnable at any
     scale: banded SRP-LSH candidates ({_PAIR_BANDS} bands x
     {_PAIR_BAND_BITS} bits) + exact cosine verify. Every emitted pair is a
     TRUE pair with an exactly-computed cosine (precision 1.0 — verified
     subset of the exact result); recall is the LSH s-curve, asserted
-    against the exact pairs in tests/test_vectors.py."""
+    against the exact pairs in tests/test_vectors.py. Approximate vs the
+    exact op, but fully DETERMINISTIC given the data: the planes are
+    pinned literals, so the whole pipeline is oracle-gated in SQL (r10 —
+    previously rows-only)."""
     return _cosine_pairs_from(_lsh_candidate_pairs(_prepped_embeddings(spark, sf_dir)))
 
 
@@ -399,46 +517,71 @@ def ext_ann_ivf_probe(spark, sf_dir):
     )
 
 
-@query("ext_ann_lsh_bucketed")  # rows-only check: approximate by design
+_ANN_LSH_BITS = 12
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Full DuckDB statement of the bucketed-ANN pipeline (same literal-
+    plane trick as _pairs_lsh_oracle_sql): signature buckets, the
+    query-vs-corpus bucket join, exact cosine re-rank, per-query top-k."""
+    bits = []
+    for j in range(_ANN_LSH_BITS):
+        lit = _plane_sql_lit(_plane_signs(str(j)))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS MATERIALIZED (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS q_v, bucket AS q_bucket
+          FROM sig WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, s.vec_id AS neighbor_id,
+             round(list_dot_product(q.q_v, s.v)
+                   / (sqrt(list_dot_product(q.q_v, q.q_v))
+                      * sqrt(list_dot_product(s.v, s.v))), 4) AS cos
+      FROM sig s JOIN q ON s.bucket = q.q_bucket AND s.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_TOP_K}
+    """
+
+
+@query("ext_ann_lsh_bucketed", _ann_lsh_oracle_sql())
 def ext_ann_lsh_bucketed(spark, sf_dir):
     """Sub-linear ANN path (SURVEY §2.12 'IVF or LSH-bucketed variant'):
     sign-random-projection LSH. Each vector gets a b-bit signature from
-    deterministic pseudo-hyperplanes (hash-derived ±1 components, so the
-    planes need no driver-side state and the whole thing is one
-    expression); candidates = same-bucket pairs vs the query set, then
+    deterministic pseudo-hyperplanes (pinned literal ±1 components — see
+    _plane_signs); candidates = same-bucket pairs vs the query set, then
     exact cosine re-rank inside buckets.
 
     Scale: corpus scan emits (bucket, vec) once; only bucket-collision
     pairs are scored — at 1000 executors the bucket join replaces the
-    full cross product. Approximate (bucket misses are possible), hence
-    rows-only driver check; recall is asserted against the exact top-k in
-    tests/test_vectors.py."""
-    n_bits = 12
+    full cross product. Approximate vs the exact top-k (bucket misses are
+    possible; recall asserted in tests/test_vectors.py) but fully
+    DETERMINISTIC given the data, so since r10 the whole pipeline is
+    oracle-gated in SQL via the literal planes (previously rows-only)."""
     e = t(spark, sf_dir, "embeddings")
-
-    def signature(emb: Column) -> Column:
-        # bit j = sign of dot(v, h_j) where h_j[i] = +1/-1 from a hash of (j, i)
-        bits = []
-        for j in range(n_bits):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.transform(emb, lambda x: x.cast("double")),
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(63)),
-                        lambda i: F.when(
-                            F.crc32(F.concat_ws(":", F.lit(str(j)), i.cast("string"))) % 2 == 0,
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0)),
-                    ),
-                    lambda x, h: x * h,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
-        return sum(bits[1:], bits[0])
-
-    sig = e.select("vec_id", "label", "embedding", signature(F.col("embedding")).alias("bucket"))
+    # bit j = sign of dot(v, h_j); h_j = pinned literal plane "j:*" — all
+    # 12 projections in one literal-matrix expression (_proj_array_expr)
+    keys = [str(j) for j in range(_ANN_LSH_BITS)]
+    sig = (
+        e.select(
+            "vec_id", "label", "embedding",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("__v"),
+        )
+        .withColumn("__pj", _proj_array_expr("__v", keys))
+        .select(
+            "vec_id", "label", "embedding",
+            _band_vals_from_proj("__pj", 1, _ANN_LSH_BITS)[0].alias("bucket"),
+        )
+    )
     q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

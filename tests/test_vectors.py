@@ -21,6 +21,29 @@ def test_dot_and_cosine_kernels(spark):
     assert rows[1].cos == 1.0
 
 
+def test_plane_signs_match_spark_crc32(spark):
+    """_plane_signs derives the literal LSH hyperplanes with zlib.crc32;
+    they must equal what the pre-r10 runtime F.crc32 expressions
+    constant-folded to, or every SRP bucket silently changes. Pins the
+    zlib/Spark crc32 bit-equality over the exact key format."""
+    from habits_etl_spark.plans.ext_vectors import _DIM, _plane_signs
+
+    keys = ["pairs:0", "pairs:127", "7"]
+    want = {k: _plane_signs(k) for k in keys}
+    cols = [
+        F.when(
+            F.crc32(F.concat_ws(":", F.lit(k), F.lit(str(i))).cast("binary")) % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)).alias(f"k{ki}_{i}")
+        for ki, k in enumerate(keys)
+        for i in (0, 1, 31, _DIM - 1)
+    ]
+    row = spark.range(1).select(*cols).collect()[0]
+    for ki, k in enumerate(keys):
+        for i in (0, 1, 31, _DIM - 1):
+            assert row[f"k{ki}_{i}"] == want[k][i], (k, i)
+
+
 def test_lsh_recall_vs_exact(spark, sf_dir):
     """The LSH-bucketed ANN must recover a reasonable fraction of the exact
     top-5 neighbors (it's approximate by design; the driver records a
