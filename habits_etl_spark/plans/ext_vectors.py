@@ -414,7 +414,72 @@ def ext_cosine_pairs_lsh(spark, sf_dir):
     return _cosine_pairs_from(_lsh_candidate_pairs(_prepped_embeddings(spark, sf_dir)))
 
 
-@query("ext_ann_ivf_probe")  # rows-only check: approximate by design
+_IVF_N_CELLS = 16
+_IVF_N_PROBE = 4
+# engine-portable row hash for the centroid pick (md5-hex-prefix integer —
+# the ext_stratified_sample pattern; Spark's crc32 has no DuckDB twin)
+_IVF_H_DUCK = (
+    "CAST(('0x' || substr(md5('centroid:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+def _ivf_probe_oracle_sql() -> str:
+    """Full DuckDB statement of the IVF pipeline. Nothing in it is
+    trained or sampled at runtime — centroids are a hash-of-id pick,
+    assignment is an argmax over pinned cells — so the 'approximate' op
+    (approximate only vs exact ANN) is a deterministic function of the
+    data and oracle-gated end to end. Sims compare unrounded doubles:
+    both engines produce the identical sequential-fold dot product (the
+    exact-pairs oracle has pinned this parity since r2), and every rank
+    tie-breaks on cell_id / neighbor_id."""
+    sim = "list_dot_product({l}.v, {r}.c_v) / ({l}.nrm * {r}.c_nrm)"
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS MATERIALIZED (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    tot AS (SELECT count(*) AS total FROM e),
+    candc AS (
+      SELECT vec_id, v, nrm, {_IVF_H_DUCK} AS h
+      FROM n CROSS JOIN tot
+      WHERE {_IVF_H_DUCK} % greatest(total // {_IVF_N_CELLS}, 1) < 2
+    ),
+    cent AS (
+      SELECT cell_id, v AS c_v, nrm AS c_nrm FROM (
+        SELECT *, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id FROM candc
+      ) WHERE cell_id < {_IVF_N_CELLS}
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, label, v, nrm, cell_id FROM (
+        SELECT n.vec_id, n.label, n.v, n.nrm, c.cell_id,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {sim.format(l='n', r='c')} DESC, c.cell_id) AS rk
+        FROM n CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT query_id, q_v, q_nrm, cell_id FROM (
+        SELECT a.vec_id AS query_id, a.v AS q_v, a.nrm AS q_nrm, c.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY (list_dot_product(a.v, c.c_v) / (a.nrm * c.c_nrm)) DESC,
+                                           c.cell_id) AS rk
+        FROM assign a CROSS JOIN cent c WHERE a.vec_id < {_N_QUERIES}
+      ) WHERE rk <= {_IVF_N_PROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.q_v, a.v) / (q.q_nrm * a.nrm), 4) AS cos
+      FROM assign a JOIN qprobe q ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOP_K}
+    """
+
+
+@query("ext_ann_ivf_probe", _ivf_probe_oracle_sql())
 def ext_ann_ivf_probe(spark, sf_dir):
     """IVF-style ANN (SURVEY §2.12 'an IVF or LSH-bucketed variant'):
 
@@ -427,10 +492,14 @@ def ext_ann_ivf_probe(spark, sf_dir):
        inverted lists, then exact cosine re-rank inside them.
 
     Scale: the corpus scans once for assignment; query cost drops from
-    O(N) to O(N * n_probe / n_cells). Approximate (cell misses possible),
-    hence rows-only; recall vs exact is asserted in tests/test_vectors.py."""
-    n_cells = 16
-    n_probe = 4
+    O(N) to O(N * n_probe / n_cells). Approximate vs the exact top-k
+    (cell misses possible; recall asserted in tests/test_scale_utils.py)
+    but a deterministic function of the data — r10 moved the row hash
+    from crc32 to the engine-portable md5-prefix integer, and the whole
+    pipeline (pick -> assign -> probe -> re-rank) is now oracle-gated in
+    SQL (previously rows-only)."""
+    n_cells = _IVF_N_CELLS
+    n_probe = _IVF_N_PROBE
     e = t(spark, sf_dir, "embeddings")
     prepped = e.select(
         "vec_id",
@@ -447,7 +516,13 @@ def ext_ann_ivf_probe(spark, sf_dir):
     # hash space (oversampled 2x against Poisson shortfall), then number
     # the first n_cells in hash order. The window sorts only the tiny
     # oversampled set, never the corpus.
-    hsh = F.crc32(F.concat(F.lit("centroid:"), F.col("vec_id").cast("string")))
+    hsh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("centroid:"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
     cand_c = prepped.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2)
     # TakeOrderedAndProject pick (bounded heap per partition, no
     # unpartitioned WindowExec), then a k-bounded collect to enumerate
