@@ -47,15 +47,16 @@ from habits_etl_spark.plans.common import query, sql_davg, sql_dsum, t
 _N_DROPS = 3
 
 
-def _scoped_workdir(spark, sf_dir: str) -> str:
-    """Fresh per-(session, sf_dir) staging root; the previous invocation's
-    tree is removed so repeated runs (bench reps, driver retries) never
-    accumulate state or replay a stale checkpoint."""
+def _scoped_workdir(spark, sf_dir: str, kind: str = "rollup") -> str:
+    """Fresh per-(session, sf_dir, query) staging root; the previous
+    invocation's tree is removed so repeated runs (bench reps, driver
+    retries) never accumulate state or replay a stale checkpoint."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = os.path.join(
         tempfile.gettempdir(),
         "habits_etl_stream_e2e",
         spark.sparkContext.applicationId,
+        kind,
         tag,
     )
     shutil.rmtree(base, ignore_errors=True)
@@ -136,4 +137,90 @@ def stream_rollup_e2e(spark, sf_dir):
         "count_done",
         "avg_value",
         F.col("sum_meditation").alias("sum_purchase"),
+    )
+
+
+@query(
+    "stream_retention_e2e",
+    """
+    WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    firsts AS (SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY 1)
+    SELECT f.user_id,
+           strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           coalesce(bool_or(a.day = f.cohort_day + 1), false) AS d1_active,
+           coalesce(bool_or(a.day = f.cohort_day + 7), false) AS d7_active
+    FROM firsts f LEFT JOIN acts a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_retention_e2e(spark, sf_dir):
+    """Stateful streaming retention (streaming/retention.py,
+    applyInPandasWithState), end to end and ORACLE-GATED: stage the
+    events table as {_N_DROPS} event_id-interleaved micro-batch file
+    drops, run the retention stream once per drop against ONE shared
+    checkpoint (each run after the first is a genuine restart that must
+    resume per-user state), and return the LATEST per-user
+    (cohort_day, d1_active, d7_active) row.
+
+    The interleave makes late cohort starts real: a user's earliest
+    event routinely arrives in a later drop, so the operator's
+    re-anchor path (shift the seen-offset bitmask by the cohort gap)
+    runs constantly — and it is EXACT for the d1/d7 bits: re-anchoring
+    only moves the cohort earlier, so a day's provisional offset is
+    always <= its final offset, every bit <= MAX_OFFSET lands on its
+    true position after the shift, and bits shifted past MAX_OFFSET
+    were never d1/d7. The final state is therefore a deterministic
+    function of the event SET, independent of the batch split — which
+    is exactly what the pure-SQL oracle states (cohort = min activity
+    day; dk = activity on cohort+k).
+
+    Scale: state is (date, bitmask) per user, hash-partitioned and
+    incrementally checkpointed (RocksDB-compatible); per-trigger cost
+    scales with new files, and the foreachBatch sink appends update
+    deltas — the latest-row read models the dashboard's upsert."""
+    from pyspark.sql import Window
+
+    from habits_etl_spark.streaming.retention import retention_stream
+
+    base = _scoped_workdir(spark, sf_dir, kind="retention")
+    src = os.path.join(base, "incoming")
+    out = os.path.join(base, "updates")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(src, exist_ok=True)
+
+    staged = t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    source_schema = staged.drop("event_id").schema
+
+    def fb(df, epoch_id):
+        df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    for i in range(_N_DROPS):
+        (
+            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+            .drop("event_id")
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            retention_stream(spark.readStream.schema(source_schema).parquet(src))
+            .writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    upd = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+    return (
+        upd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "d1_active",
+            "d7_active",
+        )
     )
