@@ -203,7 +203,70 @@ _MMR_K = 8
 _MMR_LAMBDA = 0.7
 
 
-@query("ext_mmr_diversify")  # no oracle: greedy iterative argmax (like ext_kmeans_centroids)
+def _mmr_oracle_sql() -> str:
+    """Greedy MMR UNROLLED: k = {_MMR_K} is a domain constant, so the
+    'iterative' argmax is {_MMR_K} chained CTE picks (the
+    ext_coreset_kcenter pattern). Float parity with the driver loop:
+    relevance and pairwise sims are rounded to 4 BEFORE selection in
+    both engines, the per-round score uses the same double constants
+    (repr of the Python values, so 1-λ's binary error matches), and
+    ties break on vec_id."""
+    lam = repr(_MMR_LAMBDA)
+    one_m = repr(1 - _MMR_LAMBDA)
+    cos = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+    )
+    ctes = [
+        f"""pool AS MATERIALIZED (
+      SELECT b.vec_id, {cos} AS cos
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id = {_SEM_QUERY_VEC}) a
+      CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id <> {_SEM_QUERY_VEC}) b
+      ORDER BY cos DESC, vec_id LIMIT {_MMR_POOL}
+    )""",
+        "pv AS MATERIALIZED (SELECT p.vec_id, p.cos, CAST(e.embedding AS DOUBLE[]) AS v"
+        " FROM pool p JOIN embeddings e USING (vec_id))",
+        f"""sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {cos} AS sim
+      FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+    )""",
+        "simsym AS MATERIALIZED (SELECT ia, ib, sim FROM sims"
+        " UNION ALL SELECT ib AS ia, ia AS ib, sim FROM sims)",
+        f"""s1 AS MATERIALIZED (
+      SELECT vec_id, cos, round({lam} * cos - {one_m} * 0.0, 6) AS mmr
+      FROM pv ORDER BY mmr DESC, vec_id LIMIT 1
+    )""",
+        "sel1 AS MATERIALIZED (SELECT vec_id, cos, mmr, 1 AS rank FROM s1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT c.vec_id, c.cos,
+             round({lam} * c.cos - {one_m} * coalesce(max(ss.sim), 0.0), 6) AS mmr
+      FROM pv c
+      LEFT JOIN simsym ss ON ss.ia = c.vec_id
+                         AND ss.ib IN (SELECT vec_id FROM sel{i - 1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY c.vec_id, c.cos
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1}"
+            f" UNION ALL SELECT vec_id, cos, mmr, {i} AS rank FROM s{i})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+           cos AS relevance, mmr AS mmr_score
+    FROM sel{_MMR_K}
+    """
+    )
+
+
+@query("ext_mmr_diversify", _mmr_oracle_sql())
 def ext_mmr_diversify(spark, sf_dir):
     """Maximal-Marginal-Relevance re-ranking: from the cosine top-20
     candidate pool for the fixed query, greedily select 8 results
@@ -219,8 +282,10 @@ def ext_mmr_diversify(spark, sf_dir):
     similarities are rounded to 4 before the greedy argmax (id
     tiebreak), so selection order is engine- and platform-deterministic.
 
-    rows-only driver check; semantics pinned in tests/test_retrieval2.py
-    against an independent Python MMR reference."""
+    Oracle-gated since r10 (k is a domain constant, so the greedy loop
+    unrolls into chained CTE picks — _mmr_oracle_sql); semantics are
+    additionally pinned in tests/test_retrieval2.py against an
+    independent Python MMR reference."""
     pool = _semantic_topk(spark, sf_dir, topk=_MMR_POOL)
     e = t(spark, sf_dir, "embeddings")
     prepped = e.join(pool.select("vec_id"), "vec_id").select(

@@ -197,7 +197,45 @@ def ext_dedup_impact_report(spark, sf_dir):
 _KC_K = 8
 
 
-@query("ext_coreset_kcenter")  # rows-only: k-round iterative selection, no SQL twin
+def _kcenter_oracle_sql() -> str:
+    """The greedy k-center selection UNROLLED: k is a domain constant, so
+    the 'iterative' algorithm is just {_KC_K} chained CTE blocks — pick =
+    ORDER BY mind DESC, vec_id LIMIT 1; narrow = least(mind, dist2-to-
+    pick). Float parity with the Spark loop is pinned by matching the
+    operation order exactly: nrm2 and dot are the same sequential folds
+    (list_dot_product), and dist2 associates as ((nrm2 - 2*dot) + c2).
+    The Spark side collects each pick to the driver anyway (k-bounded),
+    so the oracle's scalar-subquery picks state the identical function."""
+    dist2 = (
+        "greatest((b.nrm2 - 2 * list_dot_product(b.v, c.v))"
+        " + list_dot_product(c.v, c.v), 0.0)"
+    )
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"
+        " list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nrm2"
+        " FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM base ORDER BY nrm2 DESC, vec_id LIMIT 1)",
+        f"d1 AS (SELECT b.vec_id, b.v, b.nrm2, {dist2} AS mind"
+        " FROM base b CROSS JOIN c1 c)",
+    ]
+    for i in range(2, _KC_K + 1):
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, v FROM d{i - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT b.vec_id, b.v, b.nrm2, least(b.mind, {dist2}) AS mind"
+            f" FROM d{i - 1} b CROSS JOIN c{i} c)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS \"round\","
+        f" CAST((SELECT vec_id FROM c{i}) AS BIGINT) AS vec_id,"
+        f" round(sqrt((SELECT max(mind) FROM d{i})), 6) AS covering_radius"
+        for i in range(1, _KC_K + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+@query("ext_coreset_kcenter", _kcenter_oracle_sql())
 def ext_coreset_kcenter(spark, sf_dir):
     """Greedy k-center (Gonzalez 1985) coreset selection over the
     embedding table: seed with the max-norm vector, then {_KC_K}-1
@@ -207,9 +245,11 @@ def ext_coreset_kcenter(spark, sf_dir):
     corpus of distance-to-nearest-center) — the summary-quality curve
     of representing the corpus with k exemplars.
 
-    Rows-only by design: the selection is a k-round iterative
-    algorithm with no SQL twin; exact greedy equivalence against a
-    numpy reference is asserted in tests/test_lifecycle.py.
+    Oracle-gated since r10: k is a domain constant, so the k-round
+    'iteration' unrolls into a chained-CTE SQL statement with the
+    identical float-operation order (see _kcenter_oracle_sql); exact
+    greedy equivalence against a numpy reference is additionally
+    asserted in tests/test_lifecycle.py.
 
     Scale: each round is ONE corpus scan — a running min-distance
     column narrows against the newest center (a broadcast literal),
