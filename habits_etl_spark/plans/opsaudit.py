@@ -218,7 +218,91 @@ def serve_keyset_page(spark, sf_dir):
 _PCA_ITERS = 12
 
 
-@query("ext_pca_top_component")  # rows-only: iterative; no single-SQL twin
+def _pca_oracle_sql() -> str:
+    """The power iteration UNROLLED: the round count is a domain
+    constant, so the loop is {_PCA_ITERS} chained CTE blocks (the
+    ext_coreset_kcenter pattern). Engine parity mirrors the Spark loop
+    piece by piece: Xv and X^T(Xv) are DECIMAL(28,12)-exact sums (group
+    order cannot matter), the per-round norm folds an ORDERED list —
+    list_aggregate over list(u*u ORDER BY dim) — matching the driver's
+    left-to-right Python sum, and the 6-digit output round happens after
+    convergence, where any residual last-ulp scale noise is far below
+    the rounding grain."""
+    ctes = [
+        """x AS MATERIALIZED (
+      SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    )""",
+        """mean AS (
+      SELECT dim, CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu
+      FROM x GROUP BY dim
+    )""",
+        """xc AS MATERIALIZED (
+      SELECT x.vec_id, x.dim, x.val - m.mu AS val FROM x JOIN mean m USING (dim)
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT dim, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM mean)) AS w
+      FROM mean
+    )""",
+    ]
+    for r in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""score{r} AS MATERIALIZED (
+      SELECT xc.vec_id,
+             CAST(sum(CAST(xc.val * v.w AS DECIMAL(28,12))) AS DOUBLE) AS score
+      FROM xc JOIN v{r - 1} v USING (dim) GROUP BY xc.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+      SELECT xc.dim,
+             CAST(sum(CAST(xc.val * s.score AS DECIMAL(28,12))) AS DOUBLE) AS u
+      FROM xc JOIN score{r} s USING (vec_id) GROUP BY xc.dim
+    )"""
+        )
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT dim,
+             u / (SELECT sqrt(list_aggregate(list(u * u ORDER BY dim), 'sum'))
+                  FROM u{r}) AS w
+      FROM u{r}
+    )"""
+        )
+    last = f"v{_PCA_ITERS}"
+    ctes.append(
+        f"""vs AS MATERIALIZED (
+      SELECT dim,
+             CASE WHEN (SELECT w FROM {last} WHERE dim = 0) < 0 THEN -w ELSE w END AS w
+      FROM {last}
+    )"""
+    )
+    ctes.append(
+        f"""lam AS (
+      SELECT CAST(sum(CAST(score * score AS DECIMAL(28,12))) AS DOUBLE) AS lam_n
+      FROM (
+        SELECT xc.vec_id,
+               CAST(sum(CAST(xc.val * v.w AS DECIMAL(28,12))) AS DOUBLE) AS score
+        FROM xc JOIN vs v USING (dim) GROUP BY xc.vec_id
+      )
+    )""",
+    )
+    ctes.append(
+        """tot AS (
+      SELECT CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) AS tot FROM xc
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT CAST(v.dim AS INT) AS dim, round(v.w, 6) AS loading,
+           round(CASE WHEN t.tot <> 0 THEN l.lam_n / t.tot ELSE 0.0 END, 6)
+             AS explained_var_share
+    FROM vs v CROSS JOIN lam l CROSS JOIN tot t
+    """
+    )
+
+
+@query("ext_pca_top_component", _pca_oracle_sql())
 def ext_pca_top_component(spark, sf_dir):
     """Top principal component of the (centered) embedding matrix by
     distributed power iteration: v ← normalize(Xᵀ(Xv)) with X the
