@@ -20,9 +20,10 @@ corpus; the rank vector is |nodes| rows hash-partitioned by node id.
 Each iteration shuffles edges once on src and once on dst — with edges
 pre-partitioned by src the first shuffle disappears.
 
-Driver check: rows-only (iterative fixpoints aren't single-statement
-SQL); semantics are pinned in tests/test_pagerank.py against an exact
-Python reference on a known graph.
+Driver check: since r10 the dup-graph query unrolls the fixed iteration
+count into a DuckDB oracle (decimal-exact sums make the iterate order-
+invariant); semantics are additionally pinned in tests/test_pagerank.py
+against an exact Python reference on a known graph.
 """
 
 from __future__ import annotations
@@ -62,15 +63,29 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(iters):
+        # DECIMAL(38,28)-exact sums (plans/common.py rule 1): the iterate
+        # is then parallelism- and order-invariant, which is what lets
+        # ext_pagerank_dupgraph state the unrolled iteration as a DuckDB
+        # oracle. The 1e-28 quantization is 19 orders below the 1e-9
+        # agreement the python-reference test pins.
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .agg(
+                F.sum((F.col("rank") / F.col("outdeg")).cast("decimal(38,28)"))
+                .cast("double")
+                .alias("contrib")
+            )
         )
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,28)")).cast("double"),
+                    F.lit(0.0),
+                ).alias("dm")
+            )
         )
         ranks = (
             v.join(contrib, v["node"] == contrib["dst"], "left")

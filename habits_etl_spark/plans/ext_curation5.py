@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from habits_etl_spark.plans.common import dec, managed_cache, query, t
-from habits_etl_spark.plans.ext_text import _TOK_DUCK, _TOK_SPARK
+from habits_etl_spark.plans.ext_text import (
+    _MINHASH_CTES,
+    _MINHASH_FINAL,
+    _TOK_DUCK,
+    _TOK_SPARK,
+)
 
 # --- character entropy -------------------------------------------------------
 
@@ -571,7 +576,67 @@ def ext_zipf_fit(spark, sf_dir):
 # --- PageRank centrality over the near-dup graph ----------------------------
 
 
-@query("ext_pagerank_dupgraph")  # no oracle: iterative fixpoint (like ext_dup_clusters' CC)
+def _pagerank_oracle_sql() -> str:
+    """The PageRank power iteration UNROLLED over the MinHash dup-graph
+    (the k-center/MMR/PCA pattern: a fixed round count is not a
+    fixpoint). Parity with operators/pagerank.py: contributions and
+    dangling mass are DECIMAL(38,28)-exact sums (order cannot matter),
+    and the per-round rank expression uses the repr of the Python-
+    evaluated constants — (1.0 - damping) is computed driver-side in the
+    Spark operator, so the oracle carries its exact binary value."""
+    from habits_etl_spark.operators.pagerank import _DAMPING, _ITERS
+
+    one_minus_d = repr(1.0 - _DAMPING)
+    d = repr(_DAMPING)
+    ctes = [
+        "pairs AS (SELECT doc_a, doc_b FROM mh_pairs)",
+        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
+        """e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+      )
+    )""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg"
+        " FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, _ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.dst,
+             CAST(sum(CAST(r.rank / o.outdeg AS DECIMAL(38,28))) AS DOUBLE) AS contrib
+      FROM e JOIN r{i - 1} r ON e.src = r.node JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""dm{i} AS (
+      SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,28))) AS DOUBLE), 0.0) AS dm
+      FROM r{i - 1} r LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT v.node,
+             {one_minus_d} / (SELECT n FROM nn)
+             + {d} * (coalesce(c.contrib, 0.0)
+                      + (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes v LEFT JOIN c{i} c ON v.node = c.dst
+    )"""
+        )
+    return (
+        f"WITH {_MINHASH_CTES},\n    mh_pairs AS ({_MINHASH_FINAL}),\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS doc_id, round(rank, 9) AS rank FROM r{_ITERS}
+    ORDER BY rank DESC, doc_id
+    """
+    )
+
+
+@query("ext_pagerank_dupgraph", _pagerank_oracle_sql())
 def ext_pagerank_dupgraph(spark, sf_dir):
     """Document centrality in the near-duplicate candidate graph
     (operators/pagerank.py): MinHash pair edges, symmetrized, power-
