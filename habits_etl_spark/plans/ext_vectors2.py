@@ -85,7 +85,15 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
     m = _normed_embeddings(spark, sf_dir).select("vec_id", "v", "nrm")
     total = m.count()
     step = max(total // k, 1)
-    hsh = F.crc32(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
+    # md5-hex-prefix integer, not crc32: engine-portable, so the whole
+    # fit chain can be restated as the DuckDB oracle (_kmeans_cent_sql)
+    hsh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
 
     def pick(cand):
         # orderBy(...).limit(k) -> TakeOrderedAndProject: same first-k-in-
@@ -110,7 +118,15 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
         sums = (
             m.select(cell.alias("cell"), "nrm", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.sum(F.col("x") / F.col("nrm")).alias("s"))
+            # DECIMAL-exact (rule 1): the iterate is then order- and
+            # parallelism-invariant — what lets the fit chain be stated
+            # as a DuckDB oracle, and what MLlib's float treeAggregate
+            # cannot promise (the old rows-only excuse)
+            .agg(
+                F.sum((F.col("x") / F.col("nrm")).cast("decimal(38,28)"))
+                .cast("double")
+                .alias("s")
+            )
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -130,7 +146,110 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
     return centroids
 
 
-@query("ext_kmeans_centroids")  # rows-only: iterative float refinement
+def _kmeans_cent_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """CTE chain restating kmeans_fit in DuckDB, ending in ``cent{iters}``
+    (cell -> unit-centroid list) and ``massign`` (every vector with its
+    final cell and best dot). The unroll pattern of the k-center / MMR /
+    PCA / PageRank oracles: a fixed iteration count is not a fixpoint.
+    Parity with the Spark fit, piece by piece: the seed hash is the
+    md5-prefix integer (same expression both engines), dots are the same
+    sequential folds, per-(cell, dim) mean-numerators are DECIMAL-exact
+    sums, the centroid norm folds an ORDERED list exactly like the
+    driver's left-to-right Python sum, and every argmax tie-breaks to
+    the lowest cell (Spark's array_position-of-max)."""
+    h = "CAST(('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    ctes = [
+        """m2 AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )""",
+        f"mh AS MATERIALIZED (SELECT vec_id, v, nrm, {h} AS h FROM m2)",
+        f"""cand AS (
+      SELECT * FROM mh
+      WHERE h % greatest((SELECT count(*) FROM m2) // {k}, 1) < 2
+    )""",
+        "nslice AS (SELECT count(*) AS c FROM cand)",
+        f"""seedsrc AS (
+      SELECT vec_id, v, nrm, h FROM cand WHERE (SELECT c FROM nslice) >= {k}
+      UNION ALL
+      SELECT vec_id, v, nrm, h FROM mh WHERE (SELECT c FROM nslice) < {k}
+    )""",
+        f"""cent0 AS MATERIALIZED (
+      SELECT cell,
+             list_transform(v, x -> x / (CASE WHEN nrm = 0.0 THEN 1.0 ELSE nrm END)) AS w
+      FROM (SELECT *, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+            FROM seedsrc)
+      WHERE cell < {k}
+    )""",
+        f"cells AS (SELECT unnest(range({k})) AS cell)",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""asg{r} AS MATERIALIZED (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT m2.vec_id, m2.v, m2.nrm, c.cell,
+               row_number() OVER (PARTITION BY m2.vec_id
+                                  ORDER BY list_dot_product(m2.v, c.w) DESC,
+                                           c.cell) AS rk
+        FROM m2 CROSS JOIN cent{r - 1} c
+      ) WHERE rk = 1
+    )"""
+        )
+        ctes.append(
+            f"""sums{r} AS (
+      SELECT cell, dim, CAST(sum(CAST(x / nrm AS DECIMAL(38,28))) AS DOUBLE) AS s
+      FROM (SELECT cell, nrm, unnest(range(len(v))) AS dim, unnest(v) AS x
+            FROM asg{r})
+      GROUP BY cell, dim
+    )"""
+        )
+        ctes.append(
+            f"""newc{r} AS (
+      SELECT cell, vsum,
+             sqrt(list_aggregate(list_transform(vsum, x -> x * x), 'sum')) AS nr
+      FROM (SELECT cell, list(s ORDER BY dim) AS vsum FROM sums{r} GROUP BY cell)
+    )"""
+        )
+        ctes.append(
+            f"""cent{r} AS MATERIALIZED (
+      SELECT cl.cell,
+             CASE WHEN n.cell IS NULL THEN p.w
+                  ELSE list_transform(n.vsum,
+                         x -> x / (CASE WHEN n.nr = 0.0 THEN 1.0 ELSE n.nr END))
+             END AS w
+      FROM cells cl
+      LEFT JOIN newc{r} n USING (cell)
+      LEFT JOIN cent{r - 1} p USING (cell)
+    )"""
+        )
+    ctes.append(
+        f"""massign AS MATERIALIZED (
+      SELECT vec_id, label, v, nrm, cell AS cluster_id, bd AS bestdot FROM (
+        SELECT m2.vec_id, m2.label, m2.v, m2.nrm, c.cell,
+               list_dot_product(m2.v, c.w) AS bd,
+               row_number() OVER (PARTITION BY m2.vec_id
+                                  ORDER BY list_dot_product(m2.v, c.w) DESC,
+                                           c.cell) AS rk
+        FROM m2 CROSS JOIN cent{iters} c
+      ) WHERE rk = 1
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "ext_kmeans_centroids",
+    f"""
+    WITH {_kmeans_cent_sql()}
+    SELECT CAST(cluster_id AS INT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(bestdot / nrm AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 4) AS mean_cos_to_centroid
+    FROM massign GROUP BY 1 ORDER BY 1
+    """,
+)
 def ext_kmeans_centroids(spark, sf_dir):
     """Trained coarse quantizer for the embedding column: {_KM_K} spherical
     k-means cells after {_KM_ITERS} Lloyd iterations. Emits per cell its
@@ -151,13 +270,39 @@ def ext_kmeans_centroids(spark, sf_dir):
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.round(F.avg("sim"), 4).alias("mean_cos_to_centroid"),
+            # decimal-exact mean (rule 1) — avg over doubles would be
+            # partition-order dependent and break the oracle
+            F.round(
+                F.sum(F.col("sim").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_cos_to_centroid"),
         )
         .orderBy("cluster_id")
     )
 
 
-@query("ext_semantic_dedup")  # rows-only: depends on the k-means partition
+@query(
+    "ext_semantic_dedup",
+    f"""
+    WITH {_kmeans_cent_sql()},
+    pairs AS (
+      SELECT x.vec_id AS va, y.vec_id AS vb,
+             list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+      FROM massign x JOIN massign y
+        ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    ),
+    dup AS (
+      SELECT vb AS vec_id, max(cos) AS mc FROM pairs
+      WHERE cos >= {_SEM_THRESHOLD} GROUP BY 1
+    )
+    SELECT m.vec_id, m.label, CAST(m.cluster_id AS INT) AS cluster_id,
+           d.mc IS NOT NULL AS is_dup,
+           round(coalesce(d.mc, 0.0), 4) AS max_cos_lower
+    FROM massign m LEFT JOIN dup d USING (vec_id)
+    ORDER BY m.vec_id
+    """,
+)
 def ext_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster embeddings with the trained
     quantizer, then search near-duplicates ONLY within each cluster —
