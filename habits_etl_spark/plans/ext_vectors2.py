@@ -5,10 +5,10 @@ ext_ann_ivf_probe (ext_vectors.py) stands in a hash-sample for its coarse
 centroids; this module adds the real trained-centroid path — Lloyd
 iterations expressed as DataFrame ops — and the operator that motivates it
 at 100 TB: SemDeDup (Abbas et al. 2023), which clusters embeddings FIRST so
-the quadratic near-duplicate search runs only inside clusters. Both are
-approximate/iterative by design, so they register rows-only; precision and
-recall against the exact cosine-pairs op are asserted in
-tests/test_vectors2.py. Reference parity: the reference has no embedding
+the quadratic near-duplicate search runs only inside clusters. Both are oracle-gated
+end to end since r10 (the fixed Lloyd round count unrolls into a DuckDB
+CTE chain — _kmeans_cent_sql); precision and recall against the exact
+cosine-pairs op are additionally asserted in tests/test_vectors2.py. Reference parity: the reference has no embedding
 surface; these extend it per the BASELINE north-star list.
 
 Normalization discipline: rows carry (v, nrm), never a pre-divided unit
@@ -146,7 +146,8 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
     return centroids
 
 
-def _kmeans_cent_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+def _kmeans_cent_sql(k: int = _KM_K, iters: int = _KM_ITERS,
+                     prefix: str = "", include_base: bool = True) -> str:
     """CTE chain restating kmeans_fit in DuckDB, ending in ``cent{iters}``
     (cell -> unit-centroid list) and ``massign`` (every vector with its
     final cell and best dot). The unroll pattern of the k-center / MMR /
@@ -236,7 +237,19 @@ def _kmeans_cent_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
       ) WHERE rk = 1
     )"""
     )
-    return ",\n    ".join(ctes)
+    sql = ",\n    ".join(ctes if include_base else ctes[1:])
+    if prefix:
+        # rename every chain-local CTE so the chain composes with the PQ
+        # codebook chain inside one statement (ext_ivfpq_topk's oracle);
+        # m2 is the shared base relation and keeps its name
+        import re as _re
+
+        sql = _re.sub(
+            r"\b(mh|cand|nslice|seedsrc|cells|massign|cent\d+|asg\d+|sums\d+|newc\d+)\b",
+            prefix + r"\1",
+            sql,
+        )
+    return sql
 
 
 @query(
@@ -256,9 +269,9 @@ def ext_kmeans_centroids(spark, sf_dir):
     member count and mean member-to-centroid cosine (the spherical
     analogue of inertia) — the health dashboard of an IVF index build.
 
-    Rows-only by design: centroid refinement sums floats across
-    partitions, so exact values are summation-order dependent (the same
-    reason MLlib's KMeans is seed-documented, not value-stable);
+    Oracle-gated since r10: the mean numerators are decimal-exact
+    (order-invariant, unlike MLlib's float treeAggregate), so the fixed
+    Lloyd round count unrolls into the _kmeans_cent_sql oracle chain;
     cluster-quality invariants are asserted in tests/test_vectors2.py."""
     centroids = kmeans_fit(spark, sf_dir)
     m = _normed_embeddings(spark, sf_dir)

@@ -13,9 +13,12 @@ becomes memory-bandwidth-bound on a small fraction of the data, and
 composes with the IVF cell routing (ext_ann_ivf_probe) for sub-linear
 candidate selection.
 
-Both operators are rows-only by design (iterative float training, like
-ext_kmeans_centroids); quantization quality and search recall against the
-exact scan are asserted in tests/test_vectors3.py.
+All three operators are oracle-gated end to end since r10: the fixed
+Lloyd round count unrolls into a DuckDB CTE chain (_pq_codebook_sql, the
+k-center/MMR/PCA/PageRank/k-means pattern) with md5-int seeds and
+decimal-exact mean numerators, so training is a deterministic function
+of the data. Quantization quality and search recall against the exact
+scan are additionally asserted in tests/test_vectors3.py.
 
 Normalization discipline (see ext_vectors2 module docstring): corpus rows
 carry (v, nrm); every fold runs on raw ``v`` and the 1/nrm scaling is
@@ -94,7 +97,15 @@ def pq_fit(
     base = _normed_embeddings(spark, sf_dir).select("vec_id", "v", "nrm")
     total = base.count()
     step = max(total // k, 1)
-    hsh = F.crc32(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    # md5-prefix integer, not crc32: engine-portable so the fit chain can
+    # be restated as the DuckDB oracle (_pq_codebook_sql)
+    hsh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
 
     def pick(cand):
         # TakeOrderedAndProject pick (see ext_vectors2.kmeans seeding):
@@ -135,8 +146,13 @@ def pq_fit(
         sums = (
             subs.select("sub_id", "nrm", cell.alias("cell"), F.posexplode("sv").alias("dim", "x"))
             .groupBy("sub_id", "cell", "dim")
+            # DECIMAL-exact numerators (rule 1): the iterate is order- and
+            # parallelism-invariant, which is what lets the fit chain be a
+            # DuckDB oracle (same move as kmeans_fit / pagerank in r10)
             .agg(
-                F.sum(F.col("x") / F.col("nrm")).alias("s"),
+                F.sum((F.col("x") / F.col("nrm")).cast("decimal(38,28)"))
+                .cast("double")
+                .alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
             .groupBy("sub_id", "cell")
@@ -165,7 +181,135 @@ def _with_codes(base: DataFrame, codebooks) -> DataFrame:
     )
 
 
-@query("ext_pq_codes")  # rows-only: iterative float training
+def _pq_codebook_sql(m_sub: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
+    """CTE chain restating pq_fit in DuckDB, ending in ``cb{iters}``
+    (sub_id, cell, w) plus ``m2``/``subs`` base relations and ``fasg``
+    (final per-(vector, subspace) assignment carrying the chosen
+    codeword). Same unroll discipline as _kmeans_cent_sql: md5-int
+    seeds, decimal-exact mean numerators, ordered-list folds for every
+    scalar the driver computes left-to-right in Python, argmax ties to
+    the lowest cell."""
+    dsub = _DIM // m_sub
+    h = "CAST(('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    score = (
+        "(list_dot_product(s.sv, c.w) / s.nrm)"
+        " - list_aggregate(list_transform(c.w, x -> x * x), 'sum') / 2.0"
+    )
+    ctes = [
+        """m2 AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )""",
+        f"mh AS MATERIALIZED (SELECT vec_id, v, nrm, {h} AS h FROM m2)",
+        f"""cand AS (
+      SELECT * FROM mh
+      WHERE h % greatest((SELECT count(*) FROM m2) // {k}, 1) < 2
+    )""",
+        "nslice AS (SELECT count(*) AS c FROM cand)",
+        f"""seedsrc AS (
+      SELECT vec_id, v, nrm, h FROM cand WHERE (SELECT c FROM nslice) >= {k}
+      UNION ALL
+      SELECT vec_id, v, nrm, h FROM mh WHERE (SELECT c FROM nslice) < {k}
+    )""",
+        f"""useeds AS MATERIALIZED (
+      SELECT cell,
+             list_transform(v, x -> x / (CASE WHEN nrm = 0.0 THEN 1.0 ELSE nrm END)) AS u
+      FROM (SELECT *, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+            FROM seedsrc)
+      WHERE cell < {k}
+    )""",
+        f"msub AS (SELECT unnest(range({m_sub})) AS sub_id)",
+        f"""cb0 AS MATERIALIZED (
+      SELECT g.sub_id, s.cell,
+             list_slice(s.u, g.sub_id * {dsub} + 1, g.sub_id * {dsub} + {dsub}) AS w
+      FROM useeds s CROSS JOIN msub g
+    )""",
+        f"""subs AS MATERIALIZED (
+      SELECT vec_id, nrm, g.sub_id,
+             list_slice(v, g.sub_id * {dsub} + 1, g.sub_id * {dsub} + {dsub}) AS sv
+      FROM m2 CROSS JOIN msub g
+    )""",
+        f"cellgrid AS (SELECT g.sub_id, c.cell FROM msub g,"
+        f" (SELECT unnest(range({k})) AS cell) c)",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""asg{r} AS MATERIALIZED (
+      SELECT vec_id, sub_id, sv, nrm, cell FROM (
+        SELECT s.vec_id, s.sub_id, s.sv, s.nrm, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {score} DESC, c.cell) AS rk
+        FROM subs s JOIN cb{r - 1} c USING (sub_id)
+      ) WHERE rk = 1
+    )"""
+        )
+        ctes.append(
+            f"""sums{r} AS (
+      SELECT sub_id, cell, dim,
+             CAST(sum(CAST(x / nrm AS DECIMAL(38,28))) AS DOUBLE) AS s,
+             count(*) AS n
+      FROM (SELECT sub_id, cell, nrm, unnest(range(len(sv))) AS dim,
+                   unnest(sv) AS x
+            FROM asg{r})
+      GROUP BY 1, 2, 3
+    )"""
+        )
+        ctes.append(
+            f"""newcb{r} AS (
+      SELECT sub_id, cell,
+             list_transform(list(s ORDER BY dim), x -> x / n) AS w
+      FROM (SELECT sub_id, cell, dim, s,
+                   max(n) OVER (PARTITION BY sub_id, cell) AS n
+            FROM sums{r})
+      GROUP BY sub_id, cell, n
+    )"""
+        )
+        ctes.append(
+            f"""cb{r} AS MATERIALIZED (
+      SELECT g.sub_id, g.cell, coalesce(n.w, p.w) AS w
+      FROM cellgrid g
+      LEFT JOIN newcb{r} n USING (sub_id, cell)
+      LEFT JOIN cb{r - 1} p ON p.sub_id = g.sub_id AND p.cell = g.cell
+    )"""
+        )
+    ctes.append(
+        f"""fasg AS MATERIALIZED (
+      SELECT vec_id, sub_id, sv, nrm, cell, cw FROM (
+        SELECT s.vec_id, s.sub_id, s.sv, s.nrm, c.cell, c.w AS cw,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {score} DESC, c.cell) AS rk
+        FROM subs s JOIN cb{iters} c USING (sub_id)
+      ) WHERE rk = 1
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "ext_pq_codes",
+    f"""
+    WITH {_pq_codebook_sql()},
+    codes AS (
+      SELECT vec_id, array_to_string(list(cell ORDER BY sub_id), ',') AS codes
+      FROM fasg GROUP BY vec_id
+    ),
+    recon AS (
+      SELECT vec_id, list_aggregate(list(term ORDER BY sub_id), 'sum') AS err
+      FROM (
+        SELECT vec_id, sub_id,
+               (list_dot_product(sv, sv) / (nrm * nrm))
+               - 2.0 * (list_dot_product(sv, cw) / nrm)
+               + list_aggregate(list_transform(cw, x -> x * x), 'sum') AS term
+        FROM fasg
+      ) GROUP BY vec_id
+    )
+    SELECT m2.vec_id, m2.label, c.codes, round(r.err, 4) AS recon_err
+    FROM m2 JOIN codes c USING (vec_id) JOIN recon r USING (vec_id)
+    ORDER BY m2.vec_id
+    """,
+)
 def ext_pq_codes(spark, sf_dir):
     """PQ-encode the corpus: (vec_id, label, codes array<int>, recon_err).
     recon_err is the squared Euclidean distance between the unit vector
@@ -203,7 +347,13 @@ def ext_pq_codes(spark, sf_dir):
     return coded.select(
         "vec_id",
         "label",
-        "codes",
+        # csv string, not array<int>: the driver's value hash stringifies
+        # cells, and numpy-array vs python-list renderings of the same
+        # array column differ between engines — a scalar column compares
+        # portably and is the payload an index writer ships anyway
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
         F.round(recon, 4).alias("recon_err"),
     ).orderBy("vec_id")
 
@@ -219,11 +369,17 @@ def _query_units(base: DataFrame) -> dict[int, list[float]]:
 
 def _adc_tables(units, codebooks):
     """Per-query ADC distance tables T[q][m][c] = |q_m - c|^2 (unit query
-    vectors), computed in plain Python: M*k floats per query, once."""
+    vectors), computed in plain Python: M*k floats per query, once.
+    d*d, not d**2: multiplication has ONE defined IEEE result, while **
+    routes through libm pow — keeping it a product is what lets the
+    DuckDB oracle state the identical table."""
     return {
         qid: [
             [
-                sum((u[m * _PQ_DSUB + i] - c[i]) ** 2 for i in range(_PQ_DSUB))
+                sum(
+                    (u[m * _PQ_DSUB + i] - c[i]) * (u[m * _PQ_DSUB + i] - c[i])
+                    for i in range(_PQ_DSUB)
+                )
                 for c in codebooks[m]
             ]
             for m in range(_PQ_M)
@@ -278,7 +434,68 @@ def _rerank_exact(shortlist: DataFrame, base: DataFrame, units) -> DataFrame:
     )
 
 
-@query("ext_pq_topk")  # rows-only: approximate by construction
+def _pq_search_tail_sql(adcd_body: str, extra: str = "") -> str:
+    """Shared oracle tail of the two PQ search queries: unit query
+    vectors, the per-(query, sub, cell) ADC table (same d*d products and
+    left-to-right folds as _adc_tables), the caller-supplied candidate
+    scoring relation ``adcd``, the ADC shortlist, and the exact-cosine
+    re-rank — each tie broken exactly as the Spark windows break it."""
+    dsub = _PQ_DSUB
+    return f"""qunits AS MATERIALIZED (
+      SELECT vec_id AS query_id,
+             list_transform(v, x -> x / (CASE WHEN nrm = 0.0 THEN 1.0 ELSE nrm END)) AS u
+      FROM m2 WHERE vec_id < {_N_QUERIES}
+    ),
+    adct AS MATERIALIZED (
+      SELECT q.query_id, c.sub_id, c.cell,
+             list_aggregate(
+               list_transform(range({dsub}),
+                 i -> (q.u[c.sub_id * {dsub} + i + 1] - c.w[i + 1])
+                      * (q.u[c.sub_id * {dsub} + i + 1] - c.w[i + 1])),
+               'sum') AS t
+      FROM qunits q CROSS JOIN cb{_PQ_ITERS} c
+    ),
+    {extra + "," if extra else ""}
+    adcd AS MATERIALIZED (
+      {adcd_body}
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, neighbor_id) AS rk
+        FROM adcd WHERE query_id <> neighbor_id
+      ) WHERE rk <= {_PQ_RERANK}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_dot_product(b.v, q.u) / b.nrm, 4) AS cos
+      FROM short s
+      JOIN m2 b ON b.vec_id = s.neighbor_id
+      JOIN qunits q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM rer
+    ) WHERE rk <= {_TOP_K}
+    """
+
+
+_PQ_FLAT_ADCD = """SELECT a.query_id, f.vec_id AS neighbor_id,
+             list_aggregate(list(a.t ORDER BY f.sub_id), 'sum') AS approx_dist
+      FROM fasg f
+      JOIN adct a ON a.sub_id = f.sub_id AND a.cell = f.cell
+      GROUP BY a.query_id, f.vec_id"""
+
+
+@query(
+    "ext_pq_topk",
+    f"""
+    WITH {_pq_codebook_sql()},
+    {_pq_search_tail_sql(_PQ_FLAT_ADCD)}
+    """,
+)
 def ext_pq_topk(spark, sf_dir):
     """PQ-ADC candidate scan + exact re-rank (the IVFADC+R shape, Jegou
     et al. 2011 §V): the {_N_QUERIES} query vectors (vec_id <
@@ -326,7 +543,40 @@ def ext_pq_topk(spark, sf_dir):
 _IVFPQ_N_PROBE = 3  # of _KM_K = 8 coarse cells
 
 
-@query("ext_ivfpq_topk")  # rows-only: approximate by construction
+def _ivfpq_oracle_sql() -> str:
+    """The IVFADC oracle: the PQ codebook chain and the (renamed) k-means
+    centroid chain compose in one statement over the shared ``m2`` base;
+    per-query probe cells replicate the driver's stable sort (dot DESC,
+    cell ASC), and the ADC scan is restricted to rows whose coarse cell
+    one of the probing queries selected — exactly the Spark plan's
+    null-filtered arm semantics."""
+    from habits_etl_spark.plans.ext_vectors2 import _KM_ITERS, _kmeans_cent_sql
+
+    probes = f"""probes AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_dot_product(q.u, c.w) DESC,
+                                           c.cell) AS rk
+        FROM qunits q CROSS JOIN km_cent{_KM_ITERS} c
+      ) WHERE rk <= {_IVFPQ_N_PROBE}
+    )"""
+    adcd = """SELECT a.query_id, f.vec_id AS neighbor_id,
+             list_aggregate(list(a.t ORDER BY f.sub_id), 'sum') AS approx_dist
+      FROM fasg f
+      JOIN km_massign ma ON ma.vec_id = f.vec_id
+      JOIN probes p ON p.cell = ma.cluster_id
+      JOIN adct a ON a.query_id = p.query_id
+                 AND a.sub_id = f.sub_id AND a.cell = f.cell
+      GROUP BY a.query_id, f.vec_id"""
+    return f"""
+    WITH {_pq_codebook_sql()},
+    {_kmeans_cent_sql(prefix="km_", include_base=False)},
+    {_pq_search_tail_sql(adcd, extra=probes)}
+    """
+
+
+@query("ext_ivfpq_topk", _ivfpq_oracle_sql())
 def ext_ivfpq_topk(spark, sf_dir):
     """IVF + PQ-ADC + exact re-rank — the full IVFADC index shape (Jegou
     et al. 2011 §V; the FAISS IVFxPQy default): a coarse spherical

@@ -23,7 +23,19 @@ def _cos(a, b):
 
 
 def test_pq_codes_invariants(spark, sf_dir):
-    rows = ext_pq_codes(spark, sf_dir).collect()
+    from types import SimpleNamespace
+
+    raw = ext_pq_codes(spark, sf_dir).collect()
+    # codes ship as a csv string (engine-portable driver hashing — r10)
+    rows = [
+        SimpleNamespace(
+            vec_id=r.vec_id,
+            label=r.label,
+            codes=[int(c) for c in r.codes.split(",")],
+            recon_err=r.recon_err,
+        )
+        for r in raw
+    ]
     n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert len(rows) == n_corpus
     for r in rows:
