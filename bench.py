@@ -146,6 +146,27 @@ CURATION = [
     "ext_lang_quality_buckets",
     "ext_admission_decision",
     "win_distribution_ranks",
+    # round 10: every id whose PLAN changed this round gets its tracked
+    # witness in the same round (the r9 rule). CC strategy change
+    # (driver union-find under a bounded collect): dup_clusters +
+    # keep_policy (admission already tracked above). LSH/ANN rework
+    # (skinny band join, literal-matrix projections, md5 centroid/seed
+    # hashes, decimal-exact fits): the vector family. linear_attribution
+    # got qualified self-join aliases; retention_e2e is the first
+    # oracle-gated stateful-streaming id.
+    "ext_dup_clusters",
+    "ext_dedup_keep_policy",
+    "ext_cosine_pairs_lsh",
+    "ext_ann_lsh_bucketed",
+    "ext_ann_ivf_probe",
+    "ext_kmeans_centroids",
+    "ext_semantic_dedup",
+    "ext_pq_codes",
+    "ext_pq_topk",
+    "ext_ivfpq_topk",
+    "ext_pagerank_dupgraph",
+    "ext_linear_attribution",
+    "stream_retention_e2e",
 ]
 
 

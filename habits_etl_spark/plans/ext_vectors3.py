@@ -88,8 +88,8 @@ def pq_fit(
     aggregate keyed (sub_id, cell, dim) with map-side partials over the
     posexploded subvectors, then an M x k x dsub collect — bounded driver
     traffic (4 KB here) regardless of corpus size. Init is the
-    deterministic crc32-order row pick kmeans_fit uses; at 100 TB, train
-    on a hash sample and map-assign everything (same argument as
+    deterministic md5-hash-order row pick kmeans_fit uses; at 100 TB,
+    train on a hash sample and map-assign everything (same argument as
     kmeans_fit's docstring)."""
     from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
 
