@@ -805,6 +805,7 @@ def grouped_ntile_by_selection(
     out: str = "tile",
     nparts: int | None = None,
     max_cells: int = 4096,
+    apply_to: DataFrame | None = None,
 ) -> DataFrame:
     """df + column ``out`` (bigint) = exact SQL
     ``NTILE(n) OVER (PARTITION BY groups ORDER BY order)``, assigned
@@ -830,7 +831,15 @@ def grouped_ntile_by_selection(
     pass 1 ≤ ``max_cells`` cells, pass 2 ≤ |groups|·(n-1) boundary rows
     (both domain constants). The price vs the window is two extra
     evaluations of the input subtree — callers with expensive upstreams
-    cache the input first (plans/common.py managed_cache)."""
+    cache the input first (plans/common.py managed_cache).
+
+    ``apply_to``: the tile is a PURE MAP expression once the boundaries
+    are pinned, so it can be stamped onto a DIFFERENT frame carrying the
+    same group/order columns — boundaries still come from ``df``. The
+    composition saves a join when a pipeline cuts tiles on a filtered
+    subset but needs the label on the full relation (rows outside
+    ``df``'s groups get a NULL tile; rows outside its rank range get the
+    arithmetic tile their key implies). Default: stamp onto ``df``."""
     def _ranks(total: int) -> list[int]:
         q, rem = divmod(total, n)
         cums, acc = [], 0
@@ -840,11 +849,12 @@ def grouped_ntile_by_selection(
         return cums
 
     gnames = list(groups)
+    target = df if apply_to is None else apply_to
     stats, totals = grouped_order_statistics(
         df, gnames, order, _ranks, nparts, max_cells
     )
     if not totals:
-        return df.withColumn(out, F.lit(None).cast("bigint"))
+        return target.withColumn(out, F.lit(None).cast("bigint"))
     gtypes = {g: df.schema[g].dataType for g in gnames}
     okey = _key_struct(order)
     okey_types = [f.dataType for f in df.select(okey).schema[0].dataType]
@@ -863,7 +873,7 @@ def grouped_ntile_by_selection(
         for g, v in zip(gnames, gkey):
             cond = cond & (F.col(g) == F.lit(v).cast(gtypes[g]))
         expr = F.when(cond, tile) if expr is None else expr.when(cond, tile)
-    return df.withColumn(out, expr)
+    return target.withColumn(out, expr)
 
 
 def with_group_position(

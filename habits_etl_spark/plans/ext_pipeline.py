@@ -552,17 +552,28 @@ def ext_admission_decision(spark, sf_dir):
     )
 
     surv = q.filter(F.col("stage_q").isNull())
-    buck = grouped_ntile_by_selection(
-        surv, ["lang"], [(-F.col("quality")).alias("nq"), F.col("doc_id")], 3, "__tile"
-    ).select(
-        "doc_id",
-        F.when(F.col("__tile") == 3, F.lit("lang_tail")).alias("stage_b"),
+    # Tercile boundaries are cut over SURVIVORS, but the tile itself is
+    # a pinned-literal map expression — stamp it straight onto the
+    # cached gate table (apply_to=q) instead of producing a buck table
+    # that must be joined back twice (r10: two joins fewer in the
+    # assembly). For rejected rows the stamped tile is meaningless and
+    # never read: rejecting coalesces stage_q first.
+    tiled = grouped_ntile_by_selection(
+        surv,
+        ["lang"],
+        [(-F.col("quality")).alias("nq"), F.col("doc_id")],
+        3,
+        "__tile",
+        apply_to=q,
+    ).withColumn(
+        "stage_b",
+        F.when(
+            F.col("stage_q").isNull() & (F.col("__tile") == 3), F.lit("lang_tail")
+        ),
     )
-    bsurv = (
-        surv.join(buck, "doc_id")
-        .filter(F.col("stage_b").isNull())
-        .select("doc_id", "n_chars_orig")
-    )
+    bsurv = tiled.filter(
+        F.col("stage_q").isNull() & F.col("stage_b").isNull()
+    ).select("doc_id", "n_chars_orig")
     wc = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars_orig").desc(), "doc_id"
     )
@@ -578,8 +589,7 @@ def ext_admission_decision(spark, sf_dir):
         F.when(F.col("rk") > 1, F.lit("duplicate")),
     )
     return (
-        q.join(buck, "doc_id", "left")
-        .join(ranked, "doc_id", "left")
+        tiled.join(ranked, "doc_id", "left")
         .join(clusters_all, "doc_id")
         .select(
             "doc_id",
