@@ -82,7 +82,15 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K,
     treeAggregate). At 100 TB, fit on a hash sample (the estimator
     converges on a fraction of the corpus) and run the final assignment
     map over everything."""
-    m = _normed_embeddings(spark, sf_dir).select("vec_id", "v", "nrm")
+    from habits_etl_spark.plans.common import managed_cache
+
+    # CACHED: the seed pick, the count, and every Lloyd round's update
+    # agg re-read this relation; uncached, each re-runs scan + cast +
+    # norm-fold (r10 — same reason pq_fit caches its subs relation)
+    m = managed_cache(
+        _normed_embeddings(spark, sf_dir).select("vec_id", "v", "nrm"),
+        "kmeans_fit/m",
+    )
     total = m.count()
     step = max(total // k, 1)
     # md5-hex-prefix integer, not crc32: engine-portable, so the whole

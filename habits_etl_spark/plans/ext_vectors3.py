@@ -53,23 +53,47 @@ def _sub_slice(m: int, vcol: str = "v") -> str:
     return f"slice({vcol}, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
 
 
-def _scores_sql(codebook_m: list[list[float]], m: int) -> str:
-    """array of (v_m . c)/nrm - |c|^2/2 for each centroid c of subspace m
-    — argmax of this is argmin of unit-vector Euclidean distance. The
-    1/nrm division happens OUTSIDE the fold (scalar context)."""
-    cells = []
-    for c in codebook_m:
-        c2 = sum(x * x for x in c) / 2.0
-        cells.append(
-            f"aggregate(zip_with({_sub_slice(m)}, {_lit_arr(c)}, (x, y) -> x * y),"
-            f" 0.0D, (acc, x) -> acc + x) / nrm - {c2!r}D"
-        )
-    return "array(" + ", ".join(cells) + ")"
+def _cb_lit(codebooks) -> str:
+    """The full codebook as ONE m_sub x k x dsub literal matrix."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(_lit_arr(c) for c in cb_m) + ")" for cb_m in codebooks
+    ) + ")"
+
+
+def _c2h_lit(codebooks) -> str:
+    """|c|^2 / 2 per codeword (python-evaluated, so the exact doubles the
+    oracle's in-query list_aggregate(...)/2.0 reproduces)."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"{sum(x * x for x in c) / 2.0!r}D" for c in cb_m) + ")"
+        for cb_m in codebooks
+    ) + ")"
+
+
+def _scores_matrix_sql(codebooks, sv: str, subid: str) -> str:
+    """(sv . c)/nrm - |c|^2/2 for every codeword of subspace ``subid``,
+    as ONE expression over the literal codebook matrix — argmax of this
+    is argmin of unit-vector Euclidean distance. The r9 form inlined a
+    separate fold per codeword into a CASE chain keyed on sub_id (1024
+    folds per row expression), which cost seconds of parse+codegen PER
+    LLOYD ROUND because each round's new literals force a fresh compile;
+    the matrix form is one small transform lambda (same per-score
+    arithmetic, bit-identical values). The 1/nrm division stays OUTSIDE
+    the fold (scalar context)."""
+    dot = f"aggregate(zip_with({sv}, c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    return (
+        f"zip_with(transform(element_at({_cb_lit(codebooks)}, {subid} + 1),"
+        f" c -> {dot} / nrm),"
+        f" element_at({_c2h_lit(codebooks)}, {subid} + 1), (d, h) -> d - h)"
+    )
+
+
+def _argmax_code_sql(codebooks, sv: str, subid: str) -> str:
+    s = _scores_matrix_sql(codebooks, sv, subid)
+    return f"array_position({s}, array_max({s})) - 1"
 
 
 def _code_expr(codebooks: list[list[list[float]]], m: int):
-    s = _scores_sql(codebooks[m], m)
-    return F.expr(f"array_position({s}, array_max({s})) - 1").cast("int")
+    return F.expr(_argmax_code_sql(codebooks, _sub_slice(m), str(m))).cast("int")
 
 
 def pq_fit(
@@ -123,26 +147,29 @@ def pq_fit(
 
     # (vec_id, sub_id, sv_raw, nrm): one row per subspace per vector. The
     # subvector stays RAW here; the exploded element is divided by the
-    # scalar nrm AFTER posexplode (scalar context, no lambda).
-    subs = base.select(
-        "vec_id",
-        "nrm",
-        F.posexplode(
-            F.expr(
-                "array("
-                + ", ".join(_sub_slice(m) for m in range(m_sub))
-                + ")"
-            )
-        ).alias("sub_id", "sv"),
+    # scalar nrm AFTER posexplode (scalar context, no lambda). CACHED:
+    # every Lloyd round's update agg re-reads this relation, and without
+    # the cache each round re-runs the scan + slice + explode lineage
+    # (r10: the PQ queries were the bench's slowest ids mostly on this).
+    from habits_etl_spark.plans.common import managed_cache
+
+    subs = managed_cache(
+        base.select(
+            "vec_id",
+            "nrm",
+            F.posexplode(
+                F.expr(
+                    "array("
+                    + ", ".join(_sub_slice(m) for m in range(m_sub))
+                    + ")"
+                )
+            ).alias("sub_id", "sv"),
+        ),
+        "pq_fit/subs",
     )
 
     for _ in range(iters):
-        expr = None
-        for m in range(m_sub):
-            s = _scores_sql(codebooks[m], m).replace(_sub_slice(m), "sv")
-            e = F.expr(f"array_position({s}, array_max({s})) - 1").cast("int")
-            expr = e if expr is None else F.when(F.col("sub_id") == m, e).otherwise(expr)
-        cell = expr  # CASE chain keyed on sub_id (fallthrough arm is sub_id 0)
+        cell = F.expr(_argmax_code_sql(codebooks, "sv", "sub_id")).cast("int")
         sums = (
             subs.select("sub_id", "nrm", cell.alias("cell"), F.posexplode("sv").alias("dim", "x"))
             .groupBy("sub_id", "cell", "dim")
@@ -175,9 +202,17 @@ def pq_fit(
 
 
 def _with_codes(base: DataFrame, codebooks) -> DataFrame:
-    """Attach the M-code array — a pure map, codebooks as plan literals."""
+    """Attach the M-code array — a pure map, codebooks as plan literals.
+    One sequence-transform expression (the codebook matrix appears twice
+    — argmax needs the scores array for both position and max — instead
+    of 2 x M times as separate per-subspace expressions)."""
+    s = _scores_matrix_sql(codebooks, f"slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB})", "m")
     return base.withColumn(
-        "codes", F.array(*[_code_expr(codebooks, m) for m in range(_PQ_M)])
+        "codes",
+        F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}),"
+            f" m -> CAST(array_position({s}, array_max({s})) - 1 AS INT))"
+        ),
     )
 
 
@@ -324,18 +359,19 @@ def ext_pq_codes(spark, sf_dir):
     base = _normed_embeddings(spark, sf_dir)
     coded = _with_codes(base, codebooks)
     # |u - c|^2 per subspace = |u_m|^2 - 2 u_m.c + |c|^2, all folds on raw
-    # v with scalar 1/nrm applied outside the lambda.
+    # v with scalar 1/nrm applied outside the lambda. The codeword dot
+    # folds against the SELECTED codeword only (element_at into the
+    # literal matrix) — the r9 form folded all k codewords per subspace
+    # and picked one, 16x the float work and a far bigger codegen unit.
+    cb = _cb_lit(codebooks)
     err_terms = []
     for m in range(_PQ_M):
         vm = _sub_slice(m)
         um2 = f"aggregate(zip_with({vm}, {vm}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (nrm * nrm)"
+        cw = f"element_at(element_at({cb}, {m + 1}), codes[{m}] + 1)"
         dot_c = (
-            "element_at(array("
-            + ", ".join(
-                f"aggregate(zip_with({vm}, {_lit_arr(c)}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / nrm"
-                for c in codebooks[m]
-            )
-            + f"), codes[{m}] + 1)"
+            f"aggregate(zip_with({vm}, {cw}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x) / nrm"
         )
         c2 = (
             "element_at(array("
