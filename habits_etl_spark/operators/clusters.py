@@ -75,24 +75,37 @@ def connected_components(
       runtime stats allow — a 100 TB corpus can emit billions of pairs."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # null endpoints carry no connectivity: drop them up front so the
+        # driver union-find's min-id comparison never sees None and both
+        # strategies agree (the distributed join path drops them anyway)
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")).filter(
+                F.col("a").isNotNull() & F.col("b").isNotNull()
+            )
+        )
         .distinct()
         # materialize: the edge list is re-joined every iteration and its
         # lineage may be an expensive dedup pipeline — compute it exactly once
         .localCheckpoint(eager=True)
     )
-    # count on checkpointed data: no recompute, collision-scale rows
-    n_sym = sym.count()  # sym holds both directions
-    if n_sym <= 2 * driver_solve_max_edges:
+    # Gate on the UNDIRECTED edge count, measured directly: self-loops
+    # appear once (not twice) in the symmetrized-distinct list, so
+    # n_sym/2 would under-count them and a self-loop-heavy graph could
+    # slip past the collect budget at up to 2x the documented bound.
+    # Counts run on checkpointed data: no recompute, collision-scale rows.
+    und_df = sym.filter(F.col("a") <= F.col("b"))
+    n_und = und_df.count()
+    if n_und <= driver_solve_max_edges:
         vt = sym.schema["a"].dataType
-        und = sym.filter(F.col("a") <= F.col("b")).collect()
+        und = und_df.collect()
         labeled = _driver_union_find([(r["a"], r["b"]) for r in und], vt)
         spark = edges.sparkSession
         schema = T.StructType(
             [T.StructField("vertex", vt, False), T.StructField("component", vt, False)]
         )
         return spark.createDataFrame(labeled, schema)
-    hint = F.broadcast if n_sym <= 2 * broadcast_edges_max else (lambda df: df)
+    hint = F.broadcast if n_und <= broadcast_edges_max else (lambda df: df)
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()

@@ -68,6 +68,15 @@ def pagerank(
         # ext_pagerank_dupgraph state the unrolled iteration as a DuckDB
         # oracle. The 1e-28 quantization is 19 orders below the 1e-9
         # agreement the python-reference test pins.
+        # Cross-engine caveat (pinned by tests/test_pagerank.py::
+        # test_decimal_cast_cross_engine_parity): cast(double AS
+        # decimal(38,28)) is engine-defined — Spark quantizes the double's
+        # SHORTEST decimal repr (BigDecimal HALF_UP) while DuckDB rounds
+        # the EXACT binary value, so per-term decimals may differ by up to
+        # ~1 ulp of the double (~1e-17 at rank magnitudes). The sums are
+        # therefore identical only to ~n_terms x 1e-17, and the final
+        # round(..., 9) absorbs that everywhere except knife-edge rounding
+        # ties — the residual tie class the sf0.1 ledger exists to catch.
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")

@@ -645,8 +645,11 @@ def ext_pagerank_dupgraph(spark, sf_dir):
     instead of min-id (ext_dedup_keep_policy), and the same machinery
     ranks hosts for source-quality weighting at 100 TB.
 
-    rows-only driver check; exact semantics pinned in
-    tests/test_pagerank.py against a Python reference."""
+    FULLY oracle-gated since r10: the power iteration uses DECIMAL(38,28)
+    order-invariant sums, so all 8 rounds unroll into chained DuckDB CTEs
+    over the shared MinHash pair graph (_pagerank_oracle_sql above);
+    exact semantics additionally pinned in tests/test_pagerank.py against
+    a Python reference."""
     from habits_etl_spark.operators.pagerank import pagerank
     from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
 

@@ -267,6 +267,9 @@ def _pair_arms(prepped):
 
 _PAIR_BANDS = 16
 _PAIR_BAND_BITS = 8
+# broadcast the verified-candidate pair list only under this measured
+# count — collision-quadratic bucket skew must not blow the driver
+_PAIR_BROADCAST_MAX = 2_000_000
 
 
 def _lsh_candidate_pairs(prepped):
@@ -313,9 +316,16 @@ def _lsh_candidate_pairs(prepped):
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
         F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
     )
-    # candidate ID pairs are collision-sized: broadcast against the
-    # arrays so the corpus side never shuffles (ext_text.py's layout)
-    return arr_a.join(F.broadcast(cand), "vec_a").join(arr_b, "vec_b")
+    # The candidate pair list is collision-DRIVEN, not constant-bounded
+    # (this very docstring cites 38% of the corpus in one bucket), so the
+    # broadcast is gated on a MEASURED count, the connected_components
+    # pattern: checkpoint the skinny pair list (also saves re-deriving the
+    # band join for both sides of the count/join), count it, and only
+    # hint broadcast under the budget — above it the shuffle join stands
+    # and AQE may still convert when runtime stats allow.
+    cand = cand.localCheckpoint(eager=True)
+    hint = F.broadcast if cand.count() <= _PAIR_BROADCAST_MAX else (lambda df: df)
+    return arr_a.join(hint(cand), "vec_a").join(arr_b, "vec_b")
 
 
 # CTE body + final select for the exact pair set, shared with the

@@ -59,3 +59,27 @@ def test_dup_clusters_query(spark, sf_dir):
     for a, b in pairs:  # every near-dup pair must land in the same cluster
         assert clusters[a] == clusters[b]
     assert all(k >= v for k, v in clusters.items())  # canonical = min doc_id
+
+@pytest.mark.parametrize("kw", _STRATS)
+def test_self_loops_and_nulls(spark, kw):
+    # self-loops register the vertex without uniting; null endpoints are
+    # dropped before either strategy sees them (the driver union-find's
+    # min-id comparison must never see None)
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (4, None), (None, 5), (None, None), (6, 6)],
+        "src long, dst long",
+    )
+    c = {r.vertex: r.component for r in connected_components(df, **kw).collect()}
+    assert c == {1: 1, 2: 2, 3: 2, 6: 6}
+
+
+def test_self_loop_gate_counts_undirected_edges(spark):
+    # a self-loop-heavy graph: each self-loop appears ONCE in the
+    # symmetrized-distinct list, so the gate must count undirected edges
+    # directly, not halve the symmetric count. budget=3 with 4 undirected
+    # edges (3 self-loops + 1 real) must take the distributed path and
+    # still be correct.
+    edges = [(1, 1), (2, 2), (3, 3), (1, 2)]
+    a = comps_of(spark, edges, driver_solve_max_edges=3)
+    b = comps_of(spark, edges)
+    assert a == b == {1: 1, 2: 1, 3: 3}

@@ -53,3 +53,52 @@ def test_dupgraph_query_shape(spark, sf_dir):
     total = sum(r.rank for r in out)
     assert abs(total - 1.0) < 1e-3  # 9dp rounding on |docs| rows
     assert all(r.rank > 0 for r in out)
+
+
+def test_decimal_cast_cross_engine_parity(spark):
+    """Pin the rule-1 cross-engine assumption (operators/pagerank.py):
+    Spark casts double->decimal(38,28) by quantizing the double's
+    SHORTEST decimal repr (BigDecimal HALF_UP); DuckDB rounds the EXACT
+    binary value. On adversarial doubles the two decimals may differ —
+    but never by more than ~1 ulp of the double, which is what keeps an
+    unrolled decimal-sum oracle inside round(..., 9) except on knife-edge
+    rounding ties."""
+    import math
+    from decimal import Decimal
+
+    import duckdb
+
+    adversarial = [
+        0.1,                       # classic shortest-repr vs binary gap
+        0.2,
+        0.3,
+        1.0 / 3.0,
+        1.0 / 7.0,
+        0.30000000000000004,       # 0.1 + 0.2
+        1e-5 + 1e-12,              # rank-magnitude with a tiny tail
+        0.12345678944999999,       # near a 9-dp rounding knife edge
+        # values engineered midway between 28-digit decimal grid points
+        float(Decimal("0.00000000000000000000000000005")),
+        float(Decimal("0.12500000000000000000000000005")),
+    ]
+    rows = [(i, d) for i, d in enumerate(adversarial)]
+    sdf = spark.createDataFrame(rows, "i int, d double").selectExpr(
+        "i", "CAST(CAST(d AS DECIMAL(38,28)) AS STRING) AS dec"
+    )
+    got_spark = {r.i: Decimal(r.dec) for r in sdf.collect()}
+    con = duckdb.connect()
+    got_duck = {}
+    for i, d in rows:
+        # bind the float as a parameter: a bare SQL literal would parse as
+        # DECIMAL(18,17) and break the exact double round-trip
+        (s,) = con.execute(
+            "SELECT CAST(CAST(? AS DOUBLE) AS DECIMAL(38,28))::VARCHAR", [d]
+        ).fetchone()
+        got_duck[i] = Decimal(s)
+    for i, d in rows:
+        gap = abs(got_spark[i] - got_duck[i])
+        # the documented bound: per-term divergence <= 1 ulp of the double
+        assert gap <= Decimal(repr(math.ulp(d))), (d, got_spark[i], got_duck[i])
+    # and the divergence is REAL (the assumption is not vacuous): at
+    # least one adversarial double quantizes differently across engines
+    assert any(got_spark[i] != got_duck[i] for i, _ in rows)
