@@ -224,3 +224,122 @@ def stream_retention_e2e(spark, sf_dir):
             "d7_active",
         )
     )
+
+
+def _funnel_final_oracle_sql() -> str:
+    """Per-user FINAL funnel state in pure SQL — the batch restatement of
+    streaming/funnel.py's left fold over time-ordered events: anchor at
+    the earliest stage-1 event, then each next stage converts at the
+    earliest same-user event strictly after the previous instant and
+    within the step window (the s1/s2/s3 chain ext_event_funnel's oracle
+    uses, re-emitted per user instead of per stage)."""
+    from habits_etl_spark.plans.analytics import _FUNNEL, _FUNNEL_STEP_US
+
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL[1]}' AND epoch_us(e.ts) > s1.t
+        AND epoch_us(e.ts) <= s1.t + {_FUNNEL_STEP_US} GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL[2]}' AND epoch_us(e.ts) > s2.t
+        AND epoch_us(e.ts) <= s2.t + {_FUNNEL_STEP_US} GROUP BY 1
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     WHEN s1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           (s3.user_id IS NOT NULL) AS converted
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    """
+
+
+@query("stream_funnel_e2e", _funnel_final_oracle_sql())
+def stream_funnel_e2e(spark, sf_dir):
+    """Stateful streaming funnel (streaming/funnel.py,
+    applyInPandasWithState), end to end and ORACLE-GATED: stage the
+    events table as {_N_DROPS} TIME-CONTIGUOUS micro-batch file drops
+    (split at event-time terciles), run the funnel stream once per drop
+    against ONE shared checkpoint (each run after the first is a genuine
+    restart that must resume per-user (stage, instant) state), and
+    return the LATEST per-user (stage, converted) row.
+
+    Why time-ordered drops, not the retention-style event_id interleave:
+    the funnel operator is an O(1)-state left fold that CANNOT rewind —
+    a late-arriving earlier anchor (stage-1 event before the one already
+    folded) would legitimately change the batch answer, and the stream
+    is documented to diverge there (streaming/funnel.py docstring). The
+    fold over time-sorted events, however, composes exactly across ANY
+    time-contiguous batch split: state after drop k = fold over all
+    events with ts <= boundary_k, so the final state equals the one-shot
+    batch fold — which is what the pure-SQL oracle states. Boundary ties
+    are safe: advancement requires strictly increasing instants, so two
+    same-timestamp events can never chain and their fold order is
+    immaterial. Restart/recovery machinery is still fully exercised; the
+    split axis is the one thing that must differ from the retention e2e,
+    and that is a property of the operator (anchor re-writes move state
+    backward, retention bitmask re-anchors move it monotonically).
+
+    Scale: state is two scalars per user, hash-partitioned and
+    incrementally checkpointed (RocksDB-compatible); per-trigger cost
+    scales with new files; the boundary computation is one bounded
+    2-value percentile job, never a sort of the corpus."""
+    from pyspark.sql import Window
+
+    from habits_etl_spark.streaming.funnel import funnel_stream
+
+    base = _scoped_workdir(spark, sf_dir, kind="funnel")
+    src = os.path.join(base, "incoming")
+    out = os.path.join(base, "updates")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(src, exist_ok=True)
+
+    staged = t(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", F.unix_micros("ts").alias("__et")
+    )
+    source_schema = staged.drop("__et").schema
+
+    # event-time tercile boundaries: any time-contiguous split is exact
+    # (fold composition above), so approximate percentiles suffice
+    b1, b2 = staged.select(
+        F.percentile_approx("__et", [1.0 / 3, 2.0 / 3]).alias("b")
+    ).collect()[0]["b"]
+    ranges = [
+        F.col("__et") <= b1,
+        (F.col("__et") > b1) & (F.col("__et") <= b2),
+        F.col("__et") > b2,
+    ]
+
+    def fb(df, epoch_id):
+        df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    for cond in ranges:
+        staged.filter(cond).drop("__et").coalesce(2).write.mode("append").parquet(src)
+        q = (
+            funnel_stream(spark.readStream.schema(source_schema).parquet(src))
+            .writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    upd = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+    return (
+        upd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "stage", "converted")
+    )

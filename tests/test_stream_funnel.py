@@ -112,3 +112,26 @@ def test_funnel_matches_batch_on_in_order_input(spark, dirs, sf_dir):
             batch_stage[r.user_id] = max(batch_stage.get(r.user_id, 0), k)
     for user, (stage, _) in s.items():
         assert batch_stage.get(user, 0) == stage, user
+
+
+def test_stream_funnel_e2e_query_matches_batch(spark, sf_dir):
+    """The registered oracle-gated e2e query: three time-contiguous drops
+    over one shared checkpoint must land every user at the exact batch
+    funnel stage (fold composition over a time-ordered split)."""
+    from habits_etl_spark.plans.analytics import funnel_stages
+    from habits_etl_spark.plans.common import t as load
+    from habits_etl_spark.plans.streaming_e2e import stream_funnel_e2e
+
+    got = {
+        r.user_id: (r.stage, r.converted)
+        for r in stream_funnel_e2e(spark, sf_dir).collect()
+    }
+    batch_stage: dict = {}
+    for k, f in enumerate(funnel_stages(load(spark, sf_dir, "events")), start=1):
+        for r in f.collect():
+            batch_stage[r.user_id] = max(batch_stage.get(r.user_id, 0), k)
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert len(got) == n_users  # every user emits a final state, stage-0 included
+    for user, (stage, converted) in got.items():
+        assert batch_stage.get(user, 0) == stage, user
+        assert converted == (stage >= 3), user
