@@ -319,7 +319,58 @@ def agg_histogram_kl_drift(spark, sf_dir):
 # --- coreness of the near-dup graph ------------------------------------------
 
 
-@query("ext_kcore_dupgraph")  # no oracle: iterative fixpoint (like ext_pagerank_dupgraph)
+def _kcore_oracle_sql() -> str:
+    """TRUE-fixpoint h-index recursion in DuckDB — the one unrollable
+    blocker the r10 NOTES left open (the round count is data-dependent,
+    so the k-center/PageRank fixed-unroll pattern cannot state it). A
+    recursive CTE CAN: each recursive step sees only the previous
+    iteration's (node, c) rows (Jacobi update, same as the Spark loop),
+    recomputes every node's neighbor h-index, and emits rows only while
+    something changed — the labels are monotonically non-increasing
+    integers, so termination is guaranteed and min(c) per node over all
+    emitted iterations IS the converged coreness. ``kedges`` is pinned
+    MATERIALIZED: the recursive term re-executes per iteration, and an
+    inlined edge list would re-run the whole MinHash pipeline each round
+    (the established CTE-materialization footgun)."""
+    from habits_etl_spark.plans.ext_text import _MINHASH_CTES, _MINHASH_FINAL
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    mh_pairs AS ({_MINHASH_FINAL}),
+    knodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+    kedges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
+      ) WHERE src <> dst
+    ),
+    lab AS (
+      SELECT n.node, CAST(coalesce(d.c, 0) AS BIGINT) AS c
+      FROM knodes n LEFT JOIN (SELECT src, count(*) AS c FROM kedges GROUP BY 1) d
+        ON d.src = n.node
+      UNION ALL
+      SELECT node, nc FROM (
+        SELECT node, nc, oc,
+               sum(CASE WHEN nc <> oc THEN 1 ELSE 0 END) OVER () AS nchanged
+        FROM (
+          SELECT p.node, least(p.c, coalesce(h.h, 0)) AS nc, p.c AS oc
+          FROM lab p LEFT JOIN (
+            SELECT node, max(least(rn, nc)) AS h FROM (
+              SELECT e.dst AS node, p2.c AS nc,
+                     row_number() OVER (PARTITION BY e.dst ORDER BY p2.c DESC) AS rn
+              FROM kedges e JOIN lab p2 ON p2.node = e.src
+            ) GROUP BY node
+          ) h ON h.node = p.node
+        )
+      ) WHERE nchanged > 0
+    )
+    SELECT node AS doc_id, min(c) AS coreness
+    FROM lab GROUP BY node
+    ORDER BY coreness DESC, doc_id
+    """
+
+
+@query("ext_kcore_dupgraph", _kcore_oracle_sql())
 def ext_kcore_dupgraph(spark, sf_dir):
     """Coreness of every document in the MinHash near-duplicate candidate
     graph (operators/kcore.py): the largest k for which the doc survives
@@ -328,8 +379,16 @@ def ext_kcore_dupgraph(spark, sf_dir):
     routing signal for aggressive-vs-gentle dedup, complementing
     ext_pagerank_dupgraph's within-neighborhood ranking.
 
-    rows-only driver check; exact semantics pinned in tests/test_kcore.py
-    against a Python peeling reference."""
+    FULLY oracle-gated since r11 (_kcore_oracle_sql): the data-dependent
+    fixpoint depth that blocked the r10 unroll pattern is stated as a
+    DuckDB recursive CTE running the same synchronous h-index update to
+    convergence. The integer labels make the iterate trivially engine-
+    portable (no float sums anywhere). Exact semantics additionally
+    pinned in tests/test_kcore.py against a Python peeling reference.
+    Note the oracle converges to the TRUE fixpoint while the Spark loop
+    caps at operators/kcore.py _MAX_ITERS=20 — a graph needing more
+    rounds would hash-mismatch, which is the honest behavior (the cap
+    exists to bound a runaway job, not to change semantics)."""
     from habits_etl_spark.operators.kcore import coreness
     from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
 
