@@ -651,10 +651,10 @@ def ext_pagerank_dupgraph(spark, sf_dir):
     exact semantics additionally pinned in tests/test_pagerank.py against
     a Python reference."""
     from habits_etl_spark.operators.pagerank import pagerank
-    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+    from habits_etl_spark.plans.ext_text import minhash_pairs_shared
 
     docs = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_shared(spark, sf_dir)
     sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )

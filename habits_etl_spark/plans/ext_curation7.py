@@ -390,10 +390,10 @@ def ext_kcore_dupgraph(spark, sf_dir):
     rounds would hash-mismatch, which is the honest behavior (the cap
     exists to bound a runaway job, not to change semantics)."""
     from habits_etl_spark.operators.kcore import coreness
-    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+    from habits_etl_spark.plans.ext_text import minhash_pairs_shared
 
     docs = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_shared(spark, sf_dir)
     sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )

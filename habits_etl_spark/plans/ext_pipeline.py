@@ -85,10 +85,10 @@ def ext_dedup_keep_policy(spark, sf_dir):
     corpus -> per-cluster ranking window. Scale: the window partitions by
     cluster_id where almost every cluster is a singleton — one shuffle of
     (doc_id, cluster_id, n_chars), never the text."""
-    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+    from habits_etl_spark.plans.ext_text import minhash_pairs_shared
 
     d = t(spark, sf_dir, "documents")
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_shared(spark, sf_dir)
     comps = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cid")
     )
@@ -236,7 +236,7 @@ def ext_incremental_dedup(spark, sf_dir):
     signatures/bands would be a precomputed, partitioned table rather
     than recomputed (noted in README), but the join topology is
     identical."""
-    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+    from habits_etl_spark.plans.ext_text import minhash_pairs_shared
 
     d = t(spark, sf_dir, "documents")
     is_incoming = (F.col("doc_id") % 10) >= 8
@@ -250,7 +250,7 @@ def ext_incremental_dedup(spark, sf_dir):
         .distinct()
         .withColumn("is_exact", F.lit(True))
     )
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_shared(spark, sf_dir)
     cross = pairs.filter(
         ((F.col("doc_a") % 10) >= 8) != ((F.col("doc_b") % 10) >= 8)
     )
@@ -502,7 +502,7 @@ def ext_admission_decision(spark, sf_dir):
     signature pass)."""
     from habits_etl_spark.operators.distrank import grouped_ntile_by_selection
     from habits_etl_spark.plans.common import managed_cache
-    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+    from habits_etl_spark.plans.ext_text import minhash_pairs_shared
 
     _C, _T = _FUNNEL_MIN_CHARS, _FUNNEL_MIN_TOKENS
     _U, _S = _FUNNEL_MIN_UNIQ, _FUNNEL_MIN_STOP
@@ -540,7 +540,7 @@ def ext_admission_decision(spark, sf_dir):
         "ext_admission_decision/gates",
     )
 
-    pairs = ext_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_shared(spark, sf_dir)
     comps = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cid")
     )
