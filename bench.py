@@ -577,11 +577,64 @@ def main():
         "extras_error": len(extras_error),
         "detail_file": detail_name,
     }
+    # Host-band normalization, per query (r10 verdict: "host band or
+    # regression?" must be answerable from the record alone): scale each
+    # median by the fixed quiet-host probe baseline over THIS run's
+    # observed probe, so cross-round per-query comparisons are mechanical
+    # instead of requiring the NOTES' probe-context prose.
+    ratio = PROBE_BASELINE_SEC / probe_observed
+
+    def _norm(d: dict) -> dict:
+        return {k: round(v * ratio, 3) for k, v in d.items()}
+
+    # Sibling-record band: every BENCH_DETAIL_*.json currently on disk,
+    # summarized as (head, probe, raw, calibrated) — same-HEAD or
+    # same-round sibling runs bracket the host variance on byte-identical
+    # plans, and the band should be readable from the record itself.
+    import glob as _glob
+
+    siblings = []
+    for p in sorted(
+        _glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL_*.json")
+        )
+    ):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            siblings.append(
+                {
+                    "file": os.path.basename(p),
+                    "probe_observed_sec": d.get("probe_observed_sec"),
+                    "value": d.get("value"),
+                    "calibrated_value": d.get("calibrated_value"),
+                }
+            )
+        except Exception:
+            pass  # a truncated sidecar must not kill the bench
+    sib_vals = [s["value"] for s in siblings if isinstance(s.get("value"), (int, float))]
+    sibling_band = (
+        {
+            "n_records": len(sib_vals),
+            "min": round(min(sib_vals), 3),
+            "median": round(statistics.median(sib_vals), 3),
+            "max": round(max(sib_vals), 3),
+        }
+        if sib_vals
+        else {"n_records": 0}
+    )
+
     # Full record to the sidecar (committed per-round as
     # BENCH_LOCAL_r{N}.json) — everything the compact line drops.
     detail = dict(compact)
     detail.update(
         {
+            "queries_probe_normalized": _norm(timings),
+            "headline2_probe_normalized": _norm(headline2),
+            "curation_probe_normalized": _norm(curation),
+            "sibling_records": siblings,
+            "sibling_headline_band": sibling_band,
             "queries_min": timings_min,
             "repetitions": reps_all,
             "steal_queries": steal_queries,

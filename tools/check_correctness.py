@@ -102,6 +102,12 @@ def main():
     n_pass = n_fail = n_rows_only = 0
     failures = []
     ledger: dict[str, dict] = {}
+    # Per-id (spark_sec, oracle_sec) sweep cost: ext_cosine_pairs_lsh
+    # silently cost ~70 s per full sweep for seven rounds because nothing
+    # surfaced per-id time — the ledger now carries a slowest-10 section
+    # so the next silent hog (Spark OR DuckDB side) is visible the round
+    # it appears.
+    sweep_secs: dict[str, dict] = {}
     for name in qs:
         if only and name not in only:
             continue
@@ -114,11 +120,14 @@ def main():
             ledger[name] = {"status": "fail", "err": f"spark error: {exc}"}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        t_spark = round(time.time() - t0, 3)
         if name not in oracles:
             n_rows_only += 1
             ledger[name] = {"status": "rows_only", "spark_rows": len(sdf)}
+            sweep_secs[name] = {"spark_sec": t_spark, "oracle_sec": 0.0}
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
+        t1 = time.time()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as exc:
@@ -127,6 +136,10 @@ def main():
             ledger[name] = {"status": "fail", "err": f"duckdb error: {exc}"}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
+        sweep_secs[name] = {
+            "spark_sec": t_spark,
+            "oracle_sec": round(time.time() - t1, 3),
+        }
         sn, ss, sh = frame_fingerprint(sdf)
         on, os_, oh = frame_fingerprint(odf)
         if sn == on and sh == oh:
@@ -167,6 +180,10 @@ def main():
             ).stdout.strip()
         except Exception:
             head = None
+        slowest = sorted(
+            sweep_secs.items(),
+            key=lambda kv: -(kv[1]["spark_sec"] + kv[1]["oracle_sec"]),
+        )[:10]
         with open(json_out, "w") as f:
             json.dump(
                 {
@@ -177,6 +194,19 @@ def main():
                         "fail": n_fail,
                         "rows_only": n_rows_only,
                     },
+                    # top-10 sweep hogs, Spark and DuckDB halves split —
+                    # a silent per-id cost must show up in the ledger the
+                    # round it appears, not in a later bisect
+                    "slowest_sweep_ids": [
+                        {"id": n, **secs} for n, secs in slowest
+                    ],
+                    "total_sweep_sec": round(
+                        sum(
+                            s["spark_sec"] + s["oracle_sec"]
+                            for s in sweep_secs.values()
+                        ),
+                        1,
+                    ),
                     "queries": ledger,
                 },
                 f,
