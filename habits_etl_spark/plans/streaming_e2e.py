@@ -38,7 +38,14 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import query, sql_davg, sql_dsum, t
+from habits_etl_spark.plans.common import (
+    TS_FMT_DUCK,
+    fmt_ts,
+    query,
+    sql_davg,
+    sql_dsum,
+    t,
+)
 
 # streaming.rollup imports plans.common for its decimal-exact aggregates, so
 # importing it at module scope from inside the plans package would be
@@ -342,4 +349,92 @@ def stream_funnel_e2e(spark, sf_dir):
         upd.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("user_id", "stage", "converted")
+    )
+
+
+@query(
+    "stream_dedup_e2e",
+    f"""
+    SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_e2e(spark, sf_dir):
+    """Watermarked streaming dedup (streaming/dedup.py,
+    dropDuplicatesWithinWatermark — the reference's ON CONFLICT
+    (row_hash) DO NOTHING as a stream), end to end and ORACLE-GATED:
+    salt the events table with two extra copies of every 4th event,
+    spread the three replicas across three DIFFERENT micro-batch drops
+    (replica r of event e lands in drop (e + r) mod 3, so cross-restart
+    state hits constantly), run the dedup stream once per drop against
+    ONE shared checkpoint, and read the admitted rows back.
+
+    Why this is hash-gateable where the funnel needed ordered drops:
+    replicas are IDENTICAL rows keyed by event_id, so whichever replica
+    is admitted first, the surviving row is byte-identical — the output
+    SET is a deterministic function of the event set under ANY batch
+    split, provided no state is ever evicted mid-run. The watermark
+    horizon (4000 days) exceeds the fixture's full time span, so
+    nothing is late and nothing evicts; the real-deployment contract
+    (duplicates beyond the horizon re-admit) is documented in the
+    operator and exercised in tests/test_stream_dedup.py.
+
+    Oracle: the events table itself — exactly-once admission of an
+    at-least-once feed must converge to the distinct event set.
+
+    Scale: state is one timestamp per key, hash-partitioned
+    (RocksDB-compatible); the only shuffle is the state-store exchange
+    on event_id; output appends per batch with no window or join."""
+    from habits_etl_spark.streaming.dedup import dedup_stream
+
+    base = _scoped_workdir(spark, sf_dir, kind="dedup")
+    src = os.path.join(base, "incoming")
+    out = os.path.join(base, "admitted")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(src, exist_ok=True)
+
+    staged = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    source_schema = staged.schema
+    reps = staged.withColumn(
+        "r",
+        F.explode(
+            F.expr(
+                "CASE WHEN event_id % 4 = 0 THEN array(0, 1, 2) ELSE array(0) END"
+            )
+        ),
+    )
+
+    for i in range(_N_DROPS):
+        (
+            reps.filter(F.pmod(F.col("event_id") + F.col("r"), F.lit(_N_DROPS)) == i)
+            .drop("r")
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            dedup_stream(
+                spark.readStream.schema(source_schema).parquet(src),
+                keys=["event_id"],
+                event_ts="ts",
+                watermark="4000 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        "event_id",
+        fmt_ts("ts").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
     )

@@ -125,3 +125,17 @@ def test_dedup_under_rocksdb_state_store(spark, dirs):
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+def test_stream_dedup_e2e_query_converges_to_distinct_set(spark):
+    """The registered oracle-gated e2e query: three replica-interleaved
+    drops over one shared checkpoint must admit exactly the distinct
+    event set (exactly-once over an at-least-once feed)."""
+    from habits_etl_spark.plans.common import t as load
+    from habits_etl_spark.plans.streaming_e2e import stream_dedup_e2e
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    got = stream_dedup_e2e(spark, sf_dir)
+    events = load(spark, sf_dir, "events")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
