@@ -438,3 +438,110 @@ def stream_dedup_e2e(spark, sf_dir):
         "event_type",
         "value",
     )
+
+
+_IJ_HORIZON_H = 12
+
+
+@query(
+    "stream_interval_join_e2e",
+    f"""
+    SELECT f.user_id,
+           c.event_id AS ctx_id,
+           f.event_id AS fact_id,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS ctx_ts_s,
+           strftime(f.ts, '{TS_FMT_DUCK}') AS fact_ts_s,
+           f.value AS fact_value
+    FROM events f JOIN events c
+      ON f.user_id = c.user_id
+     AND c.event_type = 'signup' AND f.event_type = 'purchase'
+     AND f.ts >= c.ts AND f.ts < c.ts + INTERVAL {_IJ_HORIZON_H} HOUR
+    """,
+)
+def stream_interval_join_e2e(spark, sf_dir):
+    """Stream-stream interval enrichment join (streaming/join.py — the
+    reference's fact-to-context attribution shape as two live feeds),
+    end to end and ORACLE-GATED: split the events table into a context
+    stream (signups) and a fact stream (purchases), stage EACH side as
+    {_N_DROPS} event_id-interleaved micro-batch file drops into its own
+    watched directory, run the two-source join query once per drop pair
+    against ONE shared checkpoint, and read the emitted pairs back.
+
+    Why the pair SET is hash-gateable under any batch split: an inner
+    stream-stream join emits each qualifying (fact, context) pair exactly
+    once — in the micro-batch where the LATER side arrives, joining
+    against the earlier side's checkpointed state — so cross-drop pairs
+    (a drop-0 signup matching a drop-2 purchase, and the reverse) come
+    out of restored state, which the interleave makes constant. Nothing
+    is ever late or evicted: the watermark delay (4000 days) exceeds the
+    fixture's full span, so the state watermark never passes a buffered
+    row. The final output set is therefore a deterministic function of
+    the two event sets — exactly the batch interval join the oracle
+    states. The real-deployment contract (state bounded by the horizon
+    once watermarks advance) is the operator's docstring and
+    tests/test_streaming_join.py territory.
+
+    Scale: both sides shuffle once on the join key into the state store
+    (hash-partitioned, RocksDB-compatible); per-trigger cost scales with
+    new files; state per key is bounded by rows inside the watermark
+    horizon, and the emitted enrichment never re-reads history."""
+    from habits_etl_spark.streaming.join import interval_enrichment_join
+
+    base = _scoped_workdir(spark, sf_dir, kind="ivjoin")
+    fsrc = os.path.join(base, "facts_in")
+    csrc = os.path.join(base, "ctx_in")
+    out = os.path.join(base, "enriched")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(fsrc, exist_ok=True)
+    os.makedirs(csrc, exist_ok=True)
+
+    ev = t(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_id"),
+        F.col("ts").alias("fact_ts"),
+        "user_id",
+        F.col("value").alias("fact_value"),
+    )
+    ctx = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("ctx_id"),
+        F.col("ts").alias("ctx_ts"),
+        "user_id",
+    )
+    f_schema, c_schema = facts.schema, ctx.schema
+
+    for i in range(_N_DROPS):
+        for side, key, dst in ((facts, "fact_id", fsrc), (ctx, "ctx_id", csrc)):
+            (
+                side.filter(F.pmod(F.col(key), F.lit(_N_DROPS)) == i)
+                .coalesce(2)
+                .write.mode("append")
+                .parquet(dst)
+            )
+        q = (
+            interval_enrichment_join(
+                spark.readStream.schema(f_schema).parquet(fsrc),
+                spark.readStream.schema(c_schema).parquet(csrc),
+                key="user_id",
+                fact_ts="fact_ts",
+                context_ts="ctx_ts",
+                fact_delay="4000 days",
+                context_delay="4000 days",
+                horizon=f"{_IJ_HORIZON_H} hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        "user_id",
+        "ctx_id",
+        "fact_id",
+        fmt_ts("ctx_ts").alias("ctx_ts_s"),
+        fmt_ts("fact_ts").alias("fact_ts_s"),
+        "fact_value",
+    )

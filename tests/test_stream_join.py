@@ -89,3 +89,33 @@ def test_interval_join_attributes_within_horizon(spark, dirs):
         for r in spark.read.parquet(dirs["out"]).collect()
     ]
     assert rows == [(1, "2024-01-10 10:30:00", "click", "B")]
+
+
+def test_stream_interval_join_e2e_matches_batch_join(spark):
+    """The registered oracle-gated e2e query: interleaved two-sided drops
+    over one shared checkpoint must emit exactly the batch interval-join
+    pair set (each pair once, cross-drop pairs out of restored state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t as load
+    from habits_etl_spark.plans.streaming_e2e import (
+        _IJ_HORIZON_H,
+        stream_interval_join_e2e,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    got = stream_interval_join_e2e(spark, sf_dir).select("ctx_id", "fact_id")
+    ev = load(spark, sf_dir, "events")
+    f, c = ev.alias("f"), ev.alias("c")
+    want = f.join(
+        c,
+        (F.col("f.user_id") == F.col("c.user_id"))
+        & (F.col("c.event_type") == "signup")
+        & (F.col("f.event_type") == "purchase")
+        & (F.col("f.ts") >= F.col("c.ts"))
+        & (F.col("f.ts") < F.col("c.ts") + F.expr(f"INTERVAL {_IJ_HORIZON_H} HOURS")),
+    ).select(F.col("c.event_id").alias("ctx_id"), F.col("f.event_id").alias("fact_id"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
