@@ -545,3 +545,126 @@ def stream_interval_join_e2e(spark, sf_dir):
         fmt_ts("fact_ts").alias("fact_ts_s"),
         "fact_value",
     )
+
+
+# Frozen-at-deploy reference for the drift monitor: bin edges over the
+# long-tailed value column and the reference histogram on the same grid.
+# Literals BY DESIGN (the operator's contract is a reference frozen at
+# deploy time), which also makes them engine-portable verbatim.
+_DRIFT_EDGES = [5.0, 10.0, 20.0, 35.0, 50.0, 75.0, 100.0, 150.0, 250.0]
+_DRIFT_REF = [120, 95, 160, 180, 140, 120, 90, 70, 60, 45]
+
+
+def _drift_oracle_sql() -> str:
+    k = len(_DRIFT_REF)
+    t_ref = sum(_DRIFT_REF) + k
+    bin_expr = "1" + "".join(
+        f" + CAST(value > {e!r} AS INT)" for e in _DRIFT_EDGES
+    )
+    ref_rows = ", ".join(f"({i + 1}, {n})" for i, n in enumerate(_DRIFT_REF))
+    return f"""
+    WITH binned AS (
+      SELECT date_trunc('day', ts) AS w, {bin_expr} AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    act AS (SELECT w, bin, CAST(count(*) AS BIGINT) AS n_act
+            FROM binned GROUP BY 1, 2),
+    tots AS (SELECT w, sum(n_act) AS t FROM act GROUP BY 1),
+    ref(bin, n_ref) AS (VALUES {ref_rows}),
+    terms AS (
+      SELECT t.w, t.t,
+             ((coalesce(a.n_act, 0) + 1.0) / (t.t + {k})
+              - (r.n_ref + 1.0) / {t_ref})
+             * ln(((coalesce(a.n_act, 0) + 1.0) / (t.t + {k}))
+                  / ((r.n_ref + 1.0) / {t_ref})) AS term
+      FROM tots t CROSS JOIN ref r
+      LEFT JOIN act a ON a.w = t.w AND a.bin = r.bin
+    )
+    SELECT strftime(w, '{TS_FMT_DUCK}') AS window_start_s,
+           CAST(any_value(t) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi,
+           CAST(count(*) AS INT) AS n_bins
+    FROM terms GROUP BY 1
+    """
+
+
+@query("stream_drift_e2e", _drift_oracle_sql())
+def stream_drift_e2e(spark, sf_dir):
+    """Stateful streaming PSI drift monitor (streaming/drift.py,
+    applyInPandasWithState), end to end and ORACLE-GATED: stage the
+    events table as {_N_DROPS} event_id-interleaved micro-batch file
+    drops, run the drift stream once per drop against ONE shared
+    checkpoint (each run after the first is a genuine restart that must
+    resume per-window bin-count state), and return the LATEST PSI
+    snapshot per event-time window.
+
+    Why the latest snapshot is hash-gateable under any batch split: the
+    per-window state is an exact bin-count vector and batches fold into
+    it by integer ADDITION — commutative and associative — so after all
+    drops every window's counts equal the batch histogram regardless of
+    interleave; the PSI itself is computed from those counts by the
+    engine-portable decimal reduction (compute_psi folds each IEEE term
+    onto the DECIMAL(28,12) grid exactly as Spark's and DuckDB's
+    double→decimal casts do, then psi_round6 matches their HALF_UP
+    round) — the same order-invariance argument as the unrolled
+    PageRank oracle, applied to a live stream. Windows untouched by the
+    final drop keep an older snapshot row, but its counts were already
+    complete for that window only if later drops carried none of its
+    events — which the interleave guarantees is FALSE — so taking the
+    max-epoch row per window is required and sufficient.
+
+    Scale: bin assignment is map-side against broadcast literal edges
+    (the shuffle carries (window, bin), never raw values); state is one
+    fixed-width count vector per window, hash-partitioned and
+    incrementally checkpointed (RocksDB-compatible)."""
+    from pyspark.sql import Window
+
+    from habits_etl_spark.streaming.drift import psi_drift_stream
+
+    base = _scoped_workdir(spark, sf_dir, kind="drift")
+    src = os.path.join(base, "incoming")
+    out = os.path.join(base, "updates")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(src, exist_ok=True)
+
+    staged = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    source_schema = staged.drop("event_id").schema
+
+    def fb(df, epoch_id):
+        df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    for i in range(_N_DROPS):
+        (
+            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+            .drop("event_id")
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            psi_drift_stream(
+                spark.readStream.schema(source_schema).parquet(src),
+                edges=_DRIFT_EDGES,
+                ref_counts=_DRIFT_REF,
+                window_duration="1 day",
+            )
+            .writeStream.foreachBatch(fb)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    upd = spark.read.parquet(out)
+    w = Window.partitionBy("window_start").orderBy(F.col("epoch").desc())
+    return (
+        upd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            fmt_ts("window_start").alias("window_start_s"),
+            "n_events",
+            "psi",
+            "n_bins",
+        )
+    )

@@ -25,6 +25,7 @@ rather than raw values; state updates are per-window vector adds.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -38,16 +39,34 @@ OUTPUT_SCHEMA = "window_start TIMESTAMP, n_events LONG, psi DOUBLE, n_bins INT"
 def compute_psi(act_counts: Sequence[int], ref_counts: Sequence[int]) -> float:
     """PSI with add-one smoothing over a fixed bin grid — the single
     formula shared by the streaming operator, the batch oracle shape
-    (plans/experiment.py) and the test reference."""
+    (plans/experiment.py) and the test reference.
+
+    ENGINE-PORTABLE reduction: each per-bin term is a plain IEEE double,
+    but the cross-bin sum folds every term onto the DECIMAL(28,12) grid
+    (HALF_UP on the shortest decimal repr — Spark's double→decimal cast
+    rule) and adds exactly, so the result is order-invariant and equals
+    ``sum(CAST(term AS DECIMAL(28,12)))`` in both Spark SQL and DuckDB —
+    what lets stream_drift_e2e hash-gate the operator's snapshots
+    against a pure-SQL oracle (the agg_psi_drift pattern)."""
     k = len(ref_counts)
     t_act = sum(act_counts) + k
     t_ref = sum(ref_counts) + k
-    psi = 0.0
+    psi = Decimal(0)
+    grid = Decimal("1e-12")
     for a, r in zip(act_counts, ref_counts):
         p_act = (a + 1.0) / t_act
         p_ref = (r + 1.0) / t_ref
-        psi += (p_act - p_ref) * math.log(p_act / p_ref)
-    return psi
+        term = (p_act - p_ref) * math.log(p_act / p_ref)
+        psi += Decimal(repr(term)).quantize(grid, rounding=ROUND_HALF_UP)
+    return float(psi)
+
+
+def psi_round6(psi: float) -> float:
+    """Round a PSI double to 6 dp with HALF_UP on its shortest decimal
+    repr — bit-matching Spark's ``F.round(col, 6)`` (BigDecimal HALF_UP)
+    and DuckDB's ``round(x, 6)``, where Python's built-in ``round``
+    (half-even) can land one ulp away on ties."""
+    return float(Decimal(repr(psi)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
 
 def _make_update(ref_counts: list[int]):
@@ -71,7 +90,7 @@ def _make_update(ref_counts: list[int]):
                 (
                     win_start,
                     int(sum(counts)),
-                    float(round(compute_psi(counts, ref_counts), 6)),
+                    psi_round6(compute_psi(counts, ref_counts)),
                     n_bins,
                 )
             ],

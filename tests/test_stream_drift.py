@@ -10,7 +10,7 @@ import os
 import pytest
 from pyspark.sql import types as T
 
-from habits_etl_spark.streaming.drift import compute_psi, psi_drift_stream
+from habits_etl_spark.streaming.drift import compute_psi, psi_drift_stream, psi_round6
 
 SCHEMA = T.StructType(
     [
@@ -78,7 +78,7 @@ def test_psi_matches_reference_formula(spark, dirs):
     r = out[0]
     assert r.n_events == len(day1)
     assert r.n_bins == len(REF_COUNTS)
-    expected = round(compute_psi(_expected_counts(day1), REF_COUNTS), 6)
+    expected = psi_round6(compute_psi(_expected_counts(day1), REF_COUNTS))
     assert r.psi == expected
 
 
@@ -106,12 +106,10 @@ def test_snapshots_accumulate_across_batches_and_restart(spark, dirs):
     w1 = sorted(by_window[_ts(1)], key=lambda r: r.n_events)
     # two snapshots for day 1: after batch 1 and after batch 2
     assert [r.n_events for r in w1] == [2, 5]
-    assert w1[-1].psi == round(
-        compute_psi(_expected_counts(day1a + day1b), REF_COUNTS), 6
-    )
+    assert w1[-1].psi == psi_round6(compute_psi(_expected_counts(day1a + day1b), REF_COUNTS))
     w2 = by_window[_ts(2)]
     assert len(w2) == 1 and w2[0].n_events == 2
-    assert w2[0].psi == round(compute_psi(_expected_counts(day2), REF_COUNTS), 6)
+    assert w2[0].psi == psi_round6(compute_psi(_expected_counts(day2), REF_COUNTS))
 
 
 def test_identical_distribution_scores_near_zero(spark, dirs):
@@ -132,3 +130,46 @@ def test_edge_validation():
         psi_drift_stream(None, [2.0, 1.0], [1, 1, 1])
     with pytest.raises(ValueError):
         psi_drift_stream(None, [1.0], [1])
+
+
+def test_stream_drift_e2e_latest_snapshot_matches_batch_psi(spark):
+    """The registered oracle-gated e2e query: interleaved drops over one
+    shared checkpoint; the latest per-window snapshot must equal the
+    batch PSI over that window's full event set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.plans.common import t as load
+    from habits_etl_spark.plans.streaming_e2e import (
+        _DRIFT_EDGES,
+        _DRIFT_REF,
+        stream_drift_e2e,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    got = {
+        r.window_start_s: (r.n_events, r.psi)
+        for r in stream_drift_e2e(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_expr = F.lit(1)
+    for e in _DRIFT_EDGES:
+        bin_expr = bin_expr + (F.col("value") > F.lit(e)).cast("int")
+    rows = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("w"),
+            bin_expr.alias("bin"),
+        )
+        .groupBy("w", "bin")
+        .count()
+        .collect()
+    )
+    by_w: dict = {}
+    for r in rows:
+        by_w.setdefault(r.w, [0] * len(_DRIFT_REF))[r.bin - 1] += r["count"]
+    assert set(got) == set(by_w)
+    for wname, counts in by_w.items():
+        n, psi = got[wname]
+        assert n == sum(counts)
+        assert psi == psi_round6(compute_psi(counts, _DRIFT_REF))
