@@ -668,3 +668,119 @@ def stream_drift_e2e(spark, sf_dir):
             "n_bins",
         )
     )
+
+
+def _anomaly_oracle_sql() -> str:
+    """Welford z-score anomaly fold restated as a DuckDB RECURSIVE CTE:
+    all users advance one (ts, event_id)-ordered row per iteration,
+    carrying exact (n, mean, m2) state; every float op ((x-mean), /n,
+    m2 accumulation, var, sqrt, division) is written in the operator's
+    exact order, so the doubles are BIT-IDENTICAL to the Python fold
+    (repr-hash parity, the k-core/PageRank recursion playbook).
+    Recursion depth = max rows per user (~100 across SFs), rows per
+    iteration = |users| — bounded, not corpus-scale."""
+    return f"""
+    WITH RECURSIVE vals AS MATERIALIZED (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    seq AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+             CAST(0.0 AS DOUBLE) AS mean, CAST(0.0 AS DOUBLE) AS m2,
+             CAST(NULL AS BIGINT) AS event_id,
+             CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS x,
+             CAST(NULL AS DOUBLE) AS z, CAST(NULL AS BIGINT) AS n_history
+      FROM (SELECT DISTINCT user_id FROM vals)
+      UNION ALL
+      SELECT v.user_id, v.rn, s.n + 1,
+             s.mean + (v.value - s.mean) / (s.n + 1),
+             s.m2 + (v.value - s.mean)
+                  * (v.value - (s.mean + (v.value - s.mean) / (s.n + 1))),
+             v.event_id, v.ts, v.value,
+             CASE WHEN s.n >= {_ANOM_MIN_N} AND s.m2 / (s.n - 1) > 0
+                  THEN (v.value - s.mean) / sqrt(s.m2 / (s.n - 1)) END,
+             s.n
+      FROM seq s JOIN vals v ON v.user_id = s.user_id AND v.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           x AS value, z, n_history
+    FROM seq WHERE z IS NOT NULL AND abs(z) > {_ANOM_THRESHOLD!r}
+    """
+
+
+_ANOM_THRESHOLD = 3.0
+_ANOM_MIN_N = 5
+
+
+@query("stream_anomaly_e2e", _anomaly_oracle_sql())
+def stream_anomaly_e2e(spark, sf_dir):
+    """Stateful streaming z-score anomaly detector (streaming/anomaly.py,
+    applyInPandasWithState over Welford running moments), end to end and
+    ORACLE-GATED: stage the events table as {_N_DROPS} TIME-CONTIGUOUS
+    micro-batch drops (event-time terciles, the funnel pattern), run the
+    detector once per drop against ONE shared checkpoint, and return the
+    union of emitted anomaly rows.
+
+    Why time-contiguous drops: the detector is a sequential left fold
+    over each user's (ts, event_id)-ordered history — the score of row
+    k depends on the exact (n, mean, m2) after rows 1..k-1, so an
+    interleaved split would legitimately change the answers. A
+    time-contiguous split composes exactly: state after drop j = fold
+    over all rows with ts <= boundary_j, and the operator sorts the
+    whole batch per group (chunk-concat first), so the union of per-drop
+    emissions equals the one-shot fold. The oracle replays that fold
+    row by row in a recursive CTE with bit-identical IEEE arithmetic —
+    raw unrounded z doubles hash-match via repr parity.
+
+    Scale: state is three scalars per user, hash-partitioned; append
+    mode emits only the exception stream. The oracle's recursion is a
+    CHECK, not the engine — the Spark side never iterates."""
+    from habits_etl_spark.streaming.anomaly import zscore_anomaly_stream
+
+    base = _scoped_workdir(spark, sf_dir, kind="anomaly")
+    src = os.path.join(base, "incoming")
+    out = os.path.join(base, "anomalies")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(src, exist_ok=True)
+
+    staged = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", F.unix_micros("ts").alias("__et")
+    )
+    source_schema = staged.drop("__et").schema
+
+    b1, b2 = staged.select(
+        F.percentile_approx("__et", [1.0 / 3, 2.0 / 3]).alias("b")
+    ).collect()[0]["b"]
+    ranges = [
+        F.col("__et") <= b1,
+        (F.col("__et") > b1) & (F.col("__et") <= b2),
+        F.col("__et") > b2,
+    ]
+
+    for cond in ranges:
+        staged.filter(cond).drop("__et").coalesce(2).write.mode("append").parquet(src)
+        q = (
+            zscore_anomaly_stream(
+                spark.readStream.schema(source_schema).parquet(src),
+                threshold=_ANOM_THRESHOLD,
+                min_n=_ANOM_MIN_N,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        "user_id",
+        "event_id",
+        fmt_ts("ts").alias("ts_s"),
+        "value",
+        "z",
+        "n_history",
+    )

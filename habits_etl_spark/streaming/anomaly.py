@@ -48,9 +48,14 @@ def _make_update(threshold: float, min_n: int):
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         (user_id,) = key
         out: list[tuple] = []
-        for pdf in pdfs:
-            # event-time order within the batch (see module docstring)
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A large group arrives as MULTIPLE Arrow chunks; sorting each
+        # chunk alone would only be piecewise-ordered, so concatenate
+        # first — the docstring's "event-time order within the batch" is
+        # a whole-batch contract (the group's rows are already
+        # materialized in state-store memory at this point, so the
+        # concat does not change the operator's memory bound).
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in (whole.sort_values(["ts", "event_id"]),):
             for ev, ts, x in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
                 if x is None or (isinstance(x, float) and math.isnan(x)):
                     continue

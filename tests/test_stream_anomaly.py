@@ -169,3 +169,48 @@ def test_stream_agrees_with_batch_twin(spark, sf_dir, dirs):
     assert set(stream) == set(batch)
     for ev, z in batch.items():
         assert abs(stream[ev] - z) < 1e-6
+
+
+def test_stream_anomaly_e2e_matches_sequential_fold(spark):
+    """The registered oracle-gated e2e query: time-contiguous drops over
+    one shared checkpoint must emit exactly the anomalies of the one-shot
+    Welford fold over each user's (ts, event_id)-ordered history."""
+    import math
+    import os
+    from collections import defaultdict
+
+    from habits_etl_spark.plans.common import t as load
+    from habits_etl_spark.plans.streaming_e2e import (
+        _ANOM_MIN_N,
+        _ANOM_THRESHOLD,
+        stream_anomaly_e2e,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    got = {
+        (r.user_id, r.event_id): (r.z, r.n_history)
+        for r in stream_anomaly_e2e(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r.user_id, r.ts, r.event_id))
+    st = defaultdict(lambda: (0, 0.0, 0.0))
+    want = {}
+    for r in rows:
+        n, mean, m2 = st[r.user_id]
+        if n >= _ANOM_MIN_N:
+            var = m2 / (n - 1)
+            if var > 0:
+                z = (r.value - mean) / math.sqrt(var)
+                if abs(z) > _ANOM_THRESHOLD:
+                    want[(r.user_id, r.event_id)] = (z, n)
+        n += 1
+        d = r.value - mean
+        mean += d / n
+        m2 += d * (r.value - mean)
+        st[r.user_id] = (n, mean, m2)
+    assert got == want
