@@ -784,3 +784,89 @@ def stream_anomaly_e2e(spark, sf_dir):
         "z",
         "n_history",
     )
+
+
+@query(
+    "stream_dq_gate_e2e",
+    f"""
+    SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           user_id, event_type,
+           CASE WHEN event_id % 3 = 1 THEN NULL ELSE value END AS value,
+           (event_id % 3 <> 1) AS published
+    FROM events
+    """,
+)
+def stream_dq_gate_e2e(spark, sf_dir):
+    """Streaming DQ circuit breaker (streaming/dq_gate.py), end to end
+    and ORACLE-GATED: stage the events table as {_N_DROPS}
+    event_id-interleaved drops, POISON every row of drop 1 (value set to
+    NULL, so the events_value_complete rule fails on ANY nonempty subset
+    of it), run the gated publish once per drop against ONE shared
+    checkpoint, and return published + quarantined rows with their gate
+    outcome.
+
+    Why the outcome is hash-gateable: the verdict is a deterministic
+    per-batch aggregate, and the poisoning is TOTAL over drop 1 — so the
+    outcome is invariant even if a trigger chunks a drop into several
+    micro-batches (every sub-batch of drop 1 still violates the rule;
+    every sub-batch of drops 0 and 2 still passes all four). The final
+    state is therefore a deterministic function of the event set: clean
+    rows land in the manifest-committed serving table, poisoned rows in
+    quarantine, nothing lost — exactly what the oracle states row by
+    row. The audit log's per-batch rows ARE batch-count dependent, so
+    the log is asserted in pytest, not hashed here.
+
+    Scale: the rule battery is one fused conditional-aggregate pass per
+    micro-batch (map-side partials, ≤|rules| driver rows); publish
+    appends files through the manifest sink (no rewrite); quarantine is
+    a per-batch directory write."""
+    from habits_etl_spark.sinks import manifest as M
+    from habits_etl_spark.streaming.dq_gate import _QUARANTINE_DIR, dq_gated_publish
+
+    base = _scoped_workdir(spark, sf_dir, kind="dqgate")
+    src = os.path.join(base, "incoming")
+    table = os.path.join(base, "serving")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(src, exist_ok=True)
+
+    staged = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    source_schema = staged.schema
+    poisoned = staged.withColumn(
+        "value",
+        F.when(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == 1, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+
+    for i in range(_N_DROPS):
+        (
+            poisoned.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = dq_gated_publish(
+            spark,
+            spark.readStream.schema(source_schema).parquet(src),
+            table_path=table,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    pub = M.read_snapshot(spark, table).withColumn("published", F.lit(True))
+    quar = (
+        spark.read.schema(source_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(table, _QUARANTINE_DIR))
+        .withColumn("published", F.lit(False))
+    )
+    return pub.unionByName(quar).select(
+        "event_id",
+        fmt_ts("ts").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        "published",
+    )

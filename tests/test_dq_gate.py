@@ -84,3 +84,54 @@ def test_gate_replay_is_idempotent(spark, tmp_path):
 
     assert read_snapshot(spark, table).count() == 1
     assert dq_log(spark, table).count() == 4  # one verdict set, 4 rules
+
+
+def test_stream_dq_gate_e2e_partitions_and_audits(spark):
+    """The registered oracle-gated e2e query: a fully-poisoned drop is
+    quarantined, clean drops publish, nothing is lost, and the audit log
+    carries every rule's verdict for every gated batch."""
+    import os
+
+    from habits_etl_spark.plans.streaming_e2e import (
+        _scoped_workdir,
+        stream_dq_gate_e2e,
+    )
+    from habits_etl_spark.streaming.dq_gate import dq_log
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    got = stream_dq_gate_e2e(spark, sf_dir)
+    from habits_etl_spark.plans.common import t as load
+
+    total = load(spark, sf_dir, "events").count()
+    assert got.count() == total  # nothing lost
+    pub = got.filter("published").count()
+    quar = got.filter("NOT published").count()
+    assert quar == load(spark, sf_dir, "events").filter("event_id % 3 = 1").count()
+    assert pub + quar == total
+    assert got.filter("NOT published AND value IS NOT NULL").count() == 0
+
+    # the audit log: >= 3 gated batches x 4 rules, one `published` flag
+    # per batch consistent with the value-complete verdict
+    table = os.path.join(
+        _scoped_workdir.__globals__["tempfile"].gettempdir(),
+        "habits_etl_stream_e2e",
+        spark.sparkContext.applicationId,
+        "dqgate",
+    )
+    import glob
+
+    [tagdir] = glob.glob(os.path.join(table, "*"))
+    log = dq_log(spark, os.path.join(tagdir, "serving")).collect()
+    assert len(log) >= 12 and len(log) % 4 == 0
+    by_batch: dict = {}
+    for r in log:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for bid, rows in by_batch.items():
+        assert {r.rule_id for r in rows} == {
+            "events_value_complete",
+            "events_type_in_domain",
+            "events_ts_in_range",
+            "events_key_unique",
+        }
+        ok = all(r.rule_passed for r in rows)
+        assert all(r.published == ok for r in rows)
