@@ -870,3 +870,89 @@ def stream_dq_gate_e2e(spark, sf_dir):
         "value",
         "published",
     )
+
+
+_HH_CAPACITY = 4096  # >= total distinct users at every SF -> no eviction
+
+
+@query(
+    "stream_heavy_hitters_e2e",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS item,
+           CAST(count(*) AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS max_err
+    FROM events GROUP BY 1
+    """,
+)
+def stream_heavy_hitters_e2e(spark, sf_dir):
+    """Sharded space-saving heavy hitters (streaming/heavy_hitters.py,
+    applyInPandasWithState), end to end and ORACLE-GATED in the sketch's
+    EXACT regime: stage user_id items as {_N_DROPS} event_id-interleaved
+    drops, run the sketch once per drop against ONE shared checkpoint,
+    and return each shard's LATEST summary with the shard column
+    dropped.
+
+    Why this is the hash-gateable regime and the honest one: with
+    capacity >= the distinct item count ({_HH_CAPACITY} >> 1.5k users at
+    sf0.1) space-saving NEVER evicts, so every counter is the exact item
+    frequency (est = true, err = 0) and the final summaries are a
+    deterministic, batch-split-invariant function of the item set — the
+    plain GROUP BY count the oracle states. Under eviction the summary
+    depends on arrival order BY DESIGN (only the ``true <= est <= true +
+    err`` band is guaranteed), so that regime is pytest-asserted
+    (tests/test_stream_heavy_hitters.py), like the other sketch ops
+    (agg_cms_heavy_hitters). Dropping the shard id keeps xxhash64 (no
+    DuckDB twin) out of the oracle without weakening it: with no
+    eviction each item lives in exactly one shard.
+
+    The restart machinery is still fully exercised: every drop re-opens
+    the checkpoint, resumes each shard's (items, counts, errs) arrays,
+    and must fold new arrivals into restored counters.
+
+    Scale: state is n_shards x capacity counters TOTAL — bounded
+    regardless of item cardinality; each update touches one shard."""
+    from pyspark.sql import Window
+
+    from habits_etl_spark.streaming.heavy_hitters import heavy_hitters_stream
+
+    base = _scoped_workdir(spark, sf_dir, kind="hh")
+    src = os.path.join(base, "incoming")
+    out = os.path.join(base, "summaries")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(src, exist_ok=True)
+
+    staged = t(spark, sf_dir, "events").select("event_id", "user_id")
+    source_schema = staged.drop("event_id").schema
+
+    def fb(df, epoch_id):
+        df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    for i in range(_N_DROPS):
+        (
+            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+            .drop("event_id")
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            heavy_hitters_stream(
+                spark.readStream.schema(source_schema).parquet(src),
+                item_col="user_id",
+                capacity=_HH_CAPACITY,
+            )
+            .writeStream.foreachBatch(fb)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    summ = spark.read.parquet(out)
+    w = Window.partitionBy("shard").orderBy(F.col("epoch").desc())
+    return (
+        summ.withColumn("__e", F.max("epoch").over(w))
+        .filter(F.col("epoch") == F.col("__e"))
+        .select("item", "est_count", "max_err")
+    )

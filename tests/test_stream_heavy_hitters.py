@@ -86,3 +86,24 @@ def test_counts_accumulate_across_micro_batches(spark, dirs):
 
     rows = [r for r in spark.read.parquet(dirs["out"]).collect() if r.item == "hot"]
     assert max(r.est_count for r in rows) == 120
+
+
+def test_stream_heavy_hitters_e2e_exact_regime(spark):
+    """The registered oracle-gated e2e query: with capacity above the
+    distinct item count the sketch never evicts, so the latest summaries
+    must be the exact per-item frequencies with zero error."""
+    import os
+
+    from habits_etl_spark.plans.common import t as load
+    from habits_etl_spark.plans.streaming_e2e import stream_heavy_hitters_e2e
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    got = {
+        r.item: (r.est_count, r.max_err)
+        for r in stream_heavy_hitters_e2e(spark, sf_dir).collect()
+    }
+    want = {
+        str(r.user_id): (r["count"], 0)
+        for r in load(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    }
+    assert got == want
