@@ -167,6 +167,20 @@ CURATION = [
     "ext_pagerank_dupgraph",
     "ext_linear_attribution",
     "stream_retention_e2e",
+    # round 11: same rule. ext_kcore_dupgraph's plan changed (shared
+    # MinHash pair relation, 7f800f5) alongside its new recursive-CTE
+    # oracle; the seven remaining streaming operators all gained
+    # oracle-gated e2e ids this round — every one gets its first tracked
+    # witness here (each replays its full multi-drop pipeline per rep,
+    # so these medians are pipeline walls, not single-query walls).
+    "ext_kcore_dupgraph",
+    "stream_funnel_e2e",
+    "stream_dedup_e2e",
+    "stream_interval_join_e2e",
+    "stream_drift_e2e",
+    "stream_anomaly_e2e",
+    "stream_dq_gate_e2e",
+    "stream_heavy_hitters_e2e",
 ]
 
 
