@@ -35,6 +35,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -52,6 +53,26 @@ from habits_etl_spark.plans.common import (
 # circular; the query body imports it lazily instead.
 
 _N_DROPS = 3
+
+
+@contextmanager
+def _pinned_state_partitions(spark, n: int = 8):
+    """Pin spark.sql.shuffle.partitions for one e2e run. Every stateful
+    streaming operator keeps one state store PER shuffle partition (a
+    stream-stream join keeps four), and every store snapshots on every
+    micro-batch commit — at the session default (32) the multi-drop e2e
+    pipelines here pay 32-128 stores x 3 restarts of pure checkpoint
+    I/O for fixture-scale inputs. Sizing the state partition count to
+    throughput is the knob a real deployment sets per query; results
+    are partition-count independent, and the count is baked into each
+    run's FRESH checkpoint (_scoped_workdir wipes the previous tree),
+    so the pin never conflicts with restored state."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _scoped_workdir(spark, sf_dir: str, kind: str = "rollup") -> str:
@@ -201,23 +222,24 @@ def stream_retention_e2e(spark, sf_dir):
     def fb(df, epoch_id):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
 
-    for i in range(_N_DROPS):
-        (
-            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
-            .drop("event_id")
-            .coalesce(2)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            retention_stream(spark.readStream.schema(source_schema).parquet(src))
-            .writeStream.foreachBatch(fb)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    with _pinned_state_partitions(spark):
+        for i in range(_N_DROPS):
+            (
+                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+                .drop("event_id")
+                .coalesce(2)
+                .write.mode("append")
+                .parquet(src)
+            )
+            q = (
+                retention_stream(spark.readStream.schema(source_schema).parquet(src))
+                .writeStream.foreachBatch(fb)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     upd = spark.read.parquet(out)
     w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
@@ -331,17 +353,18 @@ def stream_funnel_e2e(spark, sf_dir):
     def fb(df, epoch_id):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
 
-    for cond in ranges:
-        staged.filter(cond).drop("__et").coalesce(2).write.mode("append").parquet(src)
-        q = (
-            funnel_stream(spark.readStream.schema(source_schema).parquet(src))
-            .writeStream.foreachBatch(fb)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    with _pinned_state_partitions(spark):
+        for cond in ranges:
+            staged.filter(cond).drop("__et").coalesce(2).write.mode("append").parquet(src)
+            q = (
+                funnel_stream(spark.readStream.schema(source_schema).parquet(src))
+                .writeStream.foreachBatch(fb)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     upd = spark.read.parquet(out)
     w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
@@ -407,29 +430,30 @@ def stream_dedup_e2e(spark, sf_dir):
         ),
     )
 
-    for i in range(_N_DROPS):
-        (
-            reps.filter(F.pmod(F.col("event_id") + F.col("r"), F.lit(_N_DROPS)) == i)
-            .drop("r")
-            .coalesce(2)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            dedup_stream(
-                spark.readStream.schema(source_schema).parquet(src),
-                keys=["event_id"],
-                event_ts="ts",
-                watermark="4000 days",
+    with _pinned_state_partitions(spark):
+        for i in range(_N_DROPS):
+            (
+                reps.filter(F.pmod(F.col("event_id") + F.col("r"), F.lit(_N_DROPS)) == i)
+                .drop("r")
+                .coalesce(2)
+                .write.mode("append")
+                .parquet(src)
             )
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q = (
+                dedup_stream(
+                    spark.readStream.schema(source_schema).parquet(src),
+                    keys=["event_id"],
+                    event_ts="ts",
+                    watermark="4000 days",
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     return spark.read.parquet(out).select(
         "event_id",
@@ -484,7 +508,12 @@ def stream_interval_join_e2e(spark, sf_dir):
     Scale: both sides shuffle once on the join key into the state store
     (hash-partitioned, RocksDB-compatible); per-trigger cost scales with
     new files; state per key is bounded by rows inside the watermark
-    horizon, and the emitted enrichment never re-reads history."""
+    horizon, and the emitted enrichment never re-reads history. The
+    state partition count is pinned DOWN for this run (a stream-stream
+    join keeps FOUR stores per partition, each snapshotting every
+    micro-batch — sizing partitions to throughput instead of the batch
+    default is the same knob a real deployment sets; the result is
+    partition-count independent)."""
     from habits_etl_spark.streaming.join import interval_enrichment_join
 
     base = _scoped_workdir(spark, sf_dir, kind="ivjoin")
@@ -509,33 +538,34 @@ def stream_interval_join_e2e(spark, sf_dir):
     )
     f_schema, c_schema = facts.schema, ctx.schema
 
-    for i in range(_N_DROPS):
-        for side, key, dst in ((facts, "fact_id", fsrc), (ctx, "ctx_id", csrc)):
-            (
-                side.filter(F.pmod(F.col(key), F.lit(_N_DROPS)) == i)
-                .coalesce(2)
-                .write.mode("append")
-                .parquet(dst)
+    with _pinned_state_partitions(spark):
+        for i in range(_N_DROPS):
+            for side, key, dst in ((facts, "fact_id", fsrc), (ctx, "ctx_id", csrc)):
+                (
+                    side.filter(F.pmod(F.col(key), F.lit(_N_DROPS)) == i)
+                    .coalesce(2)
+                    .write.mode("append")
+                    .parquet(dst)
+                )
+            q = (
+                interval_enrichment_join(
+                    spark.readStream.schema(f_schema).parquet(fsrc),
+                    spark.readStream.schema(c_schema).parquet(csrc),
+                    key="user_id",
+                    fact_ts="fact_ts",
+                    context_ts="ctx_ts",
+                    fact_delay="4000 days",
+                    context_delay="4000 days",
+                    horizon=f"{_IJ_HORIZON_H} hours",
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-        q = (
-            interval_enrichment_join(
-                spark.readStream.schema(f_schema).parquet(fsrc),
-                spark.readStream.schema(c_schema).parquet(csrc),
-                key="user_id",
-                fact_ts="fact_ts",
-                context_ts="ctx_ts",
-                fact_delay="4000 days",
-                context_delay="4000 days",
-                horizon=f"{_IJ_HORIZON_H} hours",
-            )
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     return spark.read.parquet(out).select(
         "user_id",
@@ -633,28 +663,29 @@ def stream_drift_e2e(spark, sf_dir):
     def fb(df, epoch_id):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
 
-    for i in range(_N_DROPS):
-        (
-            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
-            .drop("event_id")
-            .coalesce(2)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            psi_drift_stream(
-                spark.readStream.schema(source_schema).parquet(src),
-                edges=_DRIFT_EDGES,
-                ref_counts=_DRIFT_REF,
-                window_duration="1 day",
+    with _pinned_state_partitions(spark):
+        for i in range(_N_DROPS):
+            (
+                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+                .drop("event_id")
+                .coalesce(2)
+                .write.mode("append")
+                .parquet(src)
             )
-            .writeStream.foreachBatch(fb)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q = (
+                psi_drift_stream(
+                    spark.readStream.schema(source_schema).parquet(src),
+                    edges=_DRIFT_EDGES,
+                    ref_counts=_DRIFT_REF,
+                    window_duration="1 day",
+                )
+                .writeStream.foreachBatch(fb)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     upd = spark.read.parquet(out)
     w = Window.partitionBy("window_start").orderBy(F.col("epoch").desc())
@@ -759,22 +790,23 @@ def stream_anomaly_e2e(spark, sf_dir):
         F.col("__et") > b2,
     ]
 
-    for cond in ranges:
-        staged.filter(cond).drop("__et").coalesce(2).write.mode("append").parquet(src)
-        q = (
-            zscore_anomaly_stream(
-                spark.readStream.schema(source_schema).parquet(src),
-                threshold=_ANOM_THRESHOLD,
-                min_n=_ANOM_MIN_N,
+    with _pinned_state_partitions(spark):
+        for cond in ranges:
+            staged.filter(cond).drop("__et").coalesce(2).write.mode("append").parquet(src)
+            q = (
+                zscore_anomaly_stream(
+                    spark.readStream.schema(source_schema).parquet(src),
+                    threshold=_ANOM_THRESHOLD,
+                    min_n=_ANOM_MIN_N,
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     return spark.read.parquet(out).select(
         "user_id",
@@ -927,27 +959,28 @@ def stream_heavy_hitters_e2e(spark, sf_dir):
     def fb(df, epoch_id):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
 
-    for i in range(_N_DROPS):
-        (
-            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
-            .drop("event_id")
-            .coalesce(2)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            heavy_hitters_stream(
-                spark.readStream.schema(source_schema).parquet(src),
-                item_col="user_id",
-                capacity=_HH_CAPACITY,
+    with _pinned_state_partitions(spark):
+        for i in range(_N_DROPS):
+            (
+                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+                .drop("event_id")
+                .coalesce(2)
+                .write.mode("append")
+                .parquet(src)
             )
-            .writeStream.foreachBatch(fb)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q = (
+                heavy_hitters_stream(
+                    spark.readStream.schema(source_schema).parquet(src),
+                    item_col="user_id",
+                    capacity=_HH_CAPACITY,
+                )
+                .writeStream.foreachBatch(fb)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     summ = spark.read.parquet(out)
     w = Window.partitionBy("shard").orderBy(F.col("epoch").desc())
