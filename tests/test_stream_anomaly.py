@@ -214,3 +214,34 @@ def test_stream_anomaly_e2e_matches_sequential_fold(spark):
         m2 += d * (r.value - mean)
         st[r.user_id] = (n, mean, m2)
     assert got == want
+
+
+def test_stream_anomaly_e2e_under_rocksdb_state_store(spark):
+    """The oracle-gated e2e pipeline under the RocksDB provider — the
+    bounded-memory store a 100 TB deployment runs — must emit the same
+    anomaly set as the default provider."""
+    import os
+
+    import pytest
+
+    from habits_etl_spark.plans.streaming_e2e import stream_anomaly_e2e
+    from habits_etl_spark.session import enable_rocksdb_state_store
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    base = {
+        (r.user_id, r.event_id): (r.z, r.n_history)
+        for r in stream_anomaly_e2e(spark, sf_dir).collect()
+    }
+    if not enable_rocksdb_state_store(spark):
+        pytest.skip("RocksDB state store provider not on the classpath")
+    try:
+        rocks = {
+            (r.user_id, r.event_id): (r.z, r.n_history)
+            for r in stream_anomaly_e2e(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+    assert rocks == base
