@@ -37,7 +37,16 @@ def _media_table(spark, sf_dir):
     per document, kind rotating image/audio/video on doc_id % 3, with
     the payload swapped for a REAL generated BMP/PNG/JPEG (container
     rotating on id//3 % 4), 16-bit PCM WAV, or MJPEG AVI."""
-    d = t(spark, sf_dir, "documents")
+    # The generate/encode/decode stages are CPU-bound PYTHON work per
+    # row, so their parallelism must come from the plan, not from
+    # whatever file splits the fixture happens to have (the driver's
+    # single-row-group parquet reads as ONE partition, serializing every
+    # codec). One cheap shuffle of the 2-column projection buys
+    # full-width Arrow stages; at real scale input splits already
+    # provide this and the repartition coalesces to a no-op cost.
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return with_real_video(
         with_real_audio(
             with_real_images(
