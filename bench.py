@@ -181,6 +181,11 @@ CURATION = [
     "stream_anomaly_e2e",
     "stream_dq_gate_e2e",
     "stream_heavy_hitters_e2e",
+    # r11 late additions: the ICWS weighted-Jaccard near-dup family is
+    # new this round, and the multimodal queries' codec stages gained
+    # plan-level parallelism (single-split fixture serialized them).
+    "ext_weighted_minhash_pairs",
+    "ext_multimodal_meta",
 ]
 
 

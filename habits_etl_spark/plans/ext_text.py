@@ -1025,3 +1025,222 @@ def ext_token_histogram(spark, sf_dir):
         .orderBy(F.col("n").desc(), "tok")
         .limit(25)
     )
+
+
+# --- ICWS weighted MinHash (tf-weighted Jaccard near-dup) --------------------
+#
+# Ioffe 2010, "Improved Consistent Sampling, Weighted Minhash and L1
+# Sketching": for each (token, hash k), draw r, c ~ Gamma(2,1) and
+# beta ~ U(0,1) from a seeded hash, and pick the token minimizing
+#   a = ln(c) - r * ((floor(ln(w)/r + beta) - beta) + 1)
+# over the doc's tf-weighted token set; P[two docs pick the same token]
+# equals their WEIGHTED Jaccard sum(min(wa,wb))/sum(max(wa,wb)) — the
+# tf-aware upgrade of the unweighted shingle MinHash above (a doc that
+# repeats a phrase 10x is no longer identical to one that uses it once).
+# Engine-portable by construction: the Gamma draws come from md5-derived
+# uniforms (r = -ln(u1*u2)), every float op is written in the same order
+# on both sides, and the argmin compares DECIMAL(28,12)-quantized keys
+# (grid ties break by token — the array_position/first-max rule).
+_ICWS_K = 12  # hash dimensions
+_ICWS_R = 4  # band rows -> 3 bands; P(candidate) = 1-(1-J_w^4)^3
+_ICWS_THR = 0.8
+
+_ICWS_TOK_DUCK = """
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS token
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+         unnest(range(1, len(ws))) AS t(i)
+  ) GROUP BY 1, 2
+"""
+
+# one uniform from md5 hex chars [lo, lo+5]: 24 bits, strictly in (0,1)
+_U_DUCK = "((CAST(('0x' || substr(h,{lo},6)) AS BIGINT) + 0.5) / 16777216.0)"
+
+
+def _icws_a_duck() -> str:
+    u1, u2, u3, u4, u5 = (_U_DUCK.format(lo=lo) for lo in (1, 7, 13, 19, 25))
+    return (
+        f"CAST(ln(-ln({u3}*{u4}))"
+        f" - ((-ln({u1}*{u2}))"
+        f" * ((floor(ln(CAST(tf AS DOUBLE))/(-ln({u1}*{u2})) + {u5})"
+        f" - {u5}) + 1.0)) AS DECIMAL(28,12))"
+    )
+
+
+@query(
+    "ext_weighted_minhash_pairs",
+    f"""
+    WITH tok AS MATERIALIZED ({_ICWS_TOK_DUCK}),
+    icws AS MATERIALIZED (
+      SELECT doc_id, token, k, {_icws_a_duck()} AS a
+      FROM (SELECT doc_id, token, tf, k,
+                   md5(token || '|' || CAST(k AS VARCHAR)) AS h
+            FROM tok CROSS JOIN (SELECT unnest(range(0, {_ICWS_K})) AS k))
+    ),
+    amin AS MATERIALIZED (
+      SELECT doc_id, k, min(a) AS am FROM icws GROUP BY 1, 2
+    ),
+    sig AS MATERIALIZED (
+      SELECT i.doc_id, i.k, min(i.token) AS pick
+      FROM icws i JOIN amin m
+        ON m.doc_id = i.doc_id AND m.k = i.k AND i.a = m.am
+      GROUP BY 1, 2
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, CAST(k // {_ICWS_R} AS INT) AS band,
+             string_agg(pick, '|' ORDER BY k) AS bsig
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    pa AS (SELECT c.da, c.db, t.token, t.tf AS wa
+           FROM cand c JOIN tok t ON t.doc_id = c.da),
+    pb AS (SELECT c.da, c.db, t.token, t.tf AS wb
+           FROM cand c JOIN tok t ON t.doc_id = c.db),
+    ptok AS (
+      SELECT coalesce(pa.da, pb.da) AS da, coalesce(pa.db, pb.db) AS db,
+             coalesce(pa.wa, 0) AS wa, coalesce(pb.wb, 0) AS wb
+      FROM pa FULL OUTER JOIN pb
+        ON pa.da = pb.da AND pa.db = pb.db AND pa.token = pb.token
+    ),
+    inter AS (
+      SELECT da, db, sum(least(wa, wb)) AS smin,
+             sum(greatest(wa, wb)) AS smax
+      FROM ptok GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(smin AS DOUBLE) / smax AS w_jaccard
+    FROM inter
+    WHERE CAST(smin AS DOUBLE) / smax >= {_ICWS_THR!r}
+    """,
+)
+def ext_weighted_minhash_pairs(spark, sf_dir):
+    """TF-WEIGHTED near-duplicate pairs via ICWS weighted MinHash
+    (Ioffe 2010) over word-bigram counts: signatures ({_ICWS_K} picks),
+    {_ICWS_K // _ICWS_R}x{_ICWS_R} banding, then EXACT weighted-Jaccard
+    verification of the surviving candidates — precision is exact by
+    construction (every emitted pair carries its true
+    sum(min)/sum(max)); banding recall is the documented
+    1-(1-J^{_ICWS_R})^{_ICWS_K // _ICWS_R} curve, and exact duplicates
+    are always recalled (identical tf vectors => identical signatures).
+    The weighted complement of ext_near_dedup_minhash: set-MinHash
+    cannot separate a doc repeating one phrase 10x from one using it
+    once; weighted Jaccard can.
+
+    Scale: the ICWS stage is one explode of the (doc, token, tf)
+    relation x{_ICWS_K} hash dims -> two hash aggs (argmin via the
+    decimal-equality first-pick rule) — map-side math, no corpus
+    self-join; banding is an equi-join on (band, bsig); verification
+    joins tokens ONLY for banded candidate pairs (two equi-joins + one
+    full-outer pair-token merge). Never all-pairs. Cross-engine float
+    parity: md5-uniform Gammas, identical op order, DECIMAL(28,12)
+    argmin keys (the r10 playbook); reference parity: BASELINE
+    north-star near-dedup family (no reference twin — [E] extension)."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat(
+            F.element_at("ws", i), F.lit(" "), F.element_at("ws", i + 1)
+        ),
+    )
+    tok = managed_cache(
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+        "ext_weighted_minhash/tok",
+    )
+
+    h = F.md5(F.concat(F.col("token"), F.lit("|"), F.col("k").cast("string")))
+
+    def u(lo: int):
+        return (
+            F.conv(F.substring(F.col("h"), lo, 6), 16, 10).cast("long")
+            + F.lit(0.5)
+        ) / F.lit(16777216.0)
+
+    u1, u2, u3, u4, u5 = u(1), u(7), u(13), u(19), u(25)
+    neg_r = F.log(u1 * u2)  # = -r
+    a = (
+        F.log(-F.log(u3 * u4))
+        - (-neg_r)
+        * ((F.floor(F.log(F.col("tf").cast("double")) / (-neg_r) + u5) - u5) + 1.0)
+    ).cast("decimal(28,12)")
+
+    icws = (
+        tok.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(_ICWS_K - 1))))
+        .withColumn("h", h)
+        .select("doc_id", "token", "k", a.alias("a"))
+    )
+    amin = icws.groupBy("doc_id", "k").agg(F.min("a").alias("am"))
+    sig = (
+        icws.alias("i")
+        .join(
+            amin.alias("m"),
+            (F.col("i.doc_id") == F.col("m.doc_id"))
+            & (F.col("i.k") == F.col("m.k"))
+            & (F.col("i.a") == F.col("m.am")),
+        )
+        .groupBy(F.col("i.doc_id").alias("doc_id"), F.col("i.k").alias("k"))
+        .agg(F.min("i.token").alias("pick"))
+    )
+    bands = sig.groupBy(
+        "doc_id", (F.col("k") / _ICWS_R).cast("int").alias("band")
+    ).agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "pick"))),
+                lambda s: s["pick"],
+            ),
+        ).alias("bsig")
+    )
+    cand = (
+        bands.alias("ba")
+        .join(
+            bands.alias("bb"),
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bsig") == F.col("bb.bsig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+
+    pa = cand.join(tok, tok.doc_id == cand.da).select(
+        "da", "db", "token", F.col("tf").alias("wa")
+    )
+    pb = cand.join(tok, tok.doc_id == cand.db).select(
+        F.col("da").alias("da2"),
+        F.col("db").alias("db2"),
+        F.col("token").alias("token2"),
+        F.col("tf").alias("wb"),
+    )
+    ptok = pa.join(
+        pb,
+        (pa.da == pb.da2) & (pa.db == pb.db2) & (pa.token == pb.token2),
+        "full_outer",
+    ).select(
+        F.coalesce("da", "da2").alias("da"),
+        F.coalesce("db", "db2").alias("db"),
+        F.coalesce("wa", F.lit(0)).alias("wa"),
+        F.coalesce("wb", F.lit(0)).alias("wb"),
+    )
+    jw = (F.col("smin").cast("double") / F.col("smax")).alias("w_jaccard")
+    return (
+        ptok.groupBy("da", "db")
+        .agg(
+            F.sum(F.least("wa", "wb")).alias("smin"),
+            F.sum(F.greatest("wa", "wb")).alias("smax"),
+        )
+        .filter(F.col("smin").cast("double") / F.col("smax") >= _ICWS_THR)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), jw)
+    )
