@@ -706,10 +706,16 @@ def _anomaly_oracle_sql() -> str:
     all users advance one (ts, event_id)-ordered row per iteration,
     carrying exact (n, mean, m2) state; every float op ((x-mean), /n,
     m2 accumulation, var, sqrt, division) is written in the operator's
-    exact order, so the doubles are BIT-IDENTICAL to the Python fold
-    (repr-hash parity, the k-core/PageRank recursion playbook).
-    Recursion depth = max rows per user (~100 across SFs), rows per
-    iteration = |users| — bounded, not corpus-scale."""
+    exact order, so the FOLD STATE is bit-identical to the Python fold
+    (repr-hash parity, the k-core/PageRank recursion playbook). The
+    final scoring expression ``(x-mean)/sqrt(m2/(n-1))`` is NOT
+    ulp-portable on identical inputs (Hypothesis counterexample in
+    streaming/anomaly.py::quantize_z), so both sides fold the score
+    onto the 1e-12 grid in pure double arithmetic —
+    ``round(z * 1e12) / 1e12`` here, the std::round twin in Python —
+    and threshold on the quantized double. Recursion depth = max rows
+    per user (~100 across SFs), rows per iteration = |users| — bounded,
+    not corpus-scale."""
     return f"""
     WITH RECURSIVE vals AS MATERIALIZED (
       SELECT user_id, event_id, ts, value,
@@ -731,7 +737,8 @@ def _anomaly_oracle_sql() -> str:
                   * (v.value - (s.mean + (v.value - s.mean) / (s.n + 1))),
              v.event_id, v.ts, v.value,
              CASE WHEN s.n >= {_ANOM_MIN_N} AND s.m2 / (s.n - 1) > 0
-                  THEN (v.value - s.mean) / sqrt(s.m2 / (s.n - 1)) END,
+                  THEN round((v.value - s.mean) / sqrt(s.m2 / (s.n - 1))
+                             * 1000000000000.0) / 1000000000000.0 END,
              s.n
       FROM seq s JOIN vals v ON v.user_id = s.user_id AND v.rn = s.rn + 1
     )
@@ -762,8 +769,11 @@ def stream_anomaly_e2e(spark, sf_dir):
     over all rows with ts <= boundary_j, and the operator sorts the
     whole batch per group (chunk-concat first), so the union of per-drop
     emissions equals the one-shot fold. The oracle replays that fold
-    row by row in a recursive CTE with bit-identical IEEE arithmetic —
-    raw unrounded z doubles hash-match via repr parity.
+    row by row in a recursive CTE with bit-identical IEEE arithmetic;
+    the final score — the one expression that is NOT ulp-portable
+    across engines — is folded onto a 1e-12 grid in pure double
+    arithmetic on both sides (streaming/anomaly.py::quantize_z), so the
+    emitted z doubles hash-match via repr parity with no knife edge.
 
     Scale: state is three scalars per user, hash-partitioned; append
     mode emits only the exception stream. The oracle's recursion is a

@@ -40,6 +40,48 @@ OUTPUT_SCHEMA = (
 _DEFAULT_THRESHOLD = 3.0
 _DEFAULT_MIN_N = 5  # score only once the key has this much history
 
+_Z_SCALE = 1e12  # 12-dp emission grid, stated in pure double arithmetic
+
+
+def quantize_z(z: float) -> float:
+    """Fold a z-score onto a 1e-12 grid using ONLY IEEE double ops that
+    both engines state identically: ``round(z * 1e12) / 1e12`` with
+    round = C ``std::round`` (half away from zero on the double
+    product, sign-preserving) — exactly DuckDB's
+    ``round(z * 1000000000000.0) / 1000000000000.0``.
+
+    Why the emitted score is quantized at all: the Welford fold state
+    (n, mean, m2) is bit-identical between this operator and the
+    recursive-CTE oracle replay, but the final scoring expression
+    ``(x - mean) / sqrt(m2 / (n - 1))`` may differ by 1 ulp between
+    engines on identical inputs (r11 Hypothesis counterexample
+    ``xs=[0.0, 0.0, 1.0, 180.86111876312918]``: Python z
+    ``312.6832965422988`` vs DuckDB ``...989`` — the failure class the
+    tests/test_pagerank.py decimal-cast comment documents, caught live).
+
+    Why DOUBLE arithmetic and not a DECIMAL cast: DuckDB's
+    ``CAST(double AS DECIMAL(28,12))`` switches conversion strategies
+    with magnitude (exact half-even near 0, double-product rounding in
+    the mid range, inexact scaling above ~1e16), so no single Python
+    decimal rule reproduces it everywhere. ``z * 1e12``, ``std::round``
+    and ``/ 1e12`` are each single correctly-rounded IEEE ops, so the
+    composite is bit-identical across engines for EVERY double —
+    verified over 7k adversarial values across 36 orders of magnitude
+    including product-level ties and signed zeros
+    (tests/test_stream_oracle_parity.py). Both sides quantize, so any
+    sub-grid engine divergence in raw z collapses unless raw z straddles
+    a grid midpoint by less than 1 ulp of the PRODUCT — and because
+    both sides round the identical product double, even that case
+    agrees."""
+    p = z * _Z_SCALE
+    if math.isinf(p):
+        return p / _Z_SCALE
+    a = abs(p)
+    f = float(math.floor(a))
+    if a - f >= 0.5:
+        f += 1.0
+    return math.copysign(f, p) / _Z_SCALE
+
 
 def _make_update(threshold: float, min_n: int):
     def update(
@@ -63,7 +105,7 @@ def _make_update(threshold: float, min_n: int):
                 if n >= min_n:
                     var = m2 / (n - 1)
                     if var > 0:
-                        z = (x - mean) / math.sqrt(var)
+                        z = quantize_z((x - mean) / math.sqrt(var))
                         if abs(z) > threshold:
                             out.append(
                                 (int(user_id), int(ev), ts, float(x), float(z), int(n))

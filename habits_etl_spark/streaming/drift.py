@@ -42,23 +42,32 @@ def compute_psi(act_counts: Sequence[int], ref_counts: Sequence[int]) -> float:
     (plans/experiment.py) and the test reference.
 
     ENGINE-PORTABLE reduction: each per-bin term is a plain IEEE double,
-    but the cross-bin sum folds every term onto the DECIMAL(28,12) grid
-    (HALF_UP on the shortest decimal repr — Spark's double→decimal cast
-    rule) and adds exactly, so the result is order-invariant and equals
-    ``sum(CAST(term AS DECIMAL(28,12)))`` in both Spark SQL and DuckDB —
-    what lets stream_drift_e2e hash-gate the operator's snapshots
-    against a pure-SQL oracle (the agg_psi_drift pattern)."""
+    but the cross-bin sum folds every term onto the 1e-12 grid and adds
+    the grid units as exact integers, so the result is order-invariant
+    and equals ``sum(CAST(term AS DECIMAL(28,12)))`` in DuckDB — what
+    lets stream_drift_e2e hash-gate the operator's snapshots against a
+    pure-SQL oracle (the agg_psi_drift pattern).
+
+    The grid fold is ``round(term * 1e12)`` — half-even on the DOUBLE
+    product, Python's built-in float round — because that is what
+    DuckDB's double→DECIMAL(28,12) cast actually computes for |term| <
+    2^53/1e12 ≈ 9e3 (PSI terms are < ~35 by construction: |Δp| < 1 and
+    |ln ratio| < ln(1e9)). The previous shortest-repr HALF_UP rule
+    (Spark's cast semantics) differs from DuckDB's on knife-edge terms
+    whose repr and binary value straddle a grid midpoint — the r11
+    ADVICE class, eliminated by quantizing the identical product double
+    under the identical rule on both sides
+    (tests/test_stream_oracle_parity.py pins this end to end)."""
     k = len(ref_counts)
     t_act = sum(act_counts) + k
     t_ref = sum(ref_counts) + k
-    psi = Decimal(0)
-    grid = Decimal("1e-12")
+    units = 0  # exact integer sum of 1e-12 grid units
     for a, r in zip(act_counts, ref_counts):
         p_act = (a + 1.0) / t_act
         p_ref = (r + 1.0) / t_ref
         term = (p_act - p_ref) * math.log(p_act / p_ref)
-        psi += Decimal(repr(term)).quantize(grid, rounding=ROUND_HALF_UP)
-    return float(psi)
+        units += round(term * 1e12)
+    return float(Decimal(units) * Decimal("1e-12"))
 
 
 def psi_round6(psi: float) -> float:

@@ -3,8 +3,29 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import settings as _hyp_settings
+from hypothesis.database import DirectoryBasedExampleDatabase
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # lighter session for unit tests
+
+# Cross-engine parity properties run against a COMMITTED example
+# database (tests/hypothesis_examples) so a counterexample found once —
+# like the r11 Welford 1-ulp divergence — fails every subsequent run on
+# every machine, not just the host whose ~/.hypothesis caught it.
+# Profiles: `default` for regular CI; `nightly` (HYPOTHESIS_PROFILE=
+# nightly) widens the search to 500 examples per property — the r10/r11
+# lesson that 40 random draws per run finds knife-edge bugs one round
+# late. derandomize stays False in both: fresh sampling is the point.
+_HYP_DB = DirectoryBasedExampleDatabase(
+    os.path.join(os.path.dirname(__file__), "hypothesis_examples")
+)
+_hyp_settings.register_profile(
+    "default", database=_HYP_DB, derandomize=False, max_examples=100
+)
+_hyp_settings.register_profile(
+    "nightly", database=_HYP_DB, derandomize=False, max_examples=500
+)
+_hyp_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "default"))
 
 
 @pytest.fixture(scope="session")

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 from habits_etl_spark.streaming.anomaly import (
     _DEFAULT_MIN_N,
     _DEFAULT_THRESHOLD,
+    quantize_z,
     zscore_anomaly_stream,
 )
 
@@ -205,7 +206,7 @@ def test_stream_anomaly_e2e_matches_sequential_fold(spark):
         if n >= _ANOM_MIN_N:
             var = m2 / (n - 1)
             if var > 0:
-                z = (r.value - mean) / math.sqrt(var)
+                z = quantize_z((r.value - mean) / math.sqrt(var))
                 if abs(z) > _ANOM_THRESHOLD:
                     want[(r.user_id, r.event_id)] = (z, n)
         n += 1

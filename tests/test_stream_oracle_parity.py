@@ -9,13 +9,24 @@ streaming oracles stand on (no Spark session — pure Python vs DuckDB):
    the fixture.
 
 2. stream_anomaly_e2e: the Python Welford fold (score-before-update,
-   n/mean/m2 recurrence) must be BIT-IDENTICAL to the DuckDB recursive
-   CTE that replays it — same IEEE ops in the same order — for
-   arbitrary value sequences, including ties, constants and mixed
-   magnitudes.
+   n/mean/m2 recurrence) keeps state BIT-IDENTICAL to the DuckDB
+   recursive CTE that replays it — same IEEE ops in the same order —
+   but the FINAL scoring expression ``(x-mean)/sqrt(m2/(n-1))`` is not
+   ulp-portable on identical inputs (r11 counterexample
+   ``xs=[0.0, 0.0, 1.0, 180.86111876312918]``, pinned below with
+   ``@example``). The contract under test is therefore the QUANTIZED
+   one both sides now implement: fold z onto a 1e-12 grid in pure
+   double arithmetic — ``round(z * 1e12) / 1e12`` with half-away
+   std::round, DuckDB's own round() (streaming/anomaly.py::quantize_z
+   is the Python twin) — and the emitted doubles are repr-identical
+   with no knife edge. A direct quantizer-vs-DuckDB property below
+   pins the twin relation itself across magnitudes.
 
 Hypothesis shrinks any counterexample to a minimal sequence, which is
-exactly what a knife-edge rounding tie would need for a postmortem."""
+exactly what a knife-edge rounding tie would need for a postmortem.
+Example database + profiles: committed under tests/hypothesis_examples
+(conftest.py registers ``default`` and a 500-example ``nightly``
+profile; select with HYPOTHESIS_PROFILE=nightly)."""
 
 from __future__ import annotations
 
@@ -23,9 +34,10 @@ import math
 
 import duckdb
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
+from habits_etl_spark.streaming.anomaly import quantize_z
 from habits_etl_spark.streaming.drift import compute_psi, psi_round6
 
 # Bounded, adversarially-shaped doubles: exact integers, dyadic
@@ -37,7 +49,7 @@ _VALUES = st.one_of(
 )
 
 
-@settings(max_examples=60, deadline=None)
+@settings(deadline=None)
 @given(
     act=st.lists(st.integers(min_value=0, max_value=10**9), min_size=2, max_size=16),
     ref=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=16),
@@ -66,26 +78,31 @@ def test_psi_decimal_fold_matches_duckdb(act, ref):
     assert got == want, (act, ref, got, want)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(deadline=None)
 @given(xs=st.lists(_VALUES, min_size=1, max_size=40))
+@example(xs=[0.0, 0.0, 1.0, 180.86111876312918])  # the r11 1-ulp counterexample
 def test_welford_fold_matches_recursive_cte_bitwise(xs):
     min_n, threshold = 3, 1.5
 
-    # Python fold — the operator's exact loop (streaming/anomaly.py)
+    # Python fold — the operator's exact loop (streaming/anomaly.py),
+    # including the quantize_z grid fold the operator applies on emit
     n, mean, m2 = 0, 0.0, 0.0
     py_rows = []
     for i, x in enumerate(xs):
         if n >= min_n:
             var = m2 / (n - 1)
             if var > 0:
-                z = (x - mean) / math.sqrt(var)
+                z = quantize_z((x - mean) / math.sqrt(var))
                 py_rows.append((i, z, n))
         n += 1
         d = x - mean
         mean += d / n
         m2 += d * (x - mean)
 
-    vals = ", ".join(f"({i + 1}, {x!r})" for i, x in enumerate(xs))
+    # embed every value as a string->double cast: a bare VALUES literal
+    # is typed DECIMAL first, which drops the sign of -0.0 (and strtod
+    # round-trips the shortest repr exactly)
+    vals = ", ".join(f"({i + 1}, CAST('{x!r}' AS DOUBLE))" for i, x in enumerate(xs))
     con = duckdb.connect()
     duck_rows = con.execute(
         f"""
@@ -102,7 +119,8 @@ def test_welford_fold_matches_recursive_cte_bitwise(xs):
                       * (v.x - (s.mean + (v.x - s.mean) / (s.n + 1))),
                  v.x,
                  CASE WHEN s.n >= {min_n} AND s.m2 / (s.n - 1) > 0
-                      THEN (v.x - s.mean) / sqrt(s.m2 / (s.n - 1)) END,
+                      THEN round((v.x - s.mean) / sqrt(s.m2 / (s.n - 1))
+                                 * 1000000000000.0) / 1000000000000.0 END,
                  s.n
           FROM seq s JOIN vals v ON v.rn = s.rn + 1
         )
@@ -132,3 +150,40 @@ def test_psi_round6_matches_duckdb_on_grid_ties():
     for v in [0.0000025, 0.0000035, 1.9999995, -0.0000025, 123.4567895]:
         want = con.execute(f"SELECT round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
         assert psi_round6(v) == want, v
+
+
+# Arbitrary finite doubles across the full magnitude range — the
+# quantizer twin must hold EVERYWHERE, not just at z-score scales
+# (the DECIMAL(28,12)-cast approach failed exactly this: DuckDB's
+# double->decimal conversion switches strategy with magnitude).
+_ANY_DOUBLE = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.integers(min_value=-10**6, max_value=10**6).map(float),
+    # product-level ties (k * 2^-13 * 1e12 is exactly representable and
+    # exactly half-grid) and classic shortest-repr adversaries
+    st.integers(min_value=-64, max_value=64).map(lambda k: (2 * k + 1) * 2.0**-13),
+    st.sampled_from(
+        [0.1, 0.3, 1 / 3, 312.6832965422988, 312.6832965422989,
+         5e-13, -5e-13, 4.9e-13, 0.49999999999999994e-12, -9986.928112437166]
+    ),
+)
+
+
+@settings(deadline=None)
+@given(z=_ANY_DOUBLE)
+@example(z=312.6832965422988)
+@example(z=312.6832965422989)
+@example(z=-0.045)  # signed-zero result: std::round preserves the sign
+def test_quantize_z_is_duckdb_round_twin(z):
+    """streaming/anomaly.py::quantize_z must equal DuckDB's
+    ``round(z * 1e12) / 1e12`` BIT-FOR-BIT for every finite double —
+    this is the single cross-engine assumption stream_anomaly_e2e's
+    hash gate stands on after the r11 1-ulp postmortem."""
+    from habits_etl_spark.streaming.anomaly import quantize_z
+
+    con = duckdb.connect()
+    (want,) = con.execute(
+        "SELECT round(CAST(? AS DOUBLE) * 1000000000000.0) / 1000000000000.0",
+        [z],
+    ).fetchone()
+    assert repr(quantize_z(z)) == repr(want), (z, quantize_z(z), want)
