@@ -128,10 +128,21 @@ def shared_cache(spark: SparkSession, scope: str, builder: Callable[[], DataFram
         return df
     df = builder().cache()
     with _REGISTRY_LOCK:
-        for k in [k for k in _RELATION_MEMO if k[0] != key[0]]:
-            del _RELATION_MEMO[k]  # evict handles of dead sessions
-        _RELATION_MEMO[key] = df
-    return df
+        # re-check under the lock: if a concurrent caller built the same
+        # scope first, keep THEIR handle and unpersist ours — otherwise
+        # the loser's cached DataFrame is overwritten and leaks executor
+        # storage for the session lifetime
+        winner = _RELATION_MEMO.get(key)
+        if winner is None:
+            for k in [k for k in _RELATION_MEMO if k[0] != key[0]]:
+                del _RELATION_MEMO[k]  # evict handles of dead sessions
+            _RELATION_MEMO[key] = df
+            return df
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # losing handle; holds no memory if unpersist fails
+    return winner
 
 
 # Trained model literals (k-means centroids, PQ codebooks) are
@@ -151,8 +162,10 @@ def memo_fit(key: tuple, builder: Callable[[], object]):
             return _FIT_MEMO[key]
     val = builder()
     with _REGISTRY_LOCK:
-        _FIT_MEMO[key] = val
-    return val
+        # keep the first published fit if a concurrent caller won the
+        # race (values are plain Python data, so the loser's result is
+        # simply garbage-collected)
+        return _FIT_MEMO.setdefault(key, val)
 
 
 def fmt_ts(c: Column) -> Column:

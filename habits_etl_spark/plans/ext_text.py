@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import davg, managed_cache, query, sql_davg, t
+from habits_etl_spark.plans.common import (
+    davg,
+    managed_cache,
+    query,
+    shared_cache,
+    sql_davg,
+    t,
+)
 
 # Whitespace tokenization shared by every operator here.
 _TOK_SPARK = lambda c: F.split(F.trim(c), r"\s+")  # noqa: E731
@@ -1132,14 +1139,24 @@ def ext_weighted_minhash_pairs(spark, sf_dir):
     once; weighted Jaccard can.
 
     Scale: the ICWS stage is one explode of the (doc, token, tf)
-    relation x{_ICWS_K} hash dims -> two hash aggs (argmin via the
-    decimal-equality first-pick rule) — map-side math, no corpus
-    self-join; banding is an equi-join on (band, bsig); verification
-    joins tokens ONLY for banded candidate pairs (two equi-joins + one
-    full-outer pair-token merge). Never all-pairs. Cross-engine float
-    parity: md5-uniform Gammas, identical op order, DECIMAL(28,12)
-    argmin keys (the r10 playbook); reference parity: BASELINE
-    north-star near-dedup family (no reference twin — [E] extension)."""
+    relation x{_ICWS_K} hash dims -> ONE hash agg (argmin + tie-break in
+    a single struct-min with map-side partials) — map-side math, no
+    corpus self-join, no re-scan of the exploded relation; banding is an
+    equi-join on (band, bsig); verification joins tokens ONLY for banded
+    candidate pairs (two equi-joins + one full-outer pair-token merge).
+    Never all-pairs. Cross-engine float parity: md5-uniform Gammas,
+    identical op order, DECIMAL(28,12) argmin keys (the r10 playbook).
+
+    Residual tie class (the pagerank rule-1 caveat, acknowledged here
+    too): the argmin keys are double->DECIMAL(28,12) casts computed
+    independently per engine (Spark shortest-repr HALF_UP, DuckDB
+    double-product rounding), so two tokens whose ICWS keys differ by
+    less than ~1 ulp AND straddle a 1e-12 grid point could swap argmin
+    winners across engines, diverging a signature. The md5-derived
+    uniforms make the min-vs-runner-up gap O(1/n_tokens) >> 1e-12 in
+    practice — hash-green at all three SFs — but the class is not
+    provably empty. Reference parity: BASELINE north-star near-dedup
+    family (no reference twin — [E] extension)."""
     d = t(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     bigrams = F.transform(
@@ -1148,72 +1165,99 @@ def ext_weighted_minhash_pairs(spark, sf_dir):
             F.element_at("ws", i), F.lit(" "), F.element_at("ws", i + 1)
         ),
     )
-    tok = managed_cache(
-        d.select("doc_id", ws.alias("ws"))
+    # session-lifetime memo, not managed_cache: the tf-vector relation is
+    # a pure function of the corpus dir (the build-the-index-once
+    # contract), and managed_cache's re-cache-per-invocation was
+    # silently rebuilding the bigram explode+agg (~2.5 s at sf0.1) on
+    # EVERY call — most of the r11 witness's residual cost.
+    tok = shared_cache(
+        spark,
+        f"ext_weighted_minhash/tok/{sf_dir}",
+        lambda: d.select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= 2)
         .select("doc_id", F.explode(bigrams).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf")),
-        "ext_weighted_minhash/tok",
     )
 
-    h = F.md5(F.concat(F.col("token"), F.lit("|"), F.col("k").cast("string")))
+    def icws_key(k: int):
+        """(a_k, token) struct for hash dim k — md5-uniform Gamma draws,
+        every float op in the oracle's exact order, DECIMAL(28,12)
+        argmin key (the r10 playbook)."""
+        h = F.md5(F.concat(F.col("token"), F.lit(f"|{k}")))
 
-    def u(lo: int):
+        def u(lo: int):
+            return (
+                F.conv(F.substring(h, lo, 6), 16, 10).cast("long") + F.lit(0.5)
+            ) / F.lit(16777216.0)
+
+        u1, u2, u3, u4, u5 = u(1), u(7), u(13), u(19), u(25)
+        neg_r = F.log(u1 * u2)  # = -r
+        a = (
+            F.log(-F.log(u3 * u4))
+            - (-neg_r)
+            * (
+                (F.floor(F.log(F.col("tf").cast("double")) / (-neg_r) + u5) - u5)
+                + 1.0
+            )
+        ).cast("decimal(28,12)")
+        return F.struct(a.alias("a"), F.col("token").alias("token"))
+
+    # All {K} argmins in ONE hash aggregation over the UN-exploded token
+    # relation: each hash dim is its own min(struct(a, token)) aggregate
+    # column (struct-min orders by a first, then token — exactly the
+    # documented tie-break), so the 12x row explode, the decimal-equality
+    # argmin self-join and the per-(doc,k) second groupBy of the r11 plan
+    # (its slowest registered query at ~10-12 s) all disappear. Map-side
+    # combine reduces the shuffle to one 12-struct row per doc per task;
+    # the per-row projection computes the same 12 md5+ln chains the
+    # explode did, just without materializing 12x rows between them.
+    sig = tok.groupBy("doc_id").agg(
+        *[F.min(icws_key(k)).alias(f"s{k}") for k in range(_ICWS_K)]
+    )
+    # band signatures by plain column concat in k order (no groupBy):
+    # one output row per (doc, band) via a 3-element explode.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"s{b * _ICWS_R + j}.token")
+                                for j in range(_ICWS_R)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(_ICWS_K // _ICWS_R)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    def _build_cand():
         return (
-            F.conv(F.substring(F.col("h"), lo, 6), 16, 10).cast("long")
-            + F.lit(0.5)
-        ) / F.lit(16777216.0)
+            bands.alias("ba")
+            .join(
+                bands.alias("bb"),
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.bsig") == F.col("bb.bsig"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+            )
+            .distinct()
+        )
 
-    u1, u2, u3, u4, u5 = u(1), u(7), u(13), u(19), u(25)
-    neg_r = F.log(u1 * u2)  # = -r
-    a = (
-        F.log(-F.log(u3 * u4))
-        - (-neg_r)
-        * ((F.floor(F.log(F.col("tf").cast("double")) / (-neg_r) + u5) - u5) + 1.0)
-    ).cast("decimal(28,12)")
-
-    icws = (
-        tok.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(_ICWS_K - 1))))
-        .withColumn("h", h)
-        .select("doc_id", "token", "k", a.alias("a"))
-    )
-    amin = icws.groupBy("doc_id", "k").agg(F.min("a").alias("am"))
-    sig = (
-        icws.alias("i")
-        .join(
-            amin.alias("m"),
-            (F.col("i.doc_id") == F.col("m.doc_id"))
-            & (F.col("i.k") == F.col("m.k"))
-            & (F.col("i.a") == F.col("m.am")),
-        )
-        .groupBy(F.col("i.doc_id").alias("doc_id"), F.col("i.k").alias("k"))
-        .agg(F.min("i.token").alias("pick"))
-    )
-    bands = sig.groupBy(
-        "doc_id", (F.col("k") / _ICWS_R).cast("int").alias("band")
-    ).agg(
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "pick"))),
-                lambda s: s["pick"],
-            ),
-        ).alias("bsig")
-    )
-    cand = (
-        bands.alias("ba")
-        .join(
-            bands.alias("bb"),
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bsig") == F.col("bb.bsig"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
-        )
-        .distinct()
-    )
+    # the candidate relation feeds BOTH verification arms (pa, pb);
+    # memoizing it runs the signature pipeline once per session instead
+    # of twice per call (|cand| ~ banded collisions, a few hundred rows —
+    # bounded by the banding curve, not corpus-scale). Pure function of
+    # the corpus dir + module constants, same contract as tok above.
+    cand = shared_cache(spark, f"ext_weighted_minhash/cand/{sf_dir}", _build_cand)
 
     pa = cand.join(tok, tok.doc_id == cand.da).select(
         "da", "db", "token", F.col("tf").alias("wa")

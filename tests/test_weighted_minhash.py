@@ -76,3 +76,52 @@ def test_exact_duplicates_always_recalled(spark, result):
 
 def test_no_pair_below_threshold_emitted(result):
     assert all(jw >= _ICWS_THR for jw in result.values())
+
+
+def test_icws_argmin_tie_margin_exceeds_decimal_grid():
+    """The residual cross-engine tie class (ADVICE r11 / docstring
+    caveat): the argmin keys are double->DECIMAL(28,12) casts computed
+    independently per engine, so a pick could only swap engines if the
+    min-vs-runner-up gap within some (doc, k) were at the 1e-12 grid
+    scale. Turn the docstring's 'gap >> 1e-12 in practice' claim into a
+    checked invariant: over EVERY (doc, k) of the fixture corpus, the
+    runner-up gap must exceed 1000x the grid — no sub-ulp ln()
+    disagreement between JVM and libm can swap a signature pick."""
+    import duckdb
+
+    from habits_etl_spark.plans.ext_text import (
+        _ICWS_K,
+        _ICWS_TOK_DUCK,
+        _icws_a_duck,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    (min_gap, n_groups) = con.execute(
+        f"""
+        WITH tok AS MATERIALIZED ({_ICWS_TOK_DUCK}),
+        icws AS (
+          SELECT doc_id, k, {_icws_a_duck()} AS a
+          FROM (SELECT doc_id, token, tf, k,
+                       md5(token || '|' || CAST(k AS VARCHAR)) AS h
+                FROM tok CROSS JOIN (SELECT unnest(range(0, {_ICWS_K})) AS k))
+        ),
+        ranked AS (
+          SELECT doc_id, k, a,
+                 row_number() OVER (PARTITION BY doc_id, k ORDER BY a) AS rn
+          FROM icws
+        )
+        SELECT min(CAST(gap.a2 - gap.a1 AS DOUBLE)), count(*)
+        FROM (
+          SELECT doc_id, k,
+                 min(CASE WHEN rn = 1 THEN a END) AS a1,
+                 min(CASE WHEN rn = 2 THEN a END) AS a2
+          FROM ranked GROUP BY 1, 2
+        ) gap
+        WHERE gap.a2 IS NOT NULL
+        """
+    ).fetchone()
+    assert n_groups > 0
+    assert min_gap > 1e-9, (min_gap, n_groups)  # 1000x the 1e-12 grid
