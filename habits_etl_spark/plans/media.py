@@ -41,11 +41,16 @@ def _media_table(spark, sf_dir):
     # row, so their parallelism must come from the plan, not from
     # whatever file splits the fixture happens to have (the driver's
     # single-row-group parquet reads as ONE partition, serializing every
-    # codec). One cheap shuffle of the 2-column projection buys
-    # full-width Arrow stages; at real scale input splits already
-    # provide this and the repartition coalesces to a no-op cost.
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # codec). Project FIRST so the shuffle carries only the columns the
+    # pipeline consumes (doc_id + text; at sf0.1 the un-projected table
+    # would drag every other column through the exchange), then one
+    # cheap repartition buys full-width Arrow stages; at real scale
+    # input splits already provide this width and the repartition
+    # coalesces to a no-op cost.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return with_real_video(
         with_real_audio(
