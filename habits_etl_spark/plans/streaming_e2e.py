@@ -54,6 +54,17 @@ from habits_etl_spark.plans.common import (
 
 _N_DROPS = 3
 
+# Drop count for the ids whose determinism argument is proven by ONE
+# restart (replica-interleave, additive interleave, totally-poisoned
+# drop): two drops exercise the restore path end to end while paying a
+# third less checkpoint I/O — the fixed cost that dominates these
+# witnesses (stores x partitions x restarts). The TIME-CONTIGUOUS ids
+# (funnel, anomaly) keep {_N_DROPS}: their argument is that sequential
+# fold state COMPOSES across splits, which a single interior boundary
+# exercises only once per user history — three drops put two fold
+# boundaries inside every history.
+_N_DROPS_ILV = 2
+
 
 @contextmanager
 def _pinned_state_partitions(spark, n: int = 8):
@@ -75,13 +86,22 @@ def _pinned_state_partitions(spark, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _workdir_root() -> str:
+    """Prefer a tmpfs root when one exists: the multi-drop pipelines are
+    dominated by state-store snapshot + source/sink file I/O across
+    restarts, all of it scratch data _scoped_workdir wipes anyway. A
+    real deployment puts checkpoints on durable storage; these
+    witnesses verify restart SEMANTICS, not disk durability."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 def _scoped_workdir(spark, sf_dir: str, kind: str = "rollup") -> str:
     """Fresh per-(session, sf_dir, query) staging root; the previous
     invocation's tree is removed so repeated runs (bench reps, driver
     retries) never accumulate state or replay a stale checkpoint."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = os.path.join(
-        tempfile.gettempdir(),
+        _workdir_root(),
         "habits_etl_stream_e2e",
         spark.sparkContext.applicationId,
         kind,
@@ -105,13 +125,13 @@ def _scoped_workdir(spark, sf_dir: str, kind: str = "rollup") -> str:
 )
 def stream_rollup_e2e(spark, sf_dir):
     """Continuously-maintained daily rollup, end to end: stage the events
-    table as {_N_DROPS} interleaved micro-batch file drops into a watched
+    table as {_N_DROPS_ILV} interleaved micro-batch file drops into a watched
     source directory, run the maintenance stream once per drop
     (availableNow = the reference's cron run) against one shared
     checkpoint, and return the final materialized rollup read back from
     parquet. Every run after the first is both a RESTART (checkpoint
     must dedup the already-seen files) and a LATE-DATA delivery (the
-    event_id % {_N_DROPS} interleave puts rows of every day in every
+    event_id % {_N_DROPS_ILV} interleave puts rows of every day in every
     drop, so materialized buckets must be re-folded, not appended).
 
     The oracle is the batch rollup SQL over the whole table — the
@@ -135,10 +155,10 @@ def stream_rollup_e2e(spark, sf_dir):
     )
     source_schema = staged.drop("event_id").schema
 
-    for i in range(_N_DROPS):
+    for i in range(_N_DROPS_ILV):
         # new part files appended into the watched dir = one cron drop
         (
-            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+            staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS_ILV)) == i)
             .drop("event_id")
             .coalesce(2)
             .write.mode("append")
@@ -184,7 +204,7 @@ def stream_rollup_e2e(spark, sf_dir):
 def stream_retention_e2e(spark, sf_dir):
     """Stateful streaming retention (streaming/retention.py,
     applyInPandasWithState), end to end and ORACLE-GATED: stage the
-    events table as {_N_DROPS} event_id-interleaved micro-batch file
+    events table as {_N_DROPS_ILV} event_id-interleaved micro-batch file
     drops, run the retention stream once per drop against ONE shared
     checkpoint (each run after the first is a genuine restart that must
     resume per-user state), and return the LATEST per-user
@@ -223,9 +243,9 @@ def stream_retention_e2e(spark, sf_dir):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
 
     with _pinned_state_partitions(spark):
-        for i in range(_N_DROPS):
+        for i in range(_N_DROPS_ILV):
             (
-                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS_ILV)) == i)
                 .drop("event_id")
                 .coalesce(2)
                 .write.mode("append")
@@ -431,9 +451,9 @@ def stream_dedup_e2e(spark, sf_dir):
     )
 
     with _pinned_state_partitions(spark):
-        for i in range(_N_DROPS):
+        for i in range(_N_DROPS_ILV):
             (
-                reps.filter(F.pmod(F.col("event_id") + F.col("r"), F.lit(_N_DROPS)) == i)
+                reps.filter(F.pmod(F.col("event_id") + F.col("r"), F.lit(_N_DROPS_ILV)) == i)
                 .drop("r")
                 .coalesce(2)
                 .write.mode("append")
@@ -487,7 +507,7 @@ def stream_interval_join_e2e(spark, sf_dir):
     reference's fact-to-context attribution shape as two live feeds),
     end to end and ORACLE-GATED: split the events table into a context
     stream (signups) and a fact stream (purchases), stage EACH side as
-    {_N_DROPS} event_id-interleaved micro-batch file drops into its own
+    {_N_DROPS_ILV} event_id-interleaved micro-batch file drops into its own
     watched directory, run the two-source join query once per drop pair
     against ONE shared checkpoint, and read the emitted pairs back.
 
@@ -539,10 +559,10 @@ def stream_interval_join_e2e(spark, sf_dir):
     f_schema, c_schema = facts.schema, ctx.schema
 
     with _pinned_state_partitions(spark):
-        for i in range(_N_DROPS):
+        for i in range(_N_DROPS_ILV):
             for side, key, dst in ((facts, "fact_id", fsrc), (ctx, "ctx_id", csrc)):
                 (
-                    side.filter(F.pmod(F.col(key), F.lit(_N_DROPS)) == i)
+                    side.filter(F.pmod(F.col(key), F.lit(_N_DROPS_ILV)) == i)
                     .coalesce(2)
                     .write.mode("append")
                     .parquet(dst)
@@ -622,7 +642,7 @@ def _drift_oracle_sql() -> str:
 def stream_drift_e2e(spark, sf_dir):
     """Stateful streaming PSI drift monitor (streaming/drift.py,
     applyInPandasWithState), end to end and ORACLE-GATED: stage the
-    events table as {_N_DROPS} event_id-interleaved micro-batch file
+    events table as {_N_DROPS_ILV} event_id-interleaved micro-batch file
     drops, run the drift stream once per drop against ONE shared
     checkpoint (each run after the first is a genuine restart that must
     resume per-window bin-count state), and return the LATEST PSI
@@ -664,9 +684,9 @@ def stream_drift_e2e(spark, sf_dir):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
 
     with _pinned_state_partitions(spark):
-        for i in range(_N_DROPS):
+        for i in range(_N_DROPS_ILV):
             (
-                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS_ILV)) == i)
                 .drop("event_id")
                 .coalesce(2)
                 .write.mode("append")
@@ -833,14 +853,14 @@ def stream_anomaly_e2e(spark, sf_dir):
     f"""
     SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
            user_id, event_type,
-           CASE WHEN event_id % 3 = 1 THEN NULL ELSE value END AS value,
-           (event_id % 3 <> 1) AS published
+           CASE WHEN event_id % 2 = 1 THEN NULL ELSE value END AS value,
+           (event_id % 2 <> 1) AS published
     FROM events
     """,
 )
 def stream_dq_gate_e2e(spark, sf_dir):
     """Streaming DQ circuit breaker (streaming/dq_gate.py), end to end
-    and ORACLE-GATED: stage the events table as {_N_DROPS}
+    and ORACLE-GATED: stage the events table as {_N_DROPS_ILV}
     event_id-interleaved drops, POISON every row of drop 1 (value set to
     NULL, so the events_value_complete rule fails on ANY nonempty subset
     of it), run the gated publish once per drop against ONE shared
@@ -851,7 +871,7 @@ def stream_dq_gate_e2e(spark, sf_dir):
     per-batch aggregate, and the poisoning is TOTAL over drop 1 — so the
     outcome is invariant even if a trigger chunks a drop into several
     micro-batches (every sub-batch of drop 1 still violates the rule;
-    every sub-batch of drops 0 and 2 still passes all four). The final
+    every sub-batch of drop 0 still passes all four). The final
     state is therefore a deterministic function of the event set: clean
     rows land in the manifest-committed serving table, poisoned rows in
     quarantine, nothing lost — exactly what the oracle states row by
@@ -877,14 +897,14 @@ def stream_dq_gate_e2e(spark, sf_dir):
     source_schema = staged.schema
     poisoned = staged.withColumn(
         "value",
-        F.when(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == 1, F.lit(None)).otherwise(
+        F.when(F.pmod(F.col("event_id"), F.lit(_N_DROPS_ILV)) == 1, F.lit(None)).otherwise(
             F.col("value")
         ),
     )
 
-    for i in range(_N_DROPS):
+    for i in range(_N_DROPS_ILV):
         (
-            poisoned.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+            poisoned.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS_ILV)) == i)
             .coalesce(2)
             .write.mode("append")
             .parquet(src)
@@ -929,7 +949,7 @@ _HH_CAPACITY = 4096  # >= total distinct users at every SF -> no eviction
 def stream_heavy_hitters_e2e(spark, sf_dir):
     """Sharded space-saving heavy hitters (streaming/heavy_hitters.py,
     applyInPandasWithState), end to end and ORACLE-GATED in the sketch's
-    EXACT regime: stage user_id items as {_N_DROPS} event_id-interleaved
+    EXACT regime: stage user_id items as {_N_DROPS_ILV} event_id-interleaved
     drops, run the sketch once per drop against ONE shared checkpoint,
     and return each shard's LATEST summary with the shard column
     dropped.
@@ -970,9 +990,9 @@ def stream_heavy_hitters_e2e(spark, sf_dir):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
 
     with _pinned_state_partitions(spark):
-        for i in range(_N_DROPS):
+        for i in range(_N_DROPS_ILV):
             (
-                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS)) == i)
+                staged.filter(F.pmod(F.col("event_id"), F.lit(_N_DROPS_ILV)) == i)
                 .drop("event_id")
                 .coalesce(2)
                 .write.mode("append")

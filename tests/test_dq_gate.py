@@ -93,7 +93,8 @@ def test_stream_dq_gate_e2e_partitions_and_audits(spark):
     import os
 
     from habits_etl_spark.plans.streaming_e2e import (
-        _scoped_workdir,
+        _N_DROPS_ILV,
+        _workdir_root,
         stream_dq_gate_e2e,
     )
     from habits_etl_spark.streaming.dq_gate import dq_log
@@ -106,14 +107,16 @@ def test_stream_dq_gate_e2e_partitions_and_audits(spark):
     assert got.count() == total  # nothing lost
     pub = got.filter("published").count()
     quar = got.filter("NOT published").count()
-    assert quar == load(spark, sf_dir, "events").filter("event_id % 3 = 1").count()
+    assert quar == load(spark, sf_dir, "events").filter(
+        f"event_id % {_N_DROPS_ILV} = 1"
+    ).count()
     assert pub + quar == total
     assert got.filter("NOT published AND value IS NOT NULL").count() == 0
 
-    # the audit log: >= 3 gated batches x 4 rules, one `published` flag
-    # per batch consistent with the value-complete verdict
+    # the audit log: >= _N_DROPS_ILV gated batches x 4 rules, one
+    # `published` flag per batch consistent with the value-complete verdict
     table = os.path.join(
-        _scoped_workdir.__globals__["tempfile"].gettempdir(),
+        _workdir_root(),
         "habits_etl_stream_e2e",
         spark.sparkContext.applicationId,
         "dqgate",
@@ -122,7 +125,7 @@ def test_stream_dq_gate_e2e_partitions_and_audits(spark):
 
     [tagdir] = glob.glob(os.path.join(table, "*"))
     log = dq_log(spark, os.path.join(tagdir, "serving")).collect()
-    assert len(log) >= 12 and len(log) % 4 == 0
+    assert len(log) >= 4 * _N_DROPS_ILV and len(log) % 4 == 0
     by_batch: dict = {}
     for r in log:
         by_batch.setdefault(r.batch_id, []).append(r)
