@@ -894,6 +894,17 @@ def stream_dq_gate_e2e(spark, sf_dir):
     staged = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    # The published=(event_id % {_N_DROPS_ILV} <> 1) oracle couples to
+    # SOURCE cleanliness: a naturally-NULL value in a "clean" drop would
+    # fail events_value_complete and quarantine rows the oracle marks
+    # published. Assert the precondition fast instead of relying on it
+    # silently (r11 ADVICE) — today's fixtures carry 0 nulls.
+    if not staged.filter(F.col("value").isNull()).isEmpty():
+        raise ValueError(
+            "stream_dq_gate_e2e requires a null-free events.value column: "
+            "its publish/quarantine oracle poisons exactly one drop and "
+            "marks every other row published"
+        )
     source_schema = staged.schema
     poisoned = staged.withColumn(
         "value",
@@ -934,7 +945,12 @@ def stream_dq_gate_e2e(spark, sf_dir):
     )
 
 
-_HH_CAPACITY = 4096  # >= total distinct users at every SF -> no eviction
+# Floor for the space-saving capacity; the query derives the actual
+# capacity from the MEASURED distinct-item count at staging time, so the
+# no-eviction exact regime the oracle states holds at ANY fixture scale
+# (a fixed 4096 would silently leave the regime above sf~0.27, where the
+# ~15000x-per-sf user count outgrows it — r11 ADVICE).
+_HH_CAPACITY_MIN = 4096
 
 
 @query(
@@ -955,8 +971,9 @@ def stream_heavy_hitters_e2e(spark, sf_dir):
     dropped.
 
     Why this is the hash-gateable regime and the honest one: with
-    capacity >= the distinct item count ({_HH_CAPACITY} >> 1.5k users at
-    sf0.1) space-saving NEVER evicts, so every counter is the exact item
+    capacity >= the distinct item count (derived from the MEASURED
+    cardinality at staging time, min {_HH_CAPACITY_MIN}) space-saving
+    NEVER evicts, so every counter is the exact item
     frequency (est = true, err = 0) and the final summaries are a
     deterministic, batch-split-invariant function of the item set — the
     plain GROUP BY count the oracle states. Under eviction the summary
@@ -985,6 +1002,12 @@ def stream_heavy_hitters_e2e(spark, sf_dir):
 
     staged = t(spark, sf_dir, "events").select("event_id", "user_id")
     source_schema = staged.drop("event_id").schema
+    # derive capacity from the measured cardinality: the exact-regime
+    # argument REQUIRES capacity >= distinct items, so measure it rather
+    # than assume the fixture scale (one count-distinct over the staged
+    # frame, amortized across the run)
+    n_items = staged.select("user_id").distinct().count()
+    capacity = max(_HH_CAPACITY_MIN, 2 * n_items)
 
     def fb(df, epoch_id):
         df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
@@ -1002,7 +1025,7 @@ def stream_heavy_hitters_e2e(spark, sf_dir):
                 heavy_hitters_stream(
                     spark.readStream.schema(source_schema).parquet(src),
                     item_col="user_id",
-                    capacity=_HH_CAPACITY,
+                    capacity=capacity,
                 )
                 .writeStream.foreachBatch(fb)
                 .outputMode("update")
