@@ -55,11 +55,19 @@ def train_bpe_merges(
 
     Returns the ordered merge list [(left, right), ...]. Deterministic:
     ties on pair count break lexicographically."""
+    # the pattern rides in as a Column literal, NOT through a SQL string
+    # literal: Spark SQL's '\s' escape-collapses to 's', which silently
+    # turned the trailing class into [^a-zA-Z0-9s] and admitted SPACES as
+    # pre-tokens — training then spent merge rank 0 on (' ', '</w>')
+    # while the Python apply path used the real \s (caught while writing
+    # the DuckDB training-replay oracle, which refused to reproduce it)
     words = (
         docs.select(
-            F.explode(F.expr(f"regexp_extract_all({text_col}, '{_PRETOK_SPARK}', 0)")).alias(
-                "w"
-            )
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_PRETOK_SPARK), F.lit(0)
+                )
+            ).alias("w")
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))

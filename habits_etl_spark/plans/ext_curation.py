@@ -228,18 +228,190 @@ def ext_repetition_stats(spark, sf_dir):
     )
 
 
-# --- BPE token counting (rows-only) -----------------------------------------
+# --- BPE token counting (oracle-gated via full training replay) -------------
 
 
-@query("ext_token_count_bpe")  # rows-only: BPE apply is not SQL-expressible
+def _bpe_oracle_sql() -> str:
+    """The WHOLE BPE lifecycle restated in DuckDB — the last rows-only id
+    whose blocker was not engine-internal randomness (r11 directive #5).
+    Two recursions, the k-core aggregates-over-recursive-reference
+    precedent applied twice:
+
+    1. TRAINING REPLAY (``tr``): each recursive level holds the word
+       table's current symbol sequences; one level = one merge round =
+       pick the single best pair (sum(freq) DESC, pair lexicographically
+       GREATEST — the Python max((count, pair)) tie-break) and apply it
+       simultaneously with RUN-PARITY overlap handling: when a == b a
+       run of k consecutive matches merges at even offsets only, exactly
+       the operator's left-to-right non-overlap scan ('aaaa' + (a,a) ->
+       [aa, aa]). The chosen pair is emitted as marker rows (kind 1/2)
+       carrying its rank. Terminates after {n_merges} rounds or when no
+       pair reaches count 2, like the trainer.
+    2. RANK-GREEDY APPLY (``app``): over the DISTINCT pre-tokens of the
+       corpus, each recursive level merges exactly ONE pair per word —
+       the leftmost of minimum learned rank — the operator's while-loop;
+       words drop out of the recursion when no pair has a rank, and the
+       final token count is the last level's symbol count (bare '</w>'
+       not a token). Per-word counts then join back to per-doc
+       occurrences, which is also how the Arrow stage amortizes
+       (per-task word cache).
+
+    Writing this replay caught a real operator bug: Spark SQL's string
+    literal collapsed '\\s' to 's' in the training pre-tokenizer, which
+    admitted SPACES as pre-tokens and spent merge rank 0 on (' ','</w>')
+    — fixed by passing the pattern as a Column literal (functions/
+    bpe.py). The recursion is a CHECK, not the engine: depth is bounded
+    by {n_merges} rounds / max pre-token length, rows per level by the
+    {max_words}-word table, never by corpus size."""
+    from habits_etl_spark.functions.bpe import _PRETOK_SPARK
+
+    n_merges, max_words = 64, 50_000
+    best = f"""
+        SELECT a, b FROM (
+          SELECT cc.sym AS a,
+                 lead(cc.sym) OVER (PARTITION BY cc.w ORDER BY cc.pos) AS b,
+                 cc.freq
+          FROM tr cc WHERE cc.kind = 0
+        ) WHERE b IS NOT NULL
+        GROUP BY a, b HAVING sum(freq) >= 2
+        ORDER BY sum(freq) DESC, a DESC, b DESC LIMIT 1"""
+    return f"""
+    WITH RECURSIVE
+    words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(text, '{_PRETOK_SPARK}')) AS w
+            FROM documents)
+      GROUP BY w ORDER BY freq DESC, w LIMIT {max_words}
+    ),
+    tr AS (
+      SELECT 0 AS rnd, 0 AS kind, w, freq,
+             CAST(i - 1 AS INT) AS pos,
+             CASE WHEN i <= length(w) THEN substr(w, CAST(i AS INT), 1)
+                  ELSE '</w>' END AS sym
+      FROM words, unnest(range(1, length(w) + 2)) AS t(i)
+      UNION ALL
+      (
+        SELECT nxt_rnd, kind, w, freq, pos, sym
+        FROM (
+          SELECT s.rnd + 1 AS nxt_rnd, 0 AS kind, s.w, s.freq,
+                 CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos) - 1
+                      AS INT) AS pos,
+                 CASE WHEN s.do_merge THEN s.sym || s.nxt ELSE s.sym END AS sym
+          FROM (
+            SELECT * FROM (
+              SELECT q.*,
+                     coalesce(lag(q.do_merge) OVER (PARTITION BY q.w ORDER BY q.pos),
+                              FALSE) AS consumed
+              FROM (
+                SELECT p.*,
+                       p.m AND (row_number() OVER (PARTITION BY p.w, p.grp, p.m
+                                                   ORDER BY p.pos) % 2 = 1)
+                         AS do_merge
+                FROM (
+                  SELECT f.*,
+                         CASE WHEN f.m THEN f.pos - row_number()
+                              OVER (PARTITION BY f.w, f.m ORDER BY f.pos) END AS grp
+                  FROM (
+                    SELECT c.rnd, c.w, c.freq, c.pos, c.sym,
+                           lead(c.sym) OVER (PARTITION BY c.w ORDER BY c.pos) AS nxt,
+                           (c.sym = bp.a AND lead(c.sym)
+                              OVER (PARTITION BY c.w ORDER BY c.pos) = bp.b) AS m
+                    FROM tr c CROSS JOIN ({best}
+                    ) bp
+                    WHERE c.kind = 0 AND c.rnd < {n_merges}
+                  ) f
+                ) p
+              ) q
+            ) r WHERE NOT r.consumed
+          ) s
+        )
+        UNION ALL
+        SELECT mk.rnd, mk.kind, '' AS w, CAST(0 AS BIGINT) AS freq, 0 AS pos, mk.sym
+        FROM (
+          SELECT c3.rnd, 1 AS kind, bb.a AS sym
+          FROM (SELECT DISTINCT rnd FROM tr WHERE kind = 0 AND rnd < {n_merges}) c3
+          CROSS JOIN ({best}
+          ) bb
+          UNION ALL
+          SELECT c5.rnd, 2 AS kind, bb2.b AS sym
+          FROM (SELECT DISTINCT rnd FROM tr WHERE kind = 0 AND rnd < {n_merges}) c5
+          CROSS JOIN ({best}
+          ) bb2
+        ) mk
+      )
+    ),
+    merges AS MATERIALIZED (
+      SELECT rnd AS rank,
+             max(CASE WHEN kind = 1 THEN sym END) AS a,
+             max(CASE WHEN kind = 2 THEN sym END) AS b
+      FROM tr WHERE kind > 0 GROUP BY rnd
+    ),
+    doc_words AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{_PRETOK_SPARK}')) AS w
+      FROM documents
+    ),
+    vocab AS MATERIALIZED (SELECT DISTINCT w FROM doc_words),
+    app AS (
+      SELECT 0 AS it, w, CAST(i - 1 AS INT) AS pos,
+             CASE WHEN i <= length(w) THEN substr(w, CAST(i AS INT), 1)
+                  ELSE '</w>' END AS sym
+      FROM vocab, unnest(range(1, length(w) + 2)) AS t(i)
+      UNION ALL
+      SELECT it + 1 AS it, w,
+             CAST(row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS INT) AS pos,
+             CASE WHEN pos = bpos THEN sym || nxt ELSE sym END AS sym
+      FROM (
+        SELECT c.it, c.w, c.pos, c.sym,
+               lead(c.sym) OVER (PARTITION BY c.w ORDER BY c.pos) AS nxt,
+               b.bpos
+        FROM app c JOIN (
+          SELECT w, pos AS bpos FROM (
+            SELECT p.w, p.pos,
+                   row_number() OVER (PARTITION BY p.w ORDER BY m.rank, p.pos) AS rn
+            FROM (
+              SELECT c2.w, c2.pos, c2.sym,
+                     lead(c2.sym) OVER (PARTITION BY c2.w ORDER BY c2.pos) AS nxt
+              FROM app c2
+            ) p JOIN merges m ON m.a = p.sym AND m.b = p.nxt
+          ) WHERE rn = 1
+        ) b ON b.w = c.w
+      ) WHERE pos <> bpos + 1
+    ),
+    last_lvl AS MATERIALIZED (SELECT w, max(it) AS mit FROM app GROUP BY w),
+    word_tokens AS MATERIALIZED (
+      SELECT a.w,
+             CAST(count(*) - sum(CASE WHEN a.sym = '</w>' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM app a JOIN last_lvl l ON l.w = a.w AND a.it = l.mit
+      GROUP BY a.w
+    ),
+    bpe AS MATERIALIZED (
+      SELECT dw.doc_id, CAST(sum(wt.n) AS BIGINT) AS n_tokens_bpe
+      FROM doc_words dw JOIN word_tokens wt USING (w) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+             AS n_tokens_ws,
+           CAST(coalesce(b.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+    FROM documents d LEFT JOIN bpe b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("ext_token_count_bpe", _bpe_oracle_sql())
 def ext_token_count_bpe(spark, sf_dir):
     """Subword token counts from a REAL learned BPE merge table
     (functions/bpe.py; Sennrich et al. 2016) next to the whitespace
     convention — the token-accurate basis for packing/mixing budgets.
 
-    Rows-only by design (the rank-greedy merge loop has no DuckDB twin);
-    training determinism, executor-vs-driver application parity, and
-    cumsum-exact packing on these counts are asserted in tests/test_bpe.py.
+    ORACLE-GATED since r12 (was the last fixable rows-only id): the
+    DuckDB twin replays the ENTIRE lifecycle — all 64 training rounds as
+    a recursive CTE (per-round pair counts, the (count, pair) max
+    tie-break, run-parity non-overlap merge application) and the
+    rank-greedy apply loop as a second recursion over distinct
+    pre-tokens (_bpe_oracle_sql above). Training determinism,
+    executor-vs-driver application parity, and cumsum-exact packing on
+    these counts remain asserted in tests/test_bpe.py.
 
     Scale: training is one distributed pair-count aggregate per merge
     round over the bounded word-frequency table; application is an
