@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Synthesize a larger-SF fixture by deterministic replication of an
+existing one — the r11 verdict's directive #4 (">sf0.1 datapoint"):
+turn "the plan would scale" into a measured per-query scaling exponent
+(tools/run_scaling.py writes SCALING.md from it).
+
+Replication rules (factor k, replica index i in 0..k-1):
+
+- Fact/dim keys shift by ``i * KEY_STRIDE`` so every replica is a
+  disjoint key range (joins, rollups and distinct counts scale
+  linearly, exactly as k independent tenants would).
+- ``documents.text`` gets every token suffixed with ``~i`` for i > 0:
+  WITHIN-replica duplicate/near-duplicate structure is byte-identical
+  to the source fixture, while CROSS-replica token sets are disjoint —
+  replication must not manufacture k-sized duplicate cliques whose
+  pair counts would grow k^2 and masquerade as super-linear operator
+  cost.
+- ``embeddings.embedding`` is circularly shifted by i dimensions:
+  within-replica cosine geometry is preserved exactly; cross-replica
+  vectors decorrelate, so ANN candidate counts scale like a k-times
+  larger corpus, not k copies of one.
+- ``region``/``nation`` stay fixed (real dimensions don't scale).
+
+Usage:
+    python tools/make_scaled_fixture.py [--src /root/testdata/sf0.1] \
+        [--factor 10] [--out /root/repo/.scratch/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEY_STRIDE = 1_000_000_000  # far above any source key
+
+SHIFTED_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/root/repo/.scratch/sf1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from habits_etl_spark.session import get_spark
+
+    spark = get_spark("make_scaled_fixture")
+    os.makedirs(args.out, exist_ok=True)
+
+    for t in FIXED:
+        spark.read.parquet(f"{args.src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/{t}.parquet")
+        print(f"{t}: copied")
+
+    for t, keys in SHIFTED_KEYS.items():
+        src = spark.read.parquet(f"{args.src}/{t}.parquet")
+        rep = src.withColumn(
+            "__i", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
+        )
+        shift = F.col("__i").cast("long") * F.lit(KEY_STRIDE).cast("long")
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + shift)
+        if t == "documents":
+            # suffix every token for i > 0: disjoint cross-replica vocab
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("__i") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit(r"(\S+)"),
+                        F.concat(F.lit("$1~"), F.col("__i").cast("string")),
+                    )
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        if t == "embeddings":
+            # circular shift by i: preserves norms and within-replica
+            # angles, decorrelates across replicas
+            dim = len(src.select("embedding").first()[0])
+            sh = (F.col("__i") % F.lit(dim)).cast("int")
+            rep = rep.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), sh + 1, F.lit(dim) - sh),
+                    F.slice(F.col("embedding"), F.lit(1), sh),
+                ),
+            )
+        n = rep.drop("__i").write.mode("overwrite").parquet(
+            f"{args.out}/{t}.parquet"
+        )
+        print(f"{t}: x{args.factor}")
+
+    print("done:", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Measure per-query scaling sf0.1 -> sf1 (10x rows) and write SCALING.md.
+
+Protocol: one warm session; each query runs twice per SF and the BEST
+rep is kept (the witness protocol's noise guard, minus the median's
+third rep — these are hour-scale sweeps, not bench records). Exponent =
+log10(sec_sf1 / sec_sf0.1): 1.0 = linear, <1 = fixed-cost-amortized,
+>1 = super-linear (the thing this file exists to catch).
+
+Usage:
+    python tools/run_scaling.py [--sf1 /root/repo/.scratch/sf1] [--out SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The heaviest families by design (dedup, weighted dedup, vector ANN,
+# blocked pairs, one stateful streaming e2e) + two baseline aggregates
+# whose linearity anchors the table.
+QUERIES = [
+    "agg_daily_rollup",
+    "join_star_schema",
+    "ext_exact_dedup",
+    "ext_near_dedup_minhash",
+    "ext_weighted_minhash_pairs",
+    "ext_simhash",
+    "ext_ngram_jaccard_simhash_blocked",
+    "ext_cosine_pairs_lsh",
+    "ext_ivfpq_topk",
+    "ext_topk_sim_search",
+    "stream_rollup_e2e",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--out", default="SCALING.md")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    from habits_etl_spark.session import get_spark
+
+    spark = get_spark("scaling")
+    qs = entrymod.queries()
+
+    results = {}
+    for name in QUERIES:
+        fn = qs[name]
+        row = {}
+        for label, sf_dir in (("sf0.1", args.sf01), ("sf1", args.sf1)):
+            reps = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                reps.append(time.perf_counter() - t0)
+            row[label] = (min(reps), n)
+            print(f"{name} {label}: best={min(reps):.3f}s rows={n}", flush=True)
+        results[name] = row
+
+    lines = [
+        "# SCALING — sf0.1 -> sf1 (10x rows), measured",
+        "",
+        f"Fixture: `{args.sf1}` = sf0.1 replicated 10x by",
+        "`tools/make_scaled_fixture.py` (disjoint key ranges per replica;",
+        "per-replica token suffixing and embedding rotation keep within-",
+        "replica duplicate/ANN structure identical while preventing",
+        "cross-replica cliques). local[32], one warm session, best of 2",
+        "reps per SF. exponent = log10(sec_sf1 / sec_sf0.1): 1.0 = linear",
+        "in rows, < 1 = fixed cost amortizing, > 1 = super-linear (bad).",
+        "",
+        "| query | sf0.1 sec | sf1 sec | rows sf0.1 | rows sf1 | x | exponent |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, row in results.items():
+        s01, n01 = row["sf0.1"]
+        s1, n1 = row["sf1"]
+        ratio = s1 / max(s01, 1e-9)
+        expo = math.log10(max(ratio, 1e-9))
+        lines.append(
+            f"| {name} | {s01:.3f} | {s1:.3f} | {n01} | {n1} "
+            f"| {ratio:.1f}x | {expo:.2f} |"
+        )
+    lines.append("")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
