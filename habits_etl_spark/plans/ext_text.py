@@ -738,13 +738,34 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
 # Blocking-key quality fix: blocking on a natural attribute (source) only
 # bounds the pair space when that attribute is high-cardinality. Deriving
 # the block key from the CONTENT (simhash bands) bounds it by construction.
-_SBJ_BITS = 48  # simhash width (fits BIGINT; md5 supplies up to 128)
-_SBJ_BANDS = 6  # bands of _SBJ_BW bits each
-_SBJ_BW = _SBJ_BITS // _SBJ_BANDS  # 8 bits -> 256 values per band
+#
+# Band width vs corpus size (the r12 sf1 catch): with B bits per band the
+# band-value space is 2^B, so EXPECTED bucket size grows as n_docs / 2^B
+# and candidate pairs as n_docs^2 / 2^B — a fixed-width band key is
+# quadratic in the corpus with a constant you choose. The original 48-bit
+# / 6x8-bit layout (256 values per band) measured fine at sf0.1 (~5k
+# docs, ~20/bucket) but spilled >60 GB at the 50k-doc sf1 fixture
+# (~195/bucket, ~58M candidate pairs before distinct). 6 bands x 16 bits
+# (65536 values) keeps the SAME pigeonhole recall guarantee — any pair
+# within Hamming distance 5 of the fingerprint still collides in >= 1
+# band — while cutting expected collisions 16x per band; at even larger
+# corpora the same move continues (md5 supplies 128 bits; band width must
+# scale with log2(n_docs), not sit at a constant). 8 bands x 12 bits
+# keeps recall ABOVE the old layout (pigeonhole now covers Hamming <= 7,
+# was <= 5) — fixture recall verified unchanged against the exact
+# all-pairs scan (tests/test_simhash_blocking.py).
+_SBJ_BITS = 96  # two 48-bit halves, each a BIGINT
+_SBJ_BANDS = 8  # bands of _SBJ_BW bits each
+_SBJ_BW = _SBJ_BITS // _SBJ_BANDS  # 12 bits -> 4096 values per band
+_SBJ_HALF = 48  # bits per BIGINT half
 
-_SBJ_FP = " + ".join(
+_SBJ_FP_LO = " + ".join(
     f"(CASE WHEN s{k} >= 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
-    for k in range(_SBJ_BITS)
+    for k in range(_SBJ_HALF)
+)
+_SBJ_FP_HI = " + ".join(
+    f"(CASE WHEN s{k} >= 0 THEN CAST({1 << (k - _SBJ_HALF)} AS BIGINT) ELSE 0 END)"
+    for k in range(_SBJ_HALF, _SBJ_BITS)
 )
 
 
@@ -783,9 +804,14 @@ _SBJ_FP = " + ".join(
              {", ".join(f"{_simhash_bit_from_hex(k, 'h')} AS s{k}" for k in range(_SBJ_BITS))}
       FROM gh GROUP BY doc_id
     ),
-    sh AS (SELECT doc_id, CAST({_SBJ_FP} AS BIGINT) AS simhash FROM sums),
+    sh AS (SELECT doc_id, CAST({_SBJ_FP_LO} AS BIGINT) AS sim_lo,
+                  CAST({_SBJ_FP_HI} AS BIGINT) AS sim_hi FROM sums),
     bands AS (
-      SELECT doc_id, k, (simhash >> (k * {_SBJ_BW})) & {(1 << _SBJ_BW) - 1} AS bv
+      SELECT doc_id, k,
+             CASE WHEN k < {_SBJ_HALF // _SBJ_BW}
+                  THEN (sim_lo >> (CAST(k AS INT) * {_SBJ_BW})) & {(1 << _SBJ_BW) - 1}
+                  ELSE (sim_hi >> ((CAST(k AS INT) - {_SBJ_HALF // _SBJ_BW}) * {_SBJ_BW}))
+                       & {(1 << _SBJ_BW) - 1} END AS bv
       FROM sh, range({_SBJ_BANDS}) r(k)
     ),
     cand AS MATERIALIZED (
@@ -854,10 +880,18 @@ def ext_ngram_jaccard_simhash_blocked(spark, sf_dir):
     sums = gh.groupBy("doc_id").agg(
         *[F.expr(_simhash_bit_from_hex(k, "h")).alias(f"s{k}") for k in range(_SBJ_BITS)]
     )
-    sh = sums.select("doc_id", F.expr(_SBJ_FP).cast("bigint").alias("simhash"))
+    sh = sums.select(
+        "doc_id",
+        F.expr(_SBJ_FP_LO).cast("bigint").alias("sim_lo"),
+        F.expr(_SBJ_FP_HI).cast("bigint").alias("sim_hi"),
+    )
+    bands_per_half = _SBJ_HALF // _SBJ_BW
     band_vals = F.array(
         *[
-            F.shiftright(F.col("simhash"), k * _SBJ_BW).bitwiseAND(F.lit((1 << _SBJ_BW) - 1))
+            F.shiftright(
+                F.col("sim_lo" if k < bands_per_half else "sim_hi"),
+                (k % bands_per_half) * _SBJ_BW,
+            ).bitwiseAND(F.lit((1 << _SBJ_BW) - 1))
             for k in range(_SBJ_BANDS)
         ]
     )

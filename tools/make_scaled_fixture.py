@@ -9,12 +9,17 @@ Replication rules (factor k, replica index i in 0..k-1):
 - Fact/dim keys shift by ``i * KEY_STRIDE`` so every replica is a
   disjoint key range (joins, rollups and distinct counts scale
   linearly, exactly as k independent tenants would).
-- ``documents.text`` gets every token suffixed with ``~i`` for i > 0:
-  WITHIN-replica duplicate/near-duplicate structure is byte-identical
-  to the source fixture, while CROSS-replica token sets are disjoint —
-  replication must not manufacture k-sized duplicate cliques whose
-  pair counts would grow k^2 and masquerade as super-linear operator
-  cost.
+- ``documents.text`` is alphabet-ROTATED per replica (Caesar shift by
+  i on a-z/A-Z): a character bijection, so WITHIN-replica structure —
+  word tokens, tf vectors, char n-gram sets, Jaccard values, document
+  lengths — is isomorphic to the source fixture, while CROSS-replica
+  text shares (almost) nothing at either word or character
+  granularity. (A first attempt suffixed tokens with ``~i``; that
+  decorrelates WORD-level dedup but char n-gram windows inside a word
+  stay identical across replicas, which manufactured ~13M real
+  cross-replica near-dup pairs at sf1 and masqueraded as a quadratic
+  operator. Replication must not create cross-replica similarity at
+  ANY granularity an operator measures.)
 - ``embeddings.embedding`` is circularly shifted by i dimensions:
   within-replica cosine geometry is preserved exactly; cross-replica
   vectors decorrelate, so ANN candidate counts scale like a k-times
@@ -78,17 +83,19 @@ def main() -> None:
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + shift)
         if t == "documents":
-            # suffix every token for i > 0: disjoint cross-replica vocab
-            rep = rep.withColumn(
-                "text",
-                F.when(F.col("__i") == 0, F.col("text")).otherwise(
-                    F.regexp_replace(
-                        F.col("text"),
-                        F.lit(r"(\S+)"),
-                        F.concat(F.lit("$1~"), F.col("__i").cast("string")),
-                    )
-                ),
-            ).withColumn("n_chars", F.length("text").cast("long"))
+            # alphabet rotation by replica index: a character bijection
+            lower = "abcdefghijklmnopqrstuvwxyz"
+            upper = lower.upper()
+            text = F.col("text")
+            rotated = text
+            for i in range(1, args.factor):
+                rot = lower[i:] + lower[:i] + upper[i:] + upper[:i]
+                rotated = F.when(
+                    F.col("__i") == i, F.translate(text, lower + upper, rot)
+                ).otherwise(rotated)
+            rep = rep.withColumn("text", rotated).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
         if t == "embeddings":
             # circular shift by i: preserves norms and within-replica
             # angles, decorrelates across replicas

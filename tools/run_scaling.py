@@ -58,14 +58,18 @@ def main() -> None:
     for name in QUERIES:
         fn = qs[name]
         row = {}
-        for label, sf_dir in (("sf0.1", args.sf01), ("sf1", args.sf1)):
-            reps = []
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                reps.append(time.perf_counter() - t0)
-            row[label] = (min(reps), n)
-            print(f"{name} {label}: best={min(reps):.3f}s rows={n}", flush=True)
+        try:
+            for label, sf_dir in (("sf0.1", args.sf01), ("sf1", args.sf1)):
+                reps = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    n = fn(spark, sf_dir).count()
+                    reps.append(time.perf_counter() - t0)
+                row[label] = (min(reps), n)
+                print(f"{name} {label}: best={min(reps):.3f}s rows={n}", flush=True)
+        except Exception as exc:  # record the failure, keep sweeping
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}", flush=True)
+            row["error"] = f"{type(exc).__name__}"
         results[name] = row
 
     lines = [
@@ -83,6 +87,9 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for name, row in results.items():
+        if "error" in row or "sf1" not in row:
+            lines.append(f"| {name} | — | — | — | — | ERROR | {row.get('error', '?')} |")
+            continue
         s01, n01 = row["sf0.1"]
         s1, n1 = row["sf1"]
         ratio = s1 / max(s01, 1e-9)
