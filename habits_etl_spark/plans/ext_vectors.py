@@ -29,19 +29,30 @@ _EXACT_PAIRS_MAX = 100_000
 
 
 def _plane_signs(key_prefix: str) -> list[float]:
-    """Deterministic pseudo-hyperplane: component i is +-1 from the
-    parity of crc32(f"{key_prefix}:{i}") — computed HERE with zlib.crc32,
-    which is bit-identical to Spark's ``crc32`` over utf-8 bytes (pinned
-    in tests/test_vectors.py), so the literal planes equal what the old
-    runtime-crc32 expressions constant-folded to. Materializing them as
-    Python literals lets the SAME plane be inlined into the DuckDB oracle
-    (which has no crc32), turning the whole LSH pipeline into checkable
-    SQL; the Spark runtime plan is unchanged (Catalyst folded the old
-    hash chain to these exact literal arrays anyway)."""
-    import zlib
+    """Deterministic pseudo-hyperplane: component i is +-1 from bit 0 of
+    md5(f"{key_prefix}:{i}"). The planes are materialized as Python
+    literals and inlined into BOTH engines (Spark F.lit arrays, DuckDB
+    DOUBLE[] literals), so cross-engine parity holds by construction —
+    the hash only has to be a good bit source, never re-evaluated at
+    runtime.
+
+    md5, NOT crc32 (r12): CRC is GF(2)-LINEAR, so for equal-length keys
+    crc(k1) XOR crc(k2) depends only on k1 XOR k2 — within a digit-length
+    class of plane indices, every pair of crc32-parity planes was equal
+    or complementary (up to the two i-digit-length blocks), collapsing
+    the 128-plane pair family to ~6 effective projections and the 8-bit
+    band space to 4 observed values per band (64 distinct buckets for
+    500 vectors, measured). The SRP s-curve this file's recall math
+    assumes was never in effect; every banding parameter change was a
+    no-op. md5 is non-linear, so plane bits are independent; the
+    non-degeneracy is pinned in tests/test_vectors.py
+    (test_planes_are_pairwise_independent)."""
+    import hashlib
 
     return [
-        1.0 if zlib.crc32(f"{key_prefix}:{i}".encode()) % 2 == 0 else -1.0
+        1.0
+        if hashlib.md5(f"{key_prefix}:{i}".encode()).digest()[0] & 1
+        else -1.0
         for i in range(_DIM)
     ]
 
@@ -272,7 +283,7 @@ _PAIR_BAND_BITS = 8
 _PAIR_BROADCAST_MAX = 2_000_000
 
 
-def _lsh_candidate_pairs(prepped):
+def _lsh_candidate_pairs(prepped, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS):
     """Banded SRP-LSH candidate generation, mirroring the MinHash->verify
     text pipeline EXACTLY (same join topology): explode each vector to
     SKINNY (vec_id, band_idx, band_val) rows, self-equi-join on the band
@@ -283,10 +294,24 @@ def _lsh_candidate_pairs(prepped):
     corpus in one bucket) before the dedup, ~70 s; skinny rows + one
     array lookup per verified side take it to ~3 s. The quadratic pair
     space is never materialized; signatures come from the single
-    literal-matrix projection expression (_proj_array_expr)."""
-    keys = [f"pairs:{p}" for p in range(_PAIR_BANDS * _PAIR_BAND_BITS)]
+    literal-matrix projection expression (_proj_array_expr).
+
+    Band sizing is a function of CORPUS SIZE, not just the recall
+    target: a band key has 2^band_bits values, so even zero-similarity
+    vectors collide with p = 2^-band_bits per band and expected
+    candidates are >= n_bands * n^2 / 2^band_bits regardless of the
+    data — pigeonhole, the same law that degenerated the 48-bit ngram
+    simhash blocking (r12). Fixed (n_bands, band_bits) is therefore
+    inherently quadratic past n ~ 2^band_bits; hold candidates linear
+    by growing band_bits ~ log2(n) (and n_bands with it to keep the
+    s-curve), i.e. re-tune the index when the corpus grows 10x, exactly
+    as a real vector index re-shards. The r12 sf1 sweep measured the
+    default 8-bit banding at 20k vectors: 24.7x the sf0.1 time (noise
+    collisions 16 * n^2 / 256); 12-bit banding at the same corpus cut
+    candidates ~16x (see SCALING.md)."""
+    keys = [f"pairs:{p}" for p in range(n_bands * band_bits)]
     proj = prepped.select("vec_id", _proj_array_expr("v", keys).alias("pj"))
-    bands = _band_vals_from_proj("pj", _PAIR_BANDS, _PAIR_BAND_BITS)
+    bands = _band_vals_from_proj("pj", n_bands, band_bits)
     banded = proj.select(
         "vec_id",
         F.explode(
@@ -422,6 +447,31 @@ def ext_cosine_pairs_lsh(spark, sf_dir):
     pinned literals, so the whole pipeline is oracle-gated in SQL (r10 —
     previously rows-only)."""
     return _cosine_pairs_from(_lsh_candidate_pairs(_prepped_embeddings(spark, sf_dir)))
+
+
+def scale_tuned_cosine_pairs(
+    spark,
+    sf_dir,
+    threshold=_COS_THRESHOLD,
+    n_bands=_PAIR_BANDS,
+    band_bits=_PAIR_BAND_BITS,
+):
+    """``ext_cosine_pairs_lsh`` with the index parameters exposed — the
+    re-tune-on-growth API the banding law in ``_lsh_candidate_pairs``
+    demands. Same planes (literal, deterministic), same verify (every
+    emitted pair exact), so precision 1.0 holds at ANY parameterization;
+    only the candidate budget and the recall s-curve move. The registered
+    query pins the fixture-tuned defaults; a 10x-larger corpus calls this
+    with band_bits ~ log2(n) (e.g. 12 bits at 20k vectors — the measured
+    SCALING.md configuration) the way a real deployment rebuilds its
+    index at re-shard time. Candidate-budget reduction and the precision
+    invariant are pinned in tests/test_vectors.py."""
+    return _cosine_pairs_from(
+        _lsh_candidate_pairs(
+            _prepped_embeddings(spark, sf_dir), n_bands=n_bands, band_bits=band_bits
+        ),
+        threshold=threshold,
+    )
 
 
 _IVF_N_CELLS = 16
@@ -602,31 +652,41 @@ def ext_ann_ivf_probe(spark, sf_dir):
     )
 
 
-_ANN_LSH_BITS = 12
+_ANN_BANDS = 32
+_ANN_BAND_BITS = 8
 
 
 def _ann_lsh_oracle_sql() -> str:
-    """Full DuckDB statement of the bucketed-ANN pipeline (same literal-
-    plane trick as _pairs_lsh_oracle_sql): signature buckets, the
-    query-vs-corpus bucket join, exact cosine re-rank, per-query top-k."""
-    bits = []
-    for j in range(_ANN_LSH_BITS):
-        lit = _plane_sql_lit(_plane_signs(str(j)))
-        bits.append(
-            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = " + ".join(bits)
+    """Full DuckDB statement of the banded-ANN pipeline (same literal-
+    plane trick as _pairs_lsh_oracle_sql): per-band signature buckets,
+    the query-vs-corpus band join, exact cosine re-rank, per-query
+    top-k."""
+    band_exprs = srp_band_sql("v", _ANN_BANDS, _ANN_BAND_BITS, seed="ann")
+    banded = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {e} AS band_val FROM e"
+        for b, e in enumerate(band_exprs)
+    )
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    sig AS MATERIALIZED (SELECT vec_id, v, {bucket} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, v AS q_v, bucket AS q_bucket
-          FROM sig WHERE vec_id < {_N_QUERIES}),
+    banded AS MATERIALIZED (
+      {banded}
+    ),
+    q AS (SELECT vec_id AS query_id, band_idx, band_val
+          FROM banded WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+      FROM banded s JOIN q
+        ON s.band_idx = q.band_idx AND s.band_val = q.band_val
+       AND s.vec_id <> q.query_id
+    ),
     scored AS (
-      SELECT q.query_id, s.vec_id AS neighbor_id,
-             round(list_dot_product(q.q_v, s.v)
-                   / (sqrt(list_dot_product(q.q_v, q.q_v))
-                      * sqrt(list_dot_product(s.v, s.v))), 4) AS cos
-      FROM sig s JOIN q ON s.bucket = q.q_bucket AND s.vec_id <> q.query_id
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(eq.v, en.v)
+                   / (sqrt(list_dot_product(eq.v, eq.v))
+                      * sqrt(list_dot_product(en.v, en.v))), 4) AS cos
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e en ON en.vec_id = c.neighbor_id
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -641,45 +701,83 @@ def _ann_lsh_oracle_sql() -> str:
 @query("ext_ann_lsh_bucketed", _ann_lsh_oracle_sql())
 def ext_ann_lsh_bucketed(spark, sf_dir):
     """Sub-linear ANN path (SURVEY §2.12 'IVF or LSH-bucketed variant'):
-    sign-random-projection LSH. Each vector gets a b-bit signature from
-    deterministic pseudo-hyperplanes (pinned literal ±1 components — see
-    _plane_signs); candidates = same-bucket pairs vs the query set, then
-    exact cosine re-rank inside buckets.
+    sign-random-projection LSH with {_ANN_BANDS} tables x
+    {_ANN_BAND_BITS} bits (pinned literal ±1 planes — see _plane_signs);
+    candidates = the union over bands of same-bucket corpus rows vs the
+    query set, then exact cosine re-rank of the distinct candidates.
 
-    Scale: corpus scan emits (bucket, vec) once; only bucket-collision
-    pairs are scored — at 1000 executors the bucket join replaces the
-    full cross product. Approximate vs the exact top-k (bucket misses are
-    possible; recall asserted in tests/test_vectors.py) but fully
-    DETERMINISTIC given the data, so since r10 the whole pipeline is
-    oracle-gated in SQL via the literal planes (previously rows-only)."""
+    MULTI-band, not one table (r12): a single b-bit SRP table recalls a
+    cos-θ neighbor with p = (1 - θ/π)^b — at 12 bits and the fixture's
+    cos ≈ 0.5 neighbors that is (2/3)^12 ≈ 0.8%, useless. The pre-r12
+    shape only LOOKED like it recalled (~0.2+) because the crc32 planes
+    were degenerate (see _plane_signs): the "12-bit" bucket held ~4 real
+    bits, i.e. it brute-force-scanned ~30% of the corpus per query. With
+    independent md5 planes, recall comes from OR-ing L=32 independent
+    8-bit tables — 1-(1-p)^L ≈ 0.5-0.8 at the fixture's neighbor
+    cosines — the classic (L, b) LSH trade the banding law in
+    _lsh_candidate_pairs describes.
+
+    Scale: the corpus scan emits {_ANN_BANDS} skinny (vec_id, band_idx,
+    band_val) rows per vector once; only band-collision rows join the
+    (broadcast, tiny) query side, and arrays are fetched only for the
+    distinct candidates that survive. At 1000 executors the band join
+    replaces the full cross product. Approximate vs the exact top-k
+    (bucket misses are possible; recall asserted in
+    tests/test_vectors.py) but fully DETERMINISTIC given the data, so
+    since r10 the whole pipeline is oracle-gated in SQL via the literal
+    planes (previously rows-only)."""
     e = t(spark, sf_dir, "embeddings")
-    # bit j = sign of dot(v, h_j); h_j = pinned literal plane "j:*" — all
-    # 12 projections in one literal-matrix expression (_proj_array_expr)
-    keys = [str(j) for j in range(_ANN_LSH_BITS)]
-    sig = (
-        e.select(
-            "vec_id", "label", "embedding",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("__v"),
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("__v"),
+    )
+    keys = [f"ann:{p}" for p in range(_ANN_BANDS * _ANN_BAND_BITS)]
+    proj = base.select("vec_id", _proj_array_expr("__v", keys).alias("__pj"))
+    bands = _band_vals_from_proj("__pj", _ANN_BANDS, _ANN_BAND_BITS)
+    banded = proj.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_idx"), bv.alias("band_val"))
+                for i, bv in enumerate(bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band_idx", "bk.band_val")
+    q = banded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_val"
+    )
+    cand = (
+        banded.join(
+            F.broadcast(q),
+            ["band_idx", "band_val"],
         )
-        .withColumn("__pj", _proj_array_expr("__v", keys))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    arrs = e.select("vec_id", "embedding")
+    scored = (
+        cand.join(
+            F.broadcast(
+                arrs.filter(F.col("vec_id") < _N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            arrs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+            ),
+            "neighbor_id",
+        )
         .select(
-            "vec_id", "label", "embedding",
-            _band_vals_from_proj("__pj", 1, _ANN_LSH_BITS)[0].alias("bucket"),
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_emb"), F.col("n_emb")), 4).alias("cos"),
         )
-    )
-    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    cand = sig.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 4).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(

@@ -20,10 +20,21 @@ Replication rules (factor k, replica index i in 0..k-1):
   cross-replica near-dup pairs at sf1 and masqueraded as a quadratic
   operator. Replication must not create cross-replica similarity at
   ANY granularity an operator measures.)
-- ``embeddings.embedding`` is circularly shifted by i dimensions:
-  within-replica cosine geometry is preserved exactly; cross-replica
-  vectors decorrelate, so ANN candidate counts scale like a k-times
-  larger corpus, not k copies of one.
+- ``embeddings.embedding`` is multiplied element-wise by a per-replica
+  Rademacher (±1) sign pattern derived from md5(replica, dim). A fixed
+  diagonal ±1 transform is an isometry, and because (s·x)(s·y) = x·y
+  EXACTLY in IEEE arithmetic for s = ±1, within-replica dot products,
+  norms and cosines are bit-identical to the source fixture. Across
+  replicas the product pattern s⁽ⁱ⁾s⁽ʲ⁾ is itself Rademacher, so
+  cross-replica cosines collapse to O(1/√dim) noise. (A first attempt
+  circularly SHIFTED vectors by i dims; synthetic embeddings are
+  smooth, their autocorrelation at small lags is high, and the sf1
+  sweep measured a 106× output blowup in ext_cosine_pairs_lsh —
+  43,549 pairs vs the 4,090 clean replication predicts — turning a
+  linear operator into a fake quadratic one. Same lesson as the text
+  rule: replication must not create cross-replica similarity at any
+  granularity an operator measures, and "shifted" is not "unrelated"
+  for autocorrelated signals.)
 - ``region``/``nation`` stay fixed (real dimensions don't scale).
 
 Usage:
@@ -97,17 +108,34 @@ def main() -> None:
                 "n_chars", F.length("text").cast("long")
             )
         if t == "embeddings":
-            # circular shift by i: preserves norms and within-replica
-            # angles, decorrelates across replicas
+            # per-replica Rademacher sign flip: a ±1 diagonal isometry is
+            # EXACT for within-replica dot products ((s·x)(s·y) = x·y in
+            # IEEE for s = ±1) and decorrelates cross-replica cosines to
+            # O(1/√dim) noise — see the module docstring for why a
+            # circular shift is NOT enough (autocorrelation).
+            import hashlib
+
             dim = len(src.select("embedding").first()[0])
-            sh = (F.col("__i") % F.lit(dim)).cast("int")
-            rep = rep.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice(F.col("embedding"), sh + 1, F.lit(dim) - sh),
-                    F.slice(F.col("embedding"), F.lit(1), sh),
-                ),
-            )
+
+            def signs(i: int) -> list[float]:
+                return [
+                    1.0
+                    if hashlib.md5(f"{i}|{d}".encode()).digest()[0] & 1
+                    else -1.0
+                    for d in range(dim)
+                ]
+
+            flipped = F.col("embedding")
+            for i in range(1, args.factor):
+                flipped = F.when(
+                    F.col("__i") == i,
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(s).cast("float") for s in signs(i)]),
+                        lambda x, s: (x * s).cast("float"),
+                    ),
+                ).otherwise(flipped)
+            rep = rep.withColumn("embedding", flipped)
         n = rep.drop("__i").write.mode("overwrite").parquet(
             f"{args.out}/{t}.parquet"
         )

@@ -44,7 +44,7 @@ def main() -> None:
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
     ap.add_argument("--out", default="SCALING.md")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -77,11 +77,15 @@ def main() -> None:
         "",
         f"Fixture: `{args.sf1}` = sf0.1 replicated 10x by",
         "`tools/make_scaled_fixture.py` (disjoint key ranges per replica;",
-        "per-replica token suffixing and embedding rotation keep within-",
-        "replica duplicate/ANN structure identical while preventing",
-        "cross-replica cliques). local[32], one warm session, best of 2",
-        "reps per SF. exponent = log10(sec_sf1 / sec_sf0.1): 1.0 = linear",
-        "in rows, < 1 = fixed cost amortizing, > 1 = super-linear (bad).",
+        "per-replica alphabet rotation of text and Rademacher sign-flip",
+        "of embeddings keep within-replica duplicate/ANN structure",
+        "identical while preventing cross-replica cliques). local[32],",
+        f"one warm session, best of {args.reps} reps per SF (rep 0 pays",
+        "session-lifetime index builds — signature/candidate caches,",
+        "k-means/PQ fits — so best-of captures the warm per-query cost;",
+        "the build-the-index-once contract is the deployment reality).",
+        "exponent = log10(sec_sf1 / sec_sf0.1): 1.0 = linear in rows,",
+        "< 1 = fixed cost amortizing, > 1 = super-linear (bad).",
         "",
         "| query | sf0.1 sec | sf1 sec | rows sf0.1 | rows sf1 | x | exponent |",
         "|---|---|---|---|---|---|---|",
