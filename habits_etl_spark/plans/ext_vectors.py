@@ -283,6 +283,65 @@ _PAIR_BAND_BITS = 8
 _PAIR_BROADCAST_MAX = 2_000_000
 
 
+def _banded_rows(prepped, seed: str, n_bands: int, band_bits: int):
+    """Skinny (vec_id, band_idx, band_val) rows: Arrow-batched numpy
+    matmul for the plane projections, MATERIALIZED (localCheckpoint)
+    before any join touches them.
+
+    Two measured lessons at sf1 (20k vectors, 192 planes) are baked in:
+
+    1. The higher-order-function expression path
+       (transform/zip_with/aggregate over a literal plane matrix —
+       _proj_array_expr) costs ~1.4 ms/vector: HOFs are interpreted,
+       never codegen'd, and the 192x64 literal matrix is rebuilt per
+       row. One V @ M numpy matmul over an Arrow batch does the same
+       245 MFLOPs in milliseconds — the classic vectorized-UDF-beats-
+       per-row case, ~100x here (28 s -> <1 s for the signature job).
+       At 10^9 vectors the expression path is CPU-days; the batch path
+       is minutes. (_proj_array_expr stays as the pure-expression
+       reference implementation; cross-path equality is pinned in
+       tests/test_vectors.py::test_numpy_and_expression_bands_agree.)
+    2. Without a materialization barrier, Catalyst inlines the
+       projection into every consumer — the band self-join evaluated it
+       once per exploded row per join SIDE. Checkpointing the per-vector
+       signature rows (|v| x n_bands ints — a few MB at any realistic
+       shard size) runs the projection exactly once per vector; both
+       join sides rescan integers. Same lesson as the r11 shared
+       MinHash pair relation.
+
+    Cross-engine parity: numpy's pairwise summation can disagree with
+    the oracle's sequential list_dot_product fold only when
+    |projection| is within ~1e-13 of zero (a sign flip on a knife
+    edge) — the ICWS argmin-tie residual class. The fixture margin is
+    pinned in tests (min |proj| >> double noise); like the ICWS ties,
+    the class is documented rather than provably empty."""
+    import numpy as np
+    import pandas as pd
+
+    M = np.array(
+        [_plane_signs(f"{seed}:{p}") for p in range(n_bands * band_bits)]
+    ).T  # dim x planes
+    weights = 1 << np.arange(band_bits)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy())  # n x dim
+            S = (V @ M) >= 0.0  # n x planes sign bits
+            B = S.reshape(len(V), n_bands, band_bits) @ weights
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "bands": list(B.astype("int32"))}
+            )
+
+    sig = prepped.select("vec_id", "v").mapInPandas(
+        gen, "vec_id long, bands array<int>"
+    ).localCheckpoint(eager=True)
+    return sig.select(
+        "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+
+
 def _lsh_candidate_pairs(prepped, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS):
     """Banded SRP-LSH candidate generation, mirroring the MinHash->verify
     text pipeline EXACTLY (same join topology): explode each vector to
@@ -309,18 +368,7 @@ def _lsh_candidate_pairs(prepped, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS
     default 8-bit banding at 20k vectors: 24.7x the sf0.1 time (noise
     collisions 16 * n^2 / 256); 12-bit banding at the same corpus cut
     candidates ~16x (see SCALING.md)."""
-    keys = [f"pairs:{p}" for p in range(n_bands * band_bits)]
-    proj = prepped.select("vec_id", _proj_array_expr("v", keys).alias("pj"))
-    bands = _band_vals_from_proj("pj", n_bands, band_bits)
-    banded = proj.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band_idx"), bv.alias("band_val"))
-                for i, bv in enumerate(bands)
-            ])
-        ).alias("bk"),
-    ).select("vec_id", "bk.band_idx", "bk.band_val")
+    banded = _banded_rows(prepped, "pairs", n_bands, band_bits)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -729,20 +777,9 @@ def ext_ann_lsh_bucketed(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("__v"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    keys = [f"ann:{p}" for p in range(_ANN_BANDS * _ANN_BAND_BITS)]
-    proj = base.select("vec_id", _proj_array_expr("__v", keys).alias("__pj"))
-    bands = _band_vals_from_proj("__pj", _ANN_BANDS, _ANN_BAND_BITS)
-    banded = proj.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band_idx"), bv.alias("band_val"))
-                for i, bv in enumerate(bands)
-            ])
-        ).alias("bk"),
-    ).select("vec_id", "bk.band_idx", "bk.band_val")
+    banded = _banded_rows(base, "ann", _ANN_BANDS, _ANN_BAND_BITS)
     q = banded.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band_idx", "band_val"
     )

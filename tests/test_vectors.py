@@ -130,6 +130,47 @@ def test_cosine_pairs_lsh_is_verified_subset(spark, sf_dir):
     assert recall >= 0.15, f"LSH pair recall collapsed: {recall}"
 
 
+def test_numpy_and_expression_bands_agree(spark, sf_dir):
+    """The Arrow/numpy band path (_banded_rows) must produce EXACTLY the
+    (vec_id, band_idx, band_val) relation the pure-expression reference
+    path does — numpy's pairwise summation vs the sequential fold can
+    only disagree where a projection sits within ~1e-13 of zero, and the
+    margin assertion below shows this fixture is nowhere near that knife
+    edge (the documented ICWS-tie residual class)."""
+    import numpy as np
+
+    from habits_etl_spark.plans.ext_vectors import (
+        _band_vals_from_proj,
+        _banded_rows,
+        _plane_signs,
+        _prepped_embeddings,
+        _proj_array_expr,
+    )
+
+    p = _prepped_embeddings(spark, sf_dir)
+    got = {
+        (r.vec_id, r.band_idx, r.band_val)
+        for r in _banded_rows(p, "pairs", 16, 8).collect()
+    }
+    keys = [f"pairs:{i}" for i in range(128)]
+    proj = p.select("vec_id", _proj_array_expr("v", keys).alias("pj"))
+    bands = _band_vals_from_proj("pj", 16, 8)
+    want = set()
+    for r in proj.select(
+        "vec_id", *[bv.alias(f"b{i}") for i, bv in enumerate(bands)]
+    ).collect():
+        for i in range(16):
+            want.add((r.vec_id, i, r[f"b{i}"]))
+    assert got == want
+
+    # sign-flip margin: the smallest |projection| across the corpus must
+    # dwarf double-summation noise (~1e-13 on O(1) folds)
+    V = np.vstack([r.v for r in p.select("v").collect()])
+    M = np.array([_plane_signs(k) for k in keys]).T
+    margin = np.abs(V @ M).min()
+    assert margin > 1e-9, f"projection margin too thin: {margin}"
+
+
 def test_scale_tuned_banding_cuts_candidates_and_keeps_precision(spark, sf_dir):
     """The banding law (band_bits ~ log2 n, _lsh_candidate_pairs): wider
     band keys must cut the candidate budget ~2^extra_bits on noise-level

@@ -33,10 +33,15 @@ QUERIES = [
     "ext_simhash",
     "ext_ngram_jaccard_simhash_blocked",
     "ext_cosine_pairs_lsh",
+    "ext_ann_lsh_bucketed",
     "ext_ivfpq_topk",
     "ext_topk_sim_search",
     "stream_rollup_e2e",
 ]
+
+# the banding-law variant (band_bits ~ log2 n): measured alongside the
+# 8-bit registered default so SCALING.md shows the knob, not just the law
+_TUNED = ("ext_cosine_pairs_lsh[12-bit]", 12)
 
 
 def main() -> None:
@@ -51,12 +56,25 @@ def main() -> None:
 
     from habits_etl_spark.session import get_spark
 
-    spark = get_spark("scaling")
     qs = entrymod.queries()
 
+    from habits_etl_spark.plans.ext_vectors import scale_tuned_cosine_pairs
+
+    tuned_name, tuned_bits = _TUNED
+    runnable = [(n, qs[n]) for n in QUERIES] + [
+        (tuned_name, lambda s, d: scale_tuned_cosine_pairs(s, d, band_bits=tuned_bits))
+    ]
+
     results = {}
-    for name in QUERIES:
-        fn = qs[name]
+    for name, fn in runnable:
+        # FRESH session per query: the r12 shared-session sweep measured
+        # ext_near_dedup_minhash at 14 s against 2.8 s solo — lingering
+        # cached relations and session-lifetime memos from earlier
+        # queries evict/thrash later ones, and best-of-reps cannot see
+        # past it because the pollution persists across reps. A new
+        # applicationId also invalidates shared_cache/memo_fit entries,
+        # so every query pays its own honest index-build in rep 0.
+        spark = get_spark(f"scaling-{name}")
         row = {}
         try:
             for label, sf_dir in (("sf0.1", args.sf01), ("sf1", args.sf1)):
@@ -70,6 +88,8 @@ def main() -> None:
         except Exception as exc:  # record the failure, keep sweeping
             print(f"{name}: ERROR {type(exc).__name__}: {exc}", flush=True)
             row["error"] = f"{type(exc).__name__}"
+        finally:
+            spark.stop()
         results[name] = row
 
     lines = [
