@@ -251,7 +251,18 @@ def _prepped_embeddings(spark, sf_dir):
 
 def _cosine_pairs_from(pair_source, threshold=_COS_THRESHOLD):
     """Score (vec_a < vec_b) candidate pairs carrying (v_a, n_a, v_b, n_b)
-    columns; keep cos >= threshold."""
+    columns; keep cos >= threshold.
+
+    Kernel choice, A/B-measured on a fixed 14.2M-candidate checkpoint at
+    sf1 (r12): the aggregate/zip_with fold runs at ~0.5 us/pair — an
+    unrolled 64-term element_at sum is 8x SLOWER (46 s vs 5-8 s; 128
+    element_at calls with per-access null/bounds checks blow past the
+    JIT's effective inlining budget), and an Arrow/numpy verify would
+    pay ~1 KB/pair of transfer for arrays the JVM already holds. The
+    HOF tax that matters in this file is the per-row LITERAL-MATRIX
+    rebuild in the plane projection (_banded_rows), not this
+    well-shaped fold. Verify stays join-shaped (no corpus broadcast)
+    and JVM-side — the LSH scale path's kernel."""
     dot = F.aggregate(
         F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
         F.lit(0.0),
@@ -261,6 +272,64 @@ def _cosine_pairs_from(pair_source, threshold=_COS_THRESHOLD):
     return (
         pair_source.filter(cos >= threshold)
         .select("vec_a", "vec_b", "label_a", "label_b", F.round(cos, 4).alias("cos"))
+    )
+
+
+def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
+    """Exact all-pairs cosine >= threshold as a distributed BLOCK MATMUL:
+    broadcast the (gate-bounded) corpus matrix once, then each partition
+    computes its row-block's A @ V.T against it in numpy and emits only
+    the pairs over threshold — the REPOSE-style block layout.
+
+    Replaces the expression-join form (arm x arm equi-less join +
+    zip_with/aggregate dot per pair): higher-order functions are
+    interpreted, not codegen'd, so the old plan paid ~9 us per pair —
+    18.8 s for 2M pair dots at sf0.1 vs ~1 s here (the same
+    HOF-vs-Arrow lesson as _banded_rows, measured the same round). The
+    driver collect is bounded by the callers' _EXACT_PAIRS_MAX refusal
+    (100k rows x 64 dims x 8 B = 51 MB broadcast, and n^2 work is
+    refused far before the broadcast pinches).
+
+    Float parity with the DuckDB oracle: numpy's pairwise-summed dot vs
+    the oracle's sequential list_dot_product fold can differ ~1e-16
+    relative; after round(cos, 4) a flip needs the true cosine within
+    ~1e-12 of a 5e-5 rounding boundary (the documented knife-edge
+    residual class; hash-green at all three SFs empirically)."""
+    import numpy as np
+    import pandas as pd
+
+    ltype = prepped.schema["label"].dataType.simpleString()
+    rows = prepped.select("vec_id", "label", "v").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    labels = np.array([r.label for r in rows])
+    V = np.vstack([r.v for r in rows])
+    nrm = np.sqrt((V * V).sum(axis=1))
+    bcast = spark.sparkContext.broadcast((ids, labels, V, nrm))
+
+    def gen(batches):
+        bids, blabels, BV, bnrm = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf["v"].to_numpy())
+            an = np.sqrt((A * A).sum(axis=1))
+            C = (A @ BV.T) / np.outer(an, bnrm)
+            aids = pdf["vec_id"].to_numpy()
+            mask = (C >= threshold) & (aids[:, None] < bids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": aids[ai],
+                    "vec_b": bids[bj],
+                    "label_a": pdf["label"].to_numpy()[ai],
+                    "label_b": blabels[bj],
+                    "cos": np.round(C[ai, bj], 4),
+                }
+            )
+
+    return prepped.select("vec_id", "label", "v").mapInPandas(
+        gen,
+        f"vec_a long, vec_b long, label_a {ltype}, label_b {ltype}, cos double",
     )
 
 
@@ -442,8 +511,7 @@ def ext_embedding_cosine_pairs(spark, sf_dir):
             f"refuses {n} rows > _EXACT_PAIRS_MAX={_EXACT_PAIRS_MAX}; use "
             "ext_cosine_pairs_lsh (banded SRP-LSH + exact verify) at scale"
         )
-    a, b = _pair_arms(prepped)
-    return _cosine_pairs_from(a.join(b, F.col("vec_a") < F.col("vec_b")))
+    return _exact_pairs_blocked(spark, prepped)
 
 
 def _pairs_lsh_oracle_sql() -> str:
