@@ -1123,3 +1123,66 @@ def agg_value_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     ).orderBy("event_type")
+
+
+@query(
+    "op_variant_shred",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             json_extract(props, '$.absent') AS absent
+      FROM events
+    )
+    SELECT event_type,
+           count(*)                                   AS n_events,
+           count(k)                                   AS n_with_k,
+           min(k)                                     AS k_min,
+           max(k)                                     AS k_max,
+           CAST(sum(k) AS BIGINT)                     AS k_sum,
+           count(*) FILTER (k >= 50)                  AS n_k_hi,
+           count(absent)                              AS n_absent_field
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def op_variant_shred(spark, sf_dir):
+    """Semi-structured shredding through Spark 4's VARIANT type: parse
+    ``events.props`` ONCE into the binary variant encoding, then take
+    every typed field with ``try_variant_get`` — the lakehouse-native
+    successor to ``fn_json_extract``'s get_json_object path, which
+    re-parses the JSON text once PER EXTRACTED FIELD. At one field the
+    two are even; at the wide, ragged payloads real event streams carry
+    (and at 100 TB of them), parse-once-shred-many is the difference
+    between one scan-side decode and N of them, and VARIANT pushes
+    typed access (`$.k` as bigint) into the encoded form without a
+    user-supplied schema — the schema-on-read contract ``from_json``
+    cannot offer when producers evolve payloads independently.
+
+    try_variant_get returns NULL for missing paths and uncastable
+    values (ANSI-safe by construction); the deliberately-absent
+    ``$.absent`` probe pins that behavior against the oracle's
+    json_extract NULL semantics. Output is plain integers, so
+    cross-engine parity is exact. Reference parity: generalizes the
+    habits ETL's JSON column handling (SURVEY §2.3 fn_json_extract);
+    [E] extension — the reference has no variant surface."""
+    e = t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).select(
+        "event_type",
+        F.try_variant_get("pv", "$.k", "bigint").alias("k"),
+        F.try_variant_get("pv", "$.absent", "string").alias("absent"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count_if(F.col("k") >= 50).cast("bigint").alias("n_k_hi"),
+            F.count("absent").cast("bigint").alias("n_absent_field"),
+        )
+        .orderBy("event_type")
+    )
