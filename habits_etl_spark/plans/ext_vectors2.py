@@ -112,7 +112,15 @@ def _kmeans_fit(spark, sf_dir, k, iters):
     # CACHED + session-shared: the seed pick, the count, and every Lloyd
     # round's update agg re-read this relation; uncached, each re-runs
     # scan + cast + norm-fold. pq_fit starts from the same handle.
-    m = _normed_base_cached(spark, sf_dir)
+    return _kmeans_fit_from(_normed_base_cached(spark, sf_dir), k, iters)
+
+
+def _kmeans_fit_from(m, k, iters):
+    """The Lloyd loop over an arbitrary (vec_id, v, nrm) relation —
+    factored out (r12) so the incremental-IVF op can train on a
+    filtered base corpus while the classic fit keeps training on the
+    full table. ``m`` should be cached by the caller: the seed pick,
+    the count and every round's update agg re-read it."""
     total = m.count()
     step = max(total // k, 1)
     # md5-hex-prefix integer, not crc32: engine-portable, so the whole
@@ -177,7 +185,8 @@ def _kmeans_fit(spark, sf_dir, k, iters):
 
 
 def _kmeans_cent_sql(k: int = _KM_K, iters: int = _KM_ITERS,
-                     prefix: str = "", include_base: bool = True) -> str:
+                     prefix: str = "", include_base: bool = True,
+                     src_where: str = "") -> str:
     """CTE chain restating kmeans_fit in DuckDB, ending in ``cent{iters}``
     (cell -> unit-centroid list) and ``massign`` (every vector with its
     final cell and best dot). The unroll pattern of the k-center / MMR /
@@ -190,11 +199,11 @@ def _kmeans_cent_sql(k: int = _KM_K, iters: int = _KM_ITERS,
     the lowest cell (Spark's array_position-of-max)."""
     h = "CAST(('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
     ctes = [
-        """m2 AS MATERIALIZED (
+        f"""m2 AS MATERIALIZED (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings {src_where}
     )""",
         f"mh AS MATERIALIZED (SELECT vec_id, v, nrm, {h} AS h FROM m2)",
         f"""cand AS (
@@ -405,3 +414,146 @@ def ext_semantic_dedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# --- Incremental IVF maintenance (r12) ---------------------------------
+# A real vector index is never retrained per batch: the coarse quantizer
+# is fit once on the standing corpus, new vectors route into existing
+# cells, and a per-cell health report decides when a refit is worth a
+# 100 TB re-shuffle. The delta split is a deterministic md5 hash of the
+# vec_id (1-in-_IVFD_MOD), so both engines agree on which rows are "new".
+_IVFD_MOD = 10
+_IVFD_DUCK_DELTA = (
+    "CAST(('0x' || substr(md5('ivfd:' || CAST(vec_id AS VARCHAR)), 1, 8))"
+    f" AS BIGINT) % {_IVFD_MOD} = 0"
+)
+
+
+def _ivfd_delta_col() -> F.Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivfd:"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(_IVFD_MOD)) == 0
+
+
+@query(
+    "ext_ivf_delta_maintenance",
+    f"""
+    WITH {_kmeans_cent_sql(src_where=f"WHERE NOT ({_IVFD_DUCK_DELTA})")},
+    all2 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm,
+             {_IVFD_DUCK_DELTA} AS is_delta
+      FROM embeddings
+    ),
+    dass AS (
+      SELECT vec_id, nrm, is_delta, cell, bd FROM (
+        SELECT a.vec_id, a.nrm, a.is_delta, c.cell,
+               list_dot_product(a.v, c.w) AS bd,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY list_dot_product(a.v, c.w) DESC,
+                                           c.cell) AS rk
+        FROM all2 a CROSS JOIN cent{_KM_ITERS} c
+      ) WHERE rk = 1
+    ),
+    rep AS (
+      SELECT CAST(cell AS INT) AS cell_id,
+             CAST(count(*) FILTER (NOT is_delta) AS BIGINT) AS n_base,
+             CAST(count(*) FILTER (is_delta) AS BIGINT) AS n_delta,
+             round(CAST(sum(CAST(bd / nrm AS DECIMAL(28,12)))
+                          FILTER (NOT is_delta) AS DOUBLE)
+                   / count(*) FILTER (NOT is_delta), 4) AS mean_base_cos,
+             round(CAST(sum(CAST(bd / nrm AS DECIMAL(28,12)))
+                          FILTER (is_delta) AS DOUBLE)
+                   / count(*) FILTER (is_delta), 4) AS mean_delta_cos
+      FROM dass GROUP BY 1
+    )
+    SELECT cell_id, n_base, n_delta, mean_base_cos, mean_delta_cos,
+           round(mean_delta_cos - mean_base_cos, 4) AS cos_drift,
+           (n_delta * {_IVFD_MOD} >= n_base * 2
+            OR coalesce(round(mean_delta_cos - mean_base_cos, 4) <= -0.05,
+                        FALSE)) AS refit
+    FROM rep ORDER BY cell_id
+    """,
+)
+def ext_ivf_delta_maintenance(spark, sf_dir):
+    """Incremental IVF index maintenance: the coarse quantizer is
+    trained ONLY on the standing corpus (vectors outside the md5
+    1-in-{_IVFD_MOD} delta split), the delta batch routes into the
+    existing cells as a pure broadcast-literal map (no refit, no
+    shuffle), and the output is the per-cell health report a real
+    deployment gates refits on — base/delta member counts, mean
+    member-to-centroid cosine for each side, their drift, and the
+    refit flag (delta overgrowth >= 2x its expected share, or
+    delta-side fit degrading by > 0.05 cosine).
+
+    Scale: this is the operation that makes a vector index maintainable
+    at 100 TB — assignment of arrivals is embarrassingly parallel
+    against k broadcast centroid literals, while the expensive fit
+    re-runs only when a cell's report says so. The fit itself is
+    memoized per (session, sf_dir) like every trained model here
+    (build-the-index-once), and reuses the shared normed base relation.
+    Oracle: the unrolled decimal-exact Lloyd chain (_kmeans_cent_sql)
+    parameterized by the same hash split via ``src_where``, plus a
+    final full-corpus assignment CTE — cross-engine parity leans on the
+    same md5-seed / sequential-fold / DECIMAL-sum pins as
+    ext_kmeans_centroids (hash-green there since r10). Reference
+    parity: [E] extension (BASELINE north-star similarity-search
+    family); no reference twin."""
+    from habits_etl_spark.plans.common import memo_fit, shared_cache
+
+    m = _normed_base_cached(spark, sf_dir)
+    base = shared_cache(
+        spark,
+        f"embeddings/normed_ivf_base::{sf_dir}",
+        lambda: m.filter(~_ivfd_delta_col()),
+    )
+    cents = memo_fit(
+        ("ivf_delta_fit", sf_dir, _KM_K, _KM_ITERS),
+        lambda: _kmeans_fit_from(base, _KM_K, _KM_ITERS),
+    )
+    dots = F.expr(_dots_sql(cents))
+    assigned = (
+        m.select("vec_id", "nrm", _ivfd_delta_col().alias("is_delta"), "v")
+        .withColumn("__dots", dots)
+        .select(
+            "vec_id",
+            "nrm",
+            "is_delta",
+            F.expr("array_position(__dots, array_max(__dots)) - 1")
+            .cast("int")
+            .alias("cell_id"),
+            F.expr("array_max(__dots)").alias("bd"),
+        )
+    )
+    dsum = lambda cond: F.sum(  # noqa: E731 — local decimal-filtered sum
+        F.when(cond, (F.col("bd") / F.col("nrm")).cast("decimal(28,12)"))
+    ).cast("double")
+    rep = assigned.groupBy("cell_id").agg(
+        F.count_if(~F.col("is_delta")).cast("bigint").alias("n_base"),
+        F.count_if(F.col("is_delta")).cast("bigint").alias("n_delta"),
+        F.round(
+            dsum(~F.col("is_delta")) / F.count_if(~F.col("is_delta")), 4
+        ).alias("mean_base_cos"),
+        F.round(
+            dsum(F.col("is_delta")) / F.count_if(F.col("is_delta")), 4
+        ).alias("mean_delta_cos"),
+    )
+    drift = F.round(F.col("mean_delta_cos") - F.col("mean_base_cos"), 4)
+    return rep.select(
+        "cell_id",
+        "n_base",
+        "n_delta",
+        "mean_base_cos",
+        "mean_delta_cos",
+        drift.alias("cos_drift"),
+        (
+            (F.col("n_delta") * _IVFD_MOD >= F.col("n_base") * 2)
+            | F.coalesce(drift <= -0.05, F.lit(False))
+        ).alias("refit"),
+    ).orderBy("cell_id")

@@ -130,6 +130,31 @@ def test_cosine_pairs_lsh_is_verified_subset(spark, sf_dir):
     assert recall >= 0.15, f"LSH pair recall collapsed: {recall}"
 
 
+def test_blocked_matmul_pairs_equal_expression_join(spark, sf_dir):
+    """The r12 block-matmul exact-pairs path must reproduce the old
+    arm-join + fold-dot form VALUE-FOR-VALUE (the oracle hash gate
+    asserts this against DuckDB; this pins the Spark-vs-Spark
+    refactor directly, including the rounded cosines)."""
+    from habits_etl_spark.plans.ext_vectors import (
+        _cosine_pairs_from,
+        _exact_pairs_blocked,
+        _pair_arms,
+        _prepped_embeddings,
+    )
+
+    p = _prepped_embeddings(spark, sf_dir)
+    a, b = _pair_arms(p)
+    old = {
+        (r.vec_a, r.vec_b): (r.label_a, r.label_b, r.cos)
+        for r in _cosine_pairs_from(a.join(b, F.col("vec_a") < F.col("vec_b"))).collect()
+    }
+    new = {
+        (r.vec_a, r.vec_b): (r.label_a, r.label_b, r.cos)
+        for r in _exact_pairs_blocked(spark, p).collect()
+    }
+    assert old == new
+
+
 def test_numpy_and_expression_bands_agree(spark, sf_dir):
     """The Arrow/numpy band path (_banded_rows) must produce EXACTLY the
     (vec_id, band_idx, band_val) relation the pure-expression reference

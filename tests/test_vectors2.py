@@ -81,3 +81,33 @@ def test_assignment_is_shuffle_free(spark, sf_dir):
     )
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan, plan[:1500]
+
+
+def test_ivf_delta_maintenance_report_is_consistent(spark, sf_dir):
+    """The incremental-IVF health report must account for every vector
+    exactly once (base + delta partition the corpus), report means on
+    the cosine scale, agree with its own refit rule, and train on a
+    base that EXCLUDES the delta (the point of the op: arrivals route
+    into an index fit before they existed)."""
+    from habits_etl_spark.plans.ext_vectors2 import (
+        _IVFD_MOD,
+        _ivfd_delta_col,
+        ext_ivf_delta_maintenance,
+    )
+
+    rows = ext_ivf_delta_maintenance(spark, sf_dir).collect()
+    e = QUERIES["ext_topk_sim_search"].__globals__["t"](spark, sf_dir, "embeddings")
+    total = e.count()
+    n_delta_true = e.filter(_ivfd_delta_col()).count()
+    assert sum(r.n_base + r.n_delta for r in rows) == total
+    assert sum(r.n_delta for r in rows) == n_delta_true
+    # md5 split should put roughly 1/_IVFD_MOD in the delta
+    assert 0.3 / _IVFD_MOD < n_delta_true / total < 3.0 / _IVFD_MOD
+    for r in rows:
+        for m in (r.mean_base_cos, r.mean_delta_cos):
+            if m is not None:
+                assert -1.0 <= m <= 1.0
+        want_refit = (r.n_delta * _IVFD_MOD >= r.n_base * 2) or (
+            r.cos_drift is not None and r.cos_drift <= -0.05
+        )
+        assert r.refit == want_refit, r
