@@ -34,6 +34,9 @@ QUERIES = [
     "ext_ngram_jaccard_simhash_blocked",
     "ext_cosine_pairs_lsh",
     "ext_ann_lsh_bucketed",
+    "ext_embedding_cosine_pairs",
+    "ext_embedding_dup_clusters",
+    "ext_ngram_jaccard_blocked",
     "ext_ivfpq_topk",
     "ext_topk_sim_search",
     "stream_rollup_e2e",
