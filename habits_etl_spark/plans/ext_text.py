@@ -655,6 +655,15 @@ def ext_simhash(spark, sf_dir):
 
 _CGRAM_N = 5  # character shingle width
 _CGRAM_THRESHOLD = 0.5
+# Integer form of the threshold for every AllPairs/PPJoin bound (ADVICE
+# r12): float `ceil(t*n)` can round up when t*n is an exact integer under
+# a non-dyadic t (0.55*20 -> 11.000000000000002 in some evaluation
+# orders), silently shortening the prefix below the lemma bound and
+# dropping true pairs the oracle still emits. All prefix/length/position
+# bounds below use t = NUM/DEN in exact integer arithmetic; the assert
+# pins the two representations together.
+_CGRAM_T_NUM, _CGRAM_T_DEN = 1, 2
+assert _CGRAM_T_NUM / _CGRAM_T_DEN == _CGRAM_THRESHOLD
 
 
 @query(
@@ -732,27 +741,63 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
     g = docs.select("doc_id", "source", "n", F.explode("grams").alias("gram"))
     df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
-    t_lit = F.lit(_CGRAM_THRESHOLD)
+    num, den = _CGRAM_T_NUM, _CGRAM_T_DEN
+    # prefix length n - ceil(t*n) + 1 with ceil in EXACT integer
+    # arithmetic: ceil(num*n/den) = (num*n + den - 1) div den
+    ceil_tn = F.expr(f"(n * {num} + {den - 1}) div {den}")
     prefix = (
         g.join(df_, "gram")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.col("n") - F.ceil(t_lit * F.col("n")) + 1)
-        .select("doc_id", "source", "n", "gram")
+        .filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
+        .select("doc_id", "source", "n", "gram", "pos")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin+ position bound (r13): J >= t forces overlap
+    # c >= alpha = ceil(t/(1+t) * (n_a+n_b)). For a prefix gram matched at
+    # positions (pa, pb) under the shared global (df, gram) order, common
+    # grams split cleanly around the match (the order is CONSISTENT: a
+    # common gram earlier in one sorted list is earlier in both), so
+    # overlap <= min(pa, pb) + min(n_a - pa, n_b - pb). Rows where that
+    # bound is < alpha cannot witness a true pair and are killed INSIDE
+    # the join (map-side, before the distinct shuffle).
+    alpha_ab = F.expr(
+        f"((a.n + b.n) * {num} + {num + den - 1}) div {num + den}"
+    )
+    row_ubound = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length prune: J >= t forces t*n_a <= n_b <= n_a/t
-            & (F.col("b.n") * t_lit <= F.col("a.n"))
-            & (F.col("a.n") * t_lit <= F.col("b.n")),
+            # length prune: J >= t forces t*n_a <= n_b <= n_a/t, as
+            # num*n_a <= den*n_b (exact — no float knife-edge)
+            & (F.col("b.n") * num <= F.col("a.n") * den)
+            & (F.col("a.n") * num <= F.col("b.n") * den)
+            & (row_ubound >= alpha_ab),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na_"),
+            F.col("b.n").alias("nb_"),
+        )
+        # The FIRST common gram in the global order (min pos — one gram,
+        # since the order is consistent min(pa) and min(pb) come from the
+        # same gram) has no common gram before it in EITHER list, so
+        # overlap <= 1 + min(n_a - pa, n_b - pb): a strictly tighter
+        # pair-level kill than the per-row bound, evaluated on the
+        # aggregate that replaced the old distinct (same shuffle shape).
+        .agg(F.min("a.pos").alias("pa"), F.min("b.pos").alias("pb"))
+        .filter(
+            F.lit(1)
+            + F.least(F.col("na_") - F.col("pa"), F.col("nb_") - F.col("pb"))
+            >= F.expr(f"((na_ + nb_) * {num} + {num + den - 1}) div {num + den}")
+        )
+        .select("doc_a", "doc_b")
     )
     arr_a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("n").alias("na")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import query, t
+from habits_etl_spark.plans.common import managed_cache, query, t
 
 _TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -275,6 +275,17 @@ def _cosine_pairs_from(pair_source, threshold=_COS_THRESHOLD):
     )
 
 
+# Memo of corpus broadcasts keyed by (session id, corpus fingerprint):
+# without it every _exact_pairs_blocked call leaked one ~51 MB-max
+# broadcast per invocation (ADVICE r12). Entries are never destroy()'d —
+# a returned DataFrame is lazy and may still reference the handle when a
+# later call arrives, so explicit destroy could invalidate a plan the
+# caller holds; the memo bounds the leak to one broadcast per distinct
+# corpus per session (in practice: one per sf_dir), matching the other
+# shared relations in plans/common.py.
+_PAIRS_BCAST_MEMO: dict = {}
+
+
 def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
     """Exact all-pairs cosine >= threshold as a distributed BLOCK MATMUL:
     broadcast the (gate-bounded) corpus matrix once, then each partition
@@ -285,10 +296,13 @@ def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
     zip_with/aggregate dot per pair): higher-order functions are
     interpreted, not codegen'd, so the old plan paid ~9 us per pair —
     18.8 s for 2M pair dots at sf0.1 vs ~1 s here (the same
-    HOF-vs-Arrow lesson as _banded_rows, measured the same round). The
-    driver collect is bounded by the callers' _EXACT_PAIRS_MAX refusal
-    (100k rows x 64 dims x 8 B = 51 MB broadcast, and n^2 work is
-    refused far before the broadcast pinches).
+    HOF-vs-Arrow lesson as _banded_rows, measured the same round).
+
+    The _EXACT_PAIRS_MAX refusal gate lives HERE (r13, ADVICE r12) so
+    every caller inherits it — the driver collect and the O(n^2) pair
+    work are both refused past the gate (100k rows x 64 dims x 8 B =
+    51 MB broadcast max; n^2 work pinches far earlier). The scale path
+    is the separately registered ext_cosine_pairs_lsh.
 
     Float parity with the DuckDB oracle: numpy's pairwise-summed dot vs
     the oracle's sequential list_dot_product fold can differ ~1e-16
@@ -299,12 +313,33 @@ def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
     import pandas as pd
 
     ltype = prepped.schema["label"].dataType.simpleString()
+    out_schema = (
+        f"vec_a long, vec_b long, label_a {ltype}, label_b {ltype}, cos double"
+    )
+    n = prepped.count()  # gate BEFORE the collect, or the OOM beats the raise
+    if n > _EXACT_PAIRS_MAX:
+        raise ValueError(
+            f"_exact_pairs_blocked is exact all-pairs (O(n^2)) and refuses "
+            f"{n} rows > _EXACT_PAIRS_MAX={_EXACT_PAIRS_MAX}; use "
+            "ext_cosine_pairs_lsh (banded SRP-LSH + exact verify) at scale"
+        )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
     rows = prepped.select("vec_id", "label", "v").collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     labels = np.array([r.label for r in rows])
     V = np.vstack([r.v for r in rows])
     nrm = np.sqrt((V * V).sum(axis=1))
-    bcast = spark.sparkContext.broadcast((ids, labels, V, nrm))
+    memo_key = (
+        id(spark),
+        len(rows),
+        ids.tobytes()[:4096],
+        float(nrm.sum()),
+    )
+    bcast = _PAIRS_BCAST_MEMO.get(memo_key)
+    if bcast is None:
+        bcast = spark.sparkContext.broadcast((ids, labels, V, nrm))
+        _PAIRS_BCAST_MEMO[memo_key] = bcast
 
     def gen(batches):
         bids, blabels, BV, bnrm = bcast.value
@@ -327,10 +362,7 @@ def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
                 }
             )
 
-    return prepped.select("vec_id", "label", "v").mapInPandas(
-        gen,
-        f"vec_a long, vec_b long, label_a {ltype}, label_b {ltype}, cos double",
-    )
+    return prepped.select("vec_id", "label", "v").mapInPandas(gen, out_schema)
 
 
 def _pair_arms(prepped):
@@ -354,8 +386,8 @@ _PAIR_BROADCAST_MAX = 2_000_000
 
 def _banded_rows(prepped, seed: str, n_bands: int, band_bits: int):
     """Skinny (vec_id, band_idx, band_val) rows: Arrow-batched numpy
-    matmul for the plane projections, MATERIALIZED (localCheckpoint)
-    before any join touches them.
+    matmul for the plane projections, behind a cache barrier
+    (managed_cache) so no join can inline the projection.
 
     Two measured lessons at sf1 (20k vectors, 192 planes) are baked in:
 
@@ -403,9 +435,20 @@ def _banded_rows(prepped, seed: str, n_bands: int, band_bits: int):
                 {"vec_id": pdf["vec_id"], "bands": list(B.astype("int32"))}
             )
 
-    sig = prepped.select("vec_id", "v").mapInPandas(
-        gen, "vec_id long, bands array<int>"
-    ).localCheckpoint(eager=True)
+    # managed_cache, NOT localCheckpoint (r13, ADVICE r12): an eager
+    # checkpoint ran a full job at PLAN-CONSTRUCTION time (registering a
+    # query without executing it paid the projection), and localCheckpoint
+    # is non-reliable — a lost executor makes the partitions unrecoverable
+    # with no lineage fallback. A cached InMemoryRelation is the same plan
+    # barrier (Catalyst cannot inline the projection past it, so both join
+    # sides rescan integers), fills lazily on first action, and recomputes
+    # from lineage on loss.
+    sig = managed_cache(
+        prepped.select("vec_id", "v").mapInPandas(
+            gen, "vec_id long, bands array<int>"
+        ),
+        f"banded_sig:{seed}:{n_bands}:{band_bits}",
+    )
     return sig.select(
         "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
@@ -461,11 +504,14 @@ def _lsh_candidate_pairs(prepped, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS
     # The candidate pair list is collision-DRIVEN, not constant-bounded
     # (this very docstring cites 38% of the corpus in one bucket), so the
     # broadcast is gated on a MEASURED count, the connected_components
-    # pattern: checkpoint the skinny pair list (also saves re-deriving the
+    # pattern: cache the skinny pair list (also saves re-deriving the
     # band join for both sides of the count/join), count it, and only
     # hint broadcast under the budget — above it the shuffle join stands
-    # and AQE may still convert when runtime stats allow.
-    cand = cand.localCheckpoint(eager=True)
+    # and AQE may still convert when runtime stats allow. managed_cache,
+    # not localCheckpoint (r13): keeps lineage on executor loss; the
+    # count() still materializes it here because the gate needs the
+    # number before the plan is final.
+    cand = managed_cache(cand, f"lsh_cand:{n_bands}:{band_bits}")
     hint = F.broadcast if cand.count() <= _PAIR_BROADCAST_MAX else (lambda df: df)
     return arr_a.join(hint(cand), "vec_a").join(arr_b, "vec_b")
 

@@ -227,3 +227,75 @@ def test_scale_tuned_banding_cuts_candidates_and_keeps_precision(spark, sf_dir):
     assert set(tuned) <= set(exact), "scale-tuned LSH emitted a non-pair"
     for k, cos in tuned.items():
         assert abs(exact[k] - cos) < 1e-9
+
+
+def test_exact_pairs_gate_refuses_past_max(spark, sf_dir, monkeypatch):
+    """_EXACT_PAIRS_MAX refusal contract (r13, VERDICT r12 #6): the
+    driver-side corpus collect inside _exact_pairs_blocked is safe ONLY
+    while the gate holds, and since r13 the gate lives INSIDE the helper
+    so every caller — ext_embedding_cosine_pairs AND the
+    ext_embedding_dup_clusters path in ext_pipeline (ADVICE r12 medium)
+    — inherits it. Above the gate the documented refusal must fire
+    BEFORE any collect, naming the LSH scale path; at/below the gate the
+    helper serves. The LSH id itself must keep serving a corpus the
+    exact op refuses."""
+    import pytest
+
+    from habits_etl_spark.plans import ext_vectors
+    from habits_etl_spark.plans.ext_pipeline import ext_embedding_dup_clusters
+    from habits_etl_spark.plans.ext_vectors import (
+        _exact_pairs_blocked,
+        _prepped_embeddings,
+        ext_cosine_pairs_lsh,
+        ext_embedding_cosine_pairs,
+    )
+
+    p = _prepped_embeddings(spark, sf_dir)
+    n = p.count()
+    assert n > 1  # fixture sanity
+
+    monkeypatch.setattr(ext_vectors, "_EXACT_PAIRS_MAX", n - 1)
+    with pytest.raises(ValueError, match="ext_cosine_pairs_lsh"):
+        _exact_pairs_blocked(spark, p)
+    with pytest.raises(ValueError, match="_EXACT_PAIRS_MAX"):
+        ext_embedding_cosine_pairs(spark, sf_dir)
+    # the cluster path (ext_pipeline) must inherit the same refusal —
+    # pre-r13 it collected unconditionally (ADVICE r12 medium)
+    with pytest.raises(ValueError, match="ext_cosine_pairs_lsh"):
+        ext_embedding_dup_clusters(spark, sf_dir).collect()
+    # the honest-approximate scale path still serves the same corpus
+    assert ext_cosine_pairs_lsh(spark, sf_dir).count() >= 0
+
+    monkeypatch.setattr(ext_vectors, "_EXACT_PAIRS_MAX", n)
+    assert _exact_pairs_blocked(spark, p).count() > 0
+
+
+def test_exact_pairs_empty_corpus_returns_empty(spark):
+    """ADVICE r12: np.vstack on a zero-row corpus raised ValueError where
+    the old join form returned empty — the helper must short-circuit to
+    an empty DataFrame with the contract schema."""
+    from habits_etl_spark.plans.ext_vectors import _exact_pairs_blocked
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, label string, v array<double>, nrm double"
+    )
+    out = _exact_pairs_blocked(spark, empty)
+    assert out.count() == 0
+    assert out.columns == ["vec_a", "vec_b", "label_a", "label_b", "cos"]
+
+
+def test_exact_pairs_broadcast_is_memoized(spark, sf_dir):
+    """ADVICE r12: the corpus broadcast must be reused across invocations
+    on the same corpus (one handle per distinct corpus per session), not
+    leaked one-per-call."""
+    from habits_etl_spark.plans import ext_vectors
+    from habits_etl_spark.plans.ext_vectors import (
+        _exact_pairs_blocked,
+        _prepped_embeddings,
+    )
+
+    p = _prepped_embeddings(spark, sf_dir)
+    _exact_pairs_blocked(spark, p).count()
+    before = len(ext_vectors._PAIRS_BCAST_MEMO)
+    _exact_pairs_blocked(spark, p).count()
+    assert len(ext_vectors._PAIRS_BCAST_MEMO) == before

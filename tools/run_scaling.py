@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Measure per-query scaling sf0.1 -> sf1 (10x rows) and write SCALING.md.
 
-Protocol: one warm session; each query runs twice per SF and the BEST
-rep is kept (the witness protocol's noise guard, minus the median's
-third rep — these are hour-scale sweeps, not bench records). Exponent =
+Protocol: FRESH Spark session per query (the r12 shared-session sweep
+measured ext_near_dedup_minhash at 14 s vs 2.8 s solo — lingering
+caches/memos from earlier queries thrash later ones); each query runs
+twice per SF and the BEST rep is kept (rep 0 pays session-lifetime
+index builds; these are hour-scale sweeps, not bench records). Exponent =
 log10(sec_sf1 / sec_sf0.1): 1.0 = linear, <1 = fixed-cost-amortized,
 >1 = super-linear (the thing this file exists to catch).
 
@@ -103,7 +105,7 @@ def main() -> None:
         "per-replica alphabet rotation of text and Rademacher sign-flip",
         "of embeddings keep within-replica duplicate/ANN structure",
         "identical while preventing cross-replica cliques). local[32],",
-        f"one warm session, best of {args.reps} reps per SF (rep 0 pays",
+        f"FRESH session per query, best of {args.reps} reps per SF (rep 0 pays",
         "session-lifetime index builds — signature/candidate caches,",
         "k-means/PQ fits — so best-of captures the warm per-query cost;",
         "the build-the-index-once contract is the deployment reality).",
