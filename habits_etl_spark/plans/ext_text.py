@@ -715,12 +715,21 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
     length prune (t·n_a <= n_b <= n_a/t). Survivors are verified
     EXACTLY with one array_intersect per candidate (JVM codegen), so
     the result — and the unchanged DuckDB oracle hash — is identical to
-    the naive form: 44 -> 8.5 s warm at sf0.1. On real text the prefix
-    cut is orders of magnitude; this fixture's synthetic vocabulary has
-    only ~2k distinct 5-grams across 1M occurrences (every df ~ 500,
-    no rare grams to anchor prefixes), so candidates fall 6x
-    (2.5M -> 409k) and the verify dominates — the honest worst case
-    for prefix filtering, and it still wins. The few-blocks degeneracy
+    the naive form. On real text the prefix cut is orders of magnitude;
+    this fixture's synthetic vocabulary has only ~20k distinct 5-grams
+    (every df ~ 500, no rare grams to anchor prefixes) — the honest
+    worst case for prefix filtering.
+
+    r13 (PPJoin+ pair kills): exact integer bound arithmetic throughout
+    (see _CGRAM_T_NUM), the first-common-gram position bound, and the
+    shared-prefix-gram COUNT bound derived in the cand step below —
+    together they cut sf1 candidates 3.1M -> 237k and the sweep witness
+    49 -> ~30 s (sf0.1 8.5 -> 6.7 s warm; exponent 0.80 -> 0.65).
+    Soundness of all four kills is pinned against a pure-Python brute
+    force on an adversarial random corpus in tests/test_ppjoin_bounds.py.
+    The residual cost is the exact verify over the ~237k template
+    near-dups sitting just UNDER the 0.5 threshold — output-adjacent
+    work no admissible filter can remove. The few-blocks degeneracy
     note on the old shape is obsolete: block-key quality now affects
     only the semantic filter, not the join volume; the banded
     ``ext_ngram_jaccard_simhash_blocked`` below remains the
@@ -745,11 +754,14 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
     # prefix length n - ceil(t*n) + 1 with ceil in EXACT integer
     # arithmetic: ceil(num*n/den) = (num*n + den - 1) div den
     ceil_tn = F.expr(f"(n * {num} + {den - 1}) div {den}")
-    prefix = (
+    # cached: the window+df join builds the inverted prefix index once;
+    # both self-join sides scan the cache instead of re-deriving it
+    prefix = managed_cache(
         g.join(df_, "gram")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
-        .select("doc_id", "source", "n", "gram", "pos")
+        .select("doc_id", "source", "n", "gram", "pos"),
+        "ngram.prefix",
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -785,17 +797,41 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
             F.col("a.n").alias("na_"),
             F.col("b.n").alias("nb_"),
         )
-        # The FIRST common gram in the global order (min pos — one gram,
-        # since the order is consistent min(pa) and min(pb) come from the
-        # same gram) has no common gram before it in EITHER list, so
-        # overlap <= 1 + min(n_a - pa, n_b - pb): a strictly tighter
-        # pair-level kill than the per-row bound, evaluated on the
-        # aggregate that replaced the old distinct (same shuffle shape).
-        .agg(F.min("a.pos").alias("pa"), F.min("b.pos").alias("pb"))
+        # Two pair-level kills on the aggregate that replaced the old
+        # distinct (same shuffle shape):
+        #
+        # 1. First-common-gram position bound: the min-pos row (one gram
+        #    — the order is consistent, so min(pa) and min(pb) come from
+        #    the same gram) has no common gram before it in EITHER list,
+        #    so overlap <= 1 + min(n_a - pa, n_b - pb).
+        #
+        # 2. Shared-prefix-gram COUNT bound (the r13 filter that actually
+        #    bites on this fixture): order the c common grams g_1<...<g_c
+        #    globally; g_i has >= c-i+1 elements of A at or after it, so
+        #    pos_A(g_i) <= n_a - c + i, which is inside A's prefix for
+        #    every i <= c - ceil(t*n_a) + 1 (and symmetrically for B).
+        #    J >= t gives c >= alpha, so a true pair must share at least
+        #    k* = alpha - ceil(t*max(n_a,n_b)) + 1 grams lying in BOTH
+        #    prefixes — ~n/6 at t=1/2 for equal sizes, where chance
+        #    collisions on this df~500 vocabulary share ~9. count(*) of
+        #    the join rows IS that shared count (grams are distinct per
+        #    doc), so the filter is one HAVING clause, no new shuffle.
+        .agg(
+            F.min("a.pos").alias("pa"),
+            F.min("b.pos").alias("pb"),
+            F.count(F.lit(1)).alias("npp"),
+        )
         .filter(
             F.lit(1)
             + F.least(F.col("na_") - F.col("pa"), F.col("nb_") - F.col("pb"))
             >= F.expr(f"((na_ + nb_) * {num} + {num + den - 1}) div {num + den}")
+        )
+        .filter(
+            F.col("npp")
+            >= F.expr(
+                f"((na_ + nb_) * {num} + {num + den - 1}) div {num + den}"
+                f" - (greatest(na_, nb_) * {num} + {den - 1}) div {den} + 1"
+            )
         )
         .select("doc_a", "doc_b")
     )
