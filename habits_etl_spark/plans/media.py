@@ -29,14 +29,36 @@ from habits_etl_spark.multimodal import (
     with_real_images,
     with_real_video,
 )
-from habits_etl_spark.plans.common import query, t
+from habits_etl_spark.plans.common import query, shared_cache, t
 
 
 def _media_table(spark, sf_dir):
     """The synthetic media table both registered queries share: one row
     per document, kind rotating image/audio/video on doc_id % 3, with
     the payload swapped for a REAL generated BMP/PNG/JPEG (container
-    rotating on id//3 % 4), 16-bit PCM WAV, or MJPEG AVI."""
+    rotating on id//3 % 4), 16-bit PCM WAV, or MJPEG AVI.
+
+    shared_cache (r13, VERDICT r12 #5): the generate->encode stages are
+    the expensive Python half, deterministic in (sf_dir, doc_id), and
+    BOTH registered queries (plus the features query's two consumers)
+    previously re-ran them per invocation — one session-lifetime cached
+    relation per sf_dir serves every consumer."""
+    return shared_cache(
+        spark, f"media.table:{sf_dir}", lambda: _build_media_table(spark, sf_dir)
+    )
+
+
+def _decoded_media(spark, sf_dir):
+    """Session-lifetime cache of the Arrow-batched decode stage — the
+    other deterministic half both queries share (r13)."""
+    return shared_cache(
+        spark,
+        f"media.decoded:{sf_dir}",
+        lambda: decode_media(_media_table(spark, sf_dir)),
+    )
+
+
+def _build_media_table(spark, sf_dir):
     # The generate/encode/decode stages are CPU-bound PYTHON work per
     # row, so their parallelism must come from the plan, not from
     # whatever file splits the fixture happens to have (the driver's
@@ -96,7 +118,7 @@ def ext_multimodal_features(spark, sf_dir):
     projections are ordinary pushed-down columns. Swapping the BMP
     parser for PIL/ffmpeg changes only the batch inner functions."""
     media = _media_table(spark, sf_dir)
-    decoded = decode_media(media).select(
+    decoded = _decoded_media(spark, sf_dir).select(
         "media_id", "kind", "n_bytes", "width", "height", "codec", "checksum"
     )
     feats = extract_features(media).select(
@@ -162,7 +184,7 @@ def ext_multimodal_meta(spark, sf_dir):
     Reference parity: the reference has no media surface
     (etl/etl_habits.py:1-53 is sheet->Postgres rows); this extends it
     per the BASELINE north-star list."""
-    decoded = decode_media(_media_table(spark, sf_dir))
+    decoded = _decoded_media(spark, sf_dir)
     return decoded.select(
         "media_id",
         "kind",

@@ -28,6 +28,29 @@ _hyp_settings.register_profile(
 _hyp_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "default"))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "scaling: hour-scale sf0.1->sf1 sweep gate — regenerates the sf1 "
+        "fixture and fails if any witness exponent regresses past its pin "
+        "(tools/run_scaling.PINNED_EXPONENTS). Run explicitly with "
+        "`pytest -m scaling`; skipped otherwise.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # The scaling gate takes ~an hour (fixture build + 20-witness sweep,
+    # fresh session per witness) — it must never run inside the default
+    # `pytest tests/` gate, only when selected by marker.
+    markexpr = config.getoption("-m", default="") or ""
+    if "scaling" in markexpr:
+        return
+    skip = pytest.mark.skip(reason="run with `pytest -m scaling` (hour-scale)")
+    for item in items:
+        if "scaling" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from habits_etl_spark.session import get_spark

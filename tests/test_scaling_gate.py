@@ -1,0 +1,60 @@
+"""The committed sf1 scaling gate (r13, VERDICT r12 #3).
+
+The r12 sweep surfaced four real scale defects (quadratic band space,
+GF(2)-degenerate planes, interpreted projection kernel, 1.5B-row join
+shape) that every smaller gate was green over — so the sweep itself must
+be un-losable: reproducible from the repo alone and pinned against
+regression.
+
+`pytest -m scaling` (skipped in the default run — see conftest):
+1. regenerates `.scratch/sf1` with tools/make_scaled_fixture.build if it
+   is absent or incomplete (the generator is deterministic, so a fresh
+   clone reproduces the exact fixture the pins were measured on),
+2. runs the full tools/run_scaling sweep (fresh session per witness,
+   best-of-reps), rewrites SCALING.md,
+3. FAILS if any witness's exponent exceeds its PINNED_EXPONENTS entry by
+   more than PIN_TOLERANCE, if a witness errors, or if a witness has no
+   pin (a new witness must be pinned the round it lands).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scratch", "sf1")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _fixture_complete() -> bool:
+    return all(
+        os.path.exists(os.path.join(SF1, f"{t}.parquet", "_SUCCESS"))
+        or os.path.exists(os.path.join(SF1, f"{t}.parquet"))
+        for t in TABLES
+    )
+
+
+@pytest.mark.scaling
+def test_sf1_sweep_exponents_hold():
+    import make_scaled_fixture
+    import run_scaling
+
+    if not _fixture_complete():
+        make_scaled_fixture.build(SF01, 10, SF1)
+    assert _fixture_complete(), "fixture generation left tables missing"
+
+    results = run_scaling.sweep(SF01, SF1, reps=3)
+    md = run_scaling.render(results, SF1, reps=3)
+    with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
+        fh.write(md)
+
+    violations = run_scaling.check_pins(results)
+    assert not violations, "scaling regressions:\n" + "\n".join(violations)

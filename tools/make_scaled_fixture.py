@@ -65,18 +65,22 @@ SHIFTED_KEYS = {
 FIXED = ["region", "nation"]
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--factor", type=int, default=10)
-    ap.add_argument("--out", default="/root/repo/.scratch/sf1")
-    args = ap.parse_args()
-
+def build(src: str, factor: int, out: str, spark=None) -> None:
+    """Deterministic replication (importable for the `pytest -m scaling`
+    gate, r13): same rules as the CLI — given the same (src, factor) the
+    output tables are row-for-row identical, so the committed exponent
+    pins always measure against the same fixture."""
     from pyspark.sql import functions as F
 
     from habits_etl_spark.session import get_spark
 
-    spark = get_spark("make_scaled_fixture")
+    class _Args:
+        pass
+
+    args = _Args()
+    args.src, args.factor, args.out = src, factor, out
+    if spark is None:
+        spark = get_spark("make_scaled_fixture")
     os.makedirs(args.out, exist_ok=True)
 
     for t in FIXED:
@@ -142,6 +146,15 @@ def main() -> None:
         print(f"{t}: x{args.factor}")
 
     print("done:", args.out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/root/repo/.scratch/sf1")
+    args = ap.parse_args()
+    build(args.src, args.factor, args.out)
 
 
 if __name__ == "__main__":

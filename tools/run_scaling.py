@@ -9,6 +9,13 @@ index builds; these are hour-scale sweeps, not bench records). Exponent =
 log10(sec_sf1 / sec_sf0.1): 1.0 = linear, <1 = fixed-cost-amortized,
 >1 = super-linear (the thing this file exists to catch).
 
+The committed gate (r13, VERDICT r12 #3): PINNED_EXPONENTS records the
+accepted exponent per witness; `pytest -m scaling` regenerates the sf1
+fixture if absent (tools/make_scaled_fixture.py is deterministic), runs
+this sweep, and FAILS if any witness exceeds its pin by more than
+PIN_TOLERANCE — the r12 sweep surfaced four real scale defects every
+smaller gate was green over, so a regression here must be un-losable.
+
 Usage:
     python tools/run_scaling.py [--sf1 /root/repo/.scratch/sf1] [--out SCALING.md]
 """
@@ -25,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The heaviest families by design (dedup, weighted dedup, vector ANN,
 # blocked pairs, one stateful streaming e2e) + two baseline aggregates
-# whose linearity anchors the table.
+# whose linearity anchors the table + (r13, VERDICT r12 #4) the four most
+# shuffle-intensive TPC-H-shape plans — at 100x these are the queries
+# whose Exchange volume dominates, and they previously had no measured
+# exponent.
 QUERIES = [
     "agg_daily_rollup",
     "join_star_schema",
@@ -42,36 +52,75 @@ QUERIES = [
     "ext_ivfpq_topk",
     "ext_topk_sim_search",
     "stream_rollup_e2e",
+    # TPC-H-shape shuffle witnesses (r13)
+    "join_q3_shipping",
+    "agg_q1_pricing",
+    "join_q18_large_orders",
+    "agg_q9_profit_by_nation_year",
 ]
 
 # the banding-law variant (band_bits ~ log2 n): measured alongside the
 # 8-bit registered default so SCALING.md shows the knob, not just the law
 _TUNED = ("ext_cosine_pairs_lsh[12-bit]", 12)
 
+# Accepted exponent per witness (r13 sweep values; see SCALING.md for the
+# per-row analysis — the >1.0 rows are output-quadratic by threshold
+# physics with the banding knob as the mitigation, accepted by contract).
+# `pytest -m scaling` fails when a measured exponent exceeds its pin by
+# PIN_TOLERANCE: a regression past noise means a plan got super-linear
+# work added, the exact class of defect the r12 sweep caught four of.
+PIN_TOLERANCE = 0.15
+PINNED_EXPONENTS = {
+    "agg_daily_rollup": 0.36,
+    "join_star_schema": 0.44,
+    "ext_exact_dedup": 0.16,
+    "ext_near_dedup_minhash": 0.53,
+    "ext_weighted_minhash_pairs": 0.00,
+    "ext_simhash": 0.02,
+    "ext_ngram_jaccard_simhash_blocked": 0.93,
+    "ext_cosine_pairs_lsh": 1.05,  # output-driven (SCALING.md analysis)
+    "ext_ann_lsh_bucketed": 0.33,
+    "ext_embedding_cosine_pairs": 1.37,  # output-driven + O(n^2) contract
+    "ext_embedding_dup_clusters": 1.33,  # output-driven + O(n^2) contract
+    "ext_ngram_jaccard_blocked": 0.66,  # r13 PPJoin+ count filter
+    "ext_ivfpq_topk": 0.55,
+    "ext_topk_sim_search": 0.57,
+    "stream_rollup_e2e": 0.26,
+    "join_q3_shipping": 0.35,
+    "agg_q1_pricing": 0.40,
+    "join_q18_large_orders": 0.59,
+    "agg_q9_profit_by_nation_year": 0.69,
+    "ext_cosine_pairs_lsh[12-bit]": 1.03,  # output-driven
+}
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
-    ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
-    ap.add_argument("--out", default="SCALING.md")
-    ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
 
+def runnable_queries(names=None):
+    """(name, callable) pairs for the sweep, including the tuned variant."""
     import __spark_entry__ as entrymod
-
-    from habits_etl_spark.session import get_spark
-
-    qs = entrymod.queries()
 
     from habits_etl_spark.plans.ext_vectors import scale_tuned_cosine_pairs
 
+    qs = entrymod.queries()
     tuned_name, tuned_bits = _TUNED
-    runnable = [(n, qs[n]) for n in QUERIES] + [
-        (tuned_name, lambda s, d: scale_tuned_cosine_pairs(s, d, band_bits=tuned_bits))
-    ]
+    names = list(names) if names is not None else list(QUERIES) + [tuned_name]
+    out = []
+    for n in names:
+        if n == tuned_name:
+            out.append(
+                (n, lambda s, d: scale_tuned_cosine_pairs(s, d, band_bits=tuned_bits))
+            )
+        else:
+            out.append((n, qs[n]))
+    return out
+
+
+def sweep(sf01: str, sf1: str, reps: int = 3, names=None) -> dict:
+    """Run the scaling sweep; returns {name: {"sf0.1": (sec, rows),
+    "sf1": (sec, rows)} or {"error": ...}}."""
+    from habits_etl_spark.session import get_spark
 
     results = {}
-    for name, fn in runnable:
+    for name, fn in runnable_queries(names):
         # FRESH session per query: the r12 shared-session sweep measured
         # ext_near_dedup_minhash at 14 s against 2.8 s solo — lingering
         # cached relations and session-lifetime memos from earlier
@@ -82,55 +131,104 @@ def main() -> None:
         spark = get_spark(f"scaling-{name}")
         row = {}
         try:
-            for label, sf_dir in (("sf0.1", args.sf01), ("sf1", args.sf1)):
-                reps = []
-                for _ in range(args.reps):
+            for label, sf_dir in (("sf0.1", sf01), ("sf1", sf1)):
+                rep_times = []
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     n = fn(spark, sf_dir).count()
-                    reps.append(time.perf_counter() - t0)
-                row[label] = (min(reps), n)
-                print(f"{name} {label}: best={min(reps):.3f}s rows={n}", flush=True)
+                    rep_times.append(time.perf_counter() - t0)
+                row[label] = (min(rep_times), n)
+                print(f"{name} {label}: best={min(rep_times):.3f}s rows={n}", flush=True)
         except Exception as exc:  # record the failure, keep sweeping
             print(f"{name}: ERROR {type(exc).__name__}: {exc}", flush=True)
             row["error"] = f"{type(exc).__name__}"
         finally:
             spark.stop()
         results[name] = row
+    return results
 
+
+def exponent(row: dict) -> float | None:
+    if "error" in row or "sf1" not in row or "sf0.1" not in row:
+        return None
+    s01, _ = row["sf0.1"]
+    s1, _ = row["sf1"]
+    return math.log10(max(s1 / max(s01, 1e-9), 1e-9))
+
+
+def check_pins(results: dict) -> list[str]:
+    """Names whose measured exponent exceeds its pin by > PIN_TOLERANCE
+    (unpinned or errored witnesses are reported too — a sweep that can't
+    measure a witness must not silently pass)."""
+    bad = []
+    for name, row in results.items():
+        e = exponent(row)
+        if e is None:
+            bad.append(f"{name}: sweep error ({row.get('error', 'no data')})")
+            continue
+        pin = PINNED_EXPONENTS.get(name)
+        if pin is None:
+            bad.append(f"{name}: no pinned exponent (add to PINNED_EXPONENTS)")
+        elif e > pin + PIN_TOLERANCE:
+            bad.append(f"{name}: exponent {e:.2f} > pin {pin} + {PIN_TOLERANCE}")
+    return bad
+
+
+def render(results: dict, sf1: str, reps: int) -> str:
     lines = [
         "# SCALING — sf0.1 -> sf1 (10x rows), measured",
         "",
-        f"Fixture: `{args.sf1}` = sf0.1 replicated 10x by",
+        f"Fixture: `{sf1}` = sf0.1 replicated 10x by",
         "`tools/make_scaled_fixture.py` (disjoint key ranges per replica;",
         "per-replica alphabet rotation of text and Rademacher sign-flip",
         "of embeddings keep within-replica duplicate/ANN structure",
         "identical while preventing cross-replica cliques). local[32],",
-        f"FRESH session per query, best of {args.reps} reps per SF (rep 0 pays",
+        f"FRESH session per query, best of {reps} reps per SF (rep 0 pays",
         "session-lifetime index builds — signature/candidate caches,",
         "k-means/PQ fits — so best-of captures the warm per-query cost;",
         "the build-the-index-once contract is the deployment reality).",
         "exponent = log10(sec_sf1 / sec_sf0.1): 1.0 = linear in rows,",
         "< 1 = fixed cost amortizing, > 1 = super-linear (bad).",
+        "Exponents are PINNED in tools/run_scaling.py and gated by",
+        "`pytest -m scaling` (fails past pin + 0.15).",
         "",
         "| query | sf0.1 sec | sf1 sec | rows sf0.1 | rows sf1 | x | exponent |",
         "|---|---|---|---|---|---|---|",
     ]
     for name, row in results.items():
-        if "error" in row or "sf1" not in row:
+        e = exponent(row)
+        if e is None:
             lines.append(f"| {name} | — | — | — | — | ERROR | {row.get('error', '?')} |")
             continue
         s01, n01 = row["sf0.1"]
         s1, n1 = row["sf1"]
-        ratio = s1 / max(s01, 1e-9)
-        expo = math.log10(max(ratio, 1e-9))
         lines.append(
             f"| {name} | {s01:.3f} | {s1:.3f} | {n01} | {n1} "
-            f"| {ratio:.1f}x | {expo:.2f} |"
+            f"| {s1 / max(s01, 1e-9):.1f}x | {e:.2f} |"
         )
     lines.append("")
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {args.out}")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--out", default="SCALING.md")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--only", nargs="*", default=None, help="subset of witnesses")
+    args = ap.parse_args()
+
+    results = sweep(args.sf01, args.sf1, reps=args.reps, names=args.only)
+    md = render(results, args.sf1, args.reps)
+    if args.only is None:
+        with open(args.out, "w") as f:
+            f.write(md)
+        print(f"wrote {args.out}")
+    else:
+        print(md)
+    for msg in check_pins(results):
+        print(f"PIN WARNING: {msg}", flush=True)
 
 
 if __name__ == "__main__":
