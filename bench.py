@@ -201,6 +201,14 @@ CURATION = [
     # plan-level parallelism (single-split fixture serialized them).
     "ext_weighted_minhash_pairs",
     "ext_multimodal_meta",
+    # round 13: same rule — new oracle-gated ids and plan-changed ids get
+    # a tracked witness in the round they change. The LSH-index delta
+    # maintenance report is new; ngram_jaccard_blocked gained the
+    # PPJoin+ count filter; multimodal_features shares the cached decode
+    # with _meta now (the pair's total is the directive's metric).
+    "ext_minhash_delta_maintenance",
+    "ext_ngram_jaccard_blocked",
+    "ext_multimodal_features",
 ]
 
 

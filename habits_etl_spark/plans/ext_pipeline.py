@@ -602,3 +602,97 @@ def ext_admission_decision(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- MinHash LSH index delta maintenance ---------------------------------
+# The vector index got its no-refit maintenance story in r12
+# (ext_ivf_delta_maintenance); this is the dedup-index twin (r13, VERDICT
+# r12 #8). A deployed MinHash dedup index IS its band table — the hash
+# functions are stateless, so arrivals never force a refit the way a
+# drifting quantizer does, but BUCKET OCCUPANCY drifts: the verify cost of
+# the index is sum-over-buckets of C(size, 2), and a delta batch that
+# lands skewed (crawl revisits one template) can grow it far past the
+# delta's fair share. The report below is what a deployment gates
+# re-banding (band_bits retune, the SCALING.md banding-law knob) on.
+_DELTA_SPLIT = "doc_id % 10 >= 8"  # same 20% arrival split as incremental_dedup
+
+
+@query(
+    "ext_minhash_delta_maintenance",
+    f"""
+    WITH {_MINHASH_CTES},
+    bucket AS (
+      SELECT band, v,
+             sum(CASE WHEN {_DELTA_SPLIT} THEN 0 ELSE 1 END) AS nb,
+             sum(CASE WHEN {_DELTA_SPLIT} THEN 1 ELSE 0 END) AS nd
+      FROM bands GROUP BY band, v
+    )
+    SELECT band,
+           CAST(sum(nb) AS BIGINT) AS base_rows,
+           CAST(sum(nd) AS BIGINT) AS delta_rows,
+           CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_buckets,
+           CAST(sum(CASE WHEN nb = 0 AND nd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_buckets,
+           CAST(max(nb) AS BIGINT) AS max_bucket_base,
+           CAST(max(nb + nd) AS BIGINT) AS max_bucket_merged,
+           CAST(sum((nb * (nb - 1)) // 2) AS BIGINT) AS cand_base,
+           CAST(sum(((nb + nd) * (nb + nd - 1)) // 2) AS BIGINT) AS cand_merged,
+           (CAST(sum(((nb + nd) * (nb + nd - 1)) // 2) AS BIGINT)
+              > 2 * CAST(sum((nb * (nb - 1)) // 2) AS BIGINT)) AS reband
+    FROM bucket GROUP BY band ORDER BY band
+    """,
+)
+def ext_minhash_delta_maintenance(spark, sf_dir):
+    """Incremental MinHash-LSH index maintenance: the standing corpus
+    (docs outside the md5-stateless 20% delta split) owns the band
+    table; the delta batch routes into the SAME buckets via the same
+    pinned permutations — no refit, no index rebuild, assignment is a
+    map stage. Output is the per-band health report: base/delta band
+    rows, bucket counts (and buckets the delta opened), max bucket
+    occupancy before/after the merge, and the index's verify budget
+    sum-over-buckets-of-C(size,2) before/after — with the re-band flag
+    raised when the merged verify budget exceeds 2x the standing one
+    (the delta's fair share at 20% growth is ~1.56x under uniform
+    landing, so 2x means skewed arrivals are quadratically inflating a
+    bucket and band_bits should grow, per the SCALING.md banding law).
+
+    Scale: arrivals only ever touch the map-side signature stage plus
+    one groupBy over (band, v) — the standing side's band rows are a
+    precomputed index table at 100 TB; nothing here rescans the corpus
+    text beyond the delta batch. Oracle: the shared _MINHASH_CTES band
+    chain (hash-green in five ids since r3) aggregated per bucket then
+    per band, pure integer arithmetic throughout — the report is
+    hash-gated end to end. Reference parity: [E] extension (BASELINE
+    north-star dedup family); no reference twin."""
+    from habits_etl_spark.plans.ext_text import _band_rows_from, _minhash_base
+
+    base = _minhash_base(
+        spark,
+        sf_dir,
+        x_sql="cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)",
+        cache_key="minhash.base",
+    )
+    bands = _band_rows_from(base)
+    is_delta = (F.col("doc_id") % 10) >= 8
+    bucket = bands.groupBy("band", "v").agg(
+        F.sum(F.when(is_delta, 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(is_delta, 1).otherwise(0)).alias("nd"),
+    )
+    cand_base = F.expr("sum((nb * (nb - 1)) div 2)").cast("long")
+    cand_merged = F.expr("sum(((nb + nd) * (nb + nd - 1)) div 2)").cast("long")
+    return (
+        bucket.groupBy("band")
+        .agg(
+            F.sum("nb").cast("long").alias("base_rows"),
+            F.sum("nd").cast("long").alias("delta_rows"),
+            F.sum(F.when(F.col("nb") > 0, 1).otherwise(0)).cast("long").alias("base_buckets"),
+            F.sum(F.when((F.col("nb") == 0) & (F.col("nd") > 0), 1).otherwise(0))
+            .cast("long")
+            .alias("new_buckets"),
+            F.max("nb").cast("long").alias("max_bucket_base"),
+            F.max(F.col("nb") + F.col("nd")).cast("long").alias("max_bucket_merged"),
+            cand_base.alias("cand_base"),
+            cand_merged.alias("cand_merged"),
+            (cand_merged > F.lit(2) * cand_base).alias("reband"),
+        )
+        .orderBy("band")
+    )

@@ -472,9 +472,10 @@ def minhash_pairs_shared(spark, sf_dir):
     )
 
 
-def _near_dedup_pipeline(spark, sf_dir, x_sql: str, cache_key: str):
-    """Shared MinHash+LSH pipeline; ``x_sql`` maps a shingle string ``s``
-    to the 32-bit integer fed to the universal-hash permutations."""
+def _minhash_base(spark, sf_dir, x_sql: str, cache_key: str):
+    """Cached per-doc packed relation (doc_id, sh_arr, n, xs) the
+    signature stage and both verify arms start from (factored r13 so the
+    delta-maintenance id reuses the identical chain)."""
     d = t(spark, sf_dir, "documents")
     # Materialize the word array once per doc BEFORE indexing into it:
     # element_at() inside the transform lambda would otherwise re-evaluate
@@ -507,7 +508,7 @@ def _near_dedup_pipeline(spark, sf_dir, x_sql: str, cache_key: str):
     # Cached: the packed per-doc arrays feed the signature stage and both
     # arms of the candidate verification. managed_cache releases the
     # previous invocation's handle (no leak across runs in one session).
-    base = managed_cache(
+    return managed_cache(
         words.filter(F.size("w") >= _SHINGLE_N)
         .select("doc_id", shingles.alias("sh_arr"))
         .withColumn("n", F.size("sh_arr"))
@@ -515,18 +516,23 @@ def _near_dedup_pipeline(spark, sf_dir, x_sql: str, cache_key: str):
         cache_key,
     )
 
-    def perm(h: int):
-        a, b = _mh_params(h)
-        return F.expr(
-            f"array_min(transform(xs, x -> ({a}L * x + {b}L) % {_MH_P}L))"
-        ).alias(f"m{h}")
 
-    sig = base.select("doc_id", *[perm(h) for h in range(_N_HASHES)])
+def _perm_col(h: int):
+    a, b = _mh_params(h)
+    return F.expr(
+        f"array_min(transform(xs, x -> ({a}L * x + {b}L) % {_MH_P}L))"
+    ).alias(f"m{h}")
+
+
+def _band_rows_from(base):
+    """(doc_id, band, v) LSH band rows from the packed base relation —
+    the standing band TABLE a deployed dedup index materializes."""
+    sig = base.select("doc_id", *[_perm_col(h) for h in range(_N_HASHES)])
     # One pass, not a b-way union: explode an array of (band, value)
     # structs. A union of b selects re-evaluates the signature subtree
     # once per arm on EACH side of the self-join below (2b scans + 2b
     # stages of scheduling) — measured 2.8s vs 0.48s at sf0.1.
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -542,6 +548,13 @@ def _near_dedup_pipeline(spark, sf_dir, x_sql: str, cache_key: str):
             )
         ).alias("bv"),
     ).select("doc_id", "bv.band", "bv.v")
+
+
+def _near_dedup_pipeline(spark, sf_dir, x_sql: str, cache_key: str):
+    """Shared MinHash+LSH pipeline; ``x_sql`` maps a shingle string ``s``
+    to the 32-bit integer fed to the universal-hash permutations."""
+    base = _minhash_base(spark, sf_dir, x_sql, cache_key)
+    bands = _band_rows_from(base)
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (
