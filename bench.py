@@ -207,6 +207,7 @@ CURATION = [
     # PPJoin+ count filter; multimodal_features shares the cached decode
     # with _meta now (the pair's total is the directive's metric).
     "ext_minhash_delta_maintenance",
+    "ext_split_leakage",
     "ext_ngram_jaccard_blocked",
     "ext_multimodal_features",
 ]

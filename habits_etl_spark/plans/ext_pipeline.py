@@ -696,3 +696,64 @@ def ext_minhash_delta_maintenance(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# --- Train/val/test split leakage ----------------------------------------
+_SPLIT_DUCK = (
+    "CASE WHEN doc_id % 10 < 8 THEN 'train' "
+    "WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "ext_split_leakage",
+    f"""
+    WITH {_MINHASH_CTES},
+    pairs AS ({_MINHASH_FINAL}),
+    sp AS (SELECT doc_id, {_SPLIT_DUCK} AS split FROM documents)
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def ext_split_leakage(spark, sf_dir):
+    """Train/val/test split-leakage audit (r13): assign every document a
+    deterministic 8/1/1 split on doc_id and report each MinHash-verified
+    near-duplicate pair whose members land in DIFFERENT splits — the
+    eval-contamination class a benchmark-honest training pipeline must
+    drain before training (a test doc with a train-side near-dup is a
+    leaked label; the pair list is the actionable drop set, the
+    composition twin of ext_contamination_ngram's 13-gram benchmark
+    check). Exact duplicates are the jaccard=1.0 rows of the same
+    relation — identical signatures always collide, so one pipeline
+    serves both severities.
+
+    Scale: the pair relation is the banded MinHash chain (collision-
+    sized, never all-pairs); split assignment is a pure projection of
+    the pair list joined twice against a two-column broadcast. At 100 TB
+    the pair list is the standing dedup-index table, so this audit is a
+    filter over an artifact that already exists. Oracle: the shared
+    _MINHASH_CTES chain + split CASE per side. Reference parity: [E]
+    extension (BASELINE north-star dedup family); no reference twin."""
+    from habits_etl_spark.plans.ext_text import ext_near_dedup_minhash
+
+    pairs = ext_near_dedup_minhash(spark, sf_dir)
+    split = F.when(F.col("doc_id") % 10 < 8, "train").otherwise(
+        F.when(F.col("doc_id") % 10 == 8, "val").otherwise("test")
+    )
+    sp = t(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
