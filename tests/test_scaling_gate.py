@@ -35,11 +35,16 @@ TABLES = (
 
 
 def _fixture_complete() -> bool:
-    return all(
-        os.path.exists(os.path.join(SF1, f"{t}.parquet", "_SUCCESS"))
-        or os.path.exists(os.path.join(SF1, f"{t}.parquet"))
-        for t in TABLES
-    )
+    # Spark writes each table as a directory with a _SUCCESS marker; a
+    # directory WITHOUT the marker is an interrupted write and must be
+    # regenerated, not trusted.
+    for t in TABLES:
+        p = os.path.join(SF1, f"{t}.parquet")
+        if not os.path.exists(p):
+            return False
+        if os.path.isdir(p) and not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return False
+    return True
 
 
 @pytest.mark.scaling
