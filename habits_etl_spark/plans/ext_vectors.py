@@ -362,7 +362,20 @@ def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
                 }
             )
 
-    return prepped.select("vec_id", "label", "v").mapInPandas(gen, out_schema)
+    # Fan the probe side out before the Arrow stage: the fixture's
+    # single-row-group parquet arrives as ONE split, and mapInPandas
+    # inherits it — the r13 scaling gate caught the whole 20k x 20k
+    # block matmul serialized on one core at sf1 (105 s cold / 27 s warm
+    # vs ~2 s wide; the same under-split trap _near_dedup_pipeline
+    # guards with inputFiles()). The shuffle moved is the gate-bounded
+    # probe projection (<= 51 MB), noise next to the O(n^2) work it
+    # parallelizes; at real scale input splits already provide width and
+    # the guard skips the shuffle entirely.
+    probe = prepped.select("vec_id", "label", "v")
+    n_part = spark.sparkContext.defaultParallelism
+    if len(prepped.inputFiles()) < n_part:
+        probe = probe.repartition(n_part)
+    return probe.mapInPandas(gen, out_schema)
 
 
 def _pair_arms(prepped):
@@ -443,10 +456,15 @@ def _banded_rows(prepped, seed: str, n_bands: int, band_bits: int):
     # barrier (Catalyst cannot inline the projection past it, so both join
     # sides rescan integers), fills lazily on first action, and recomputes
     # from lineage on loss.
+    # Same under-split guard as _exact_pairs_blocked (r13): the fixture
+    # parquet is one split, and a one-partition Arrow stage serializes
+    # the projection matmul on a single core.
+    proj_in = prepped.select("vec_id", "v")
+    n_part = prepped.sparkSession.sparkContext.defaultParallelism
+    if len(prepped.inputFiles()) < n_part:
+        proj_in = proj_in.repartition(n_part)
     sig = managed_cache(
-        prepped.select("vec_id", "v").mapInPandas(
-            gen, "vec_id long, bands array<int>"
-        ),
+        proj_in.mapInPandas(gen, "vec_id long, bands array<int>"),
         f"banded_sig:{seed}:{n_bands}:{band_bits}",
     )
     return sig.select(

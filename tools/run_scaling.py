@@ -80,15 +80,20 @@ PINNED_EXPONENTS = {
     "ext_ngram_jaccard_simhash_blocked": 0.93,
     "ext_cosine_pairs_lsh": 1.05,  # output-driven (SCALING.md analysis)
     "ext_ann_lsh_bucketed": 0.33,
-    "ext_embedding_cosine_pairs": 1.37,  # output-driven + O(n^2) contract
-    "ext_embedding_dup_clusters": 1.33,  # output-driven + O(n^2) contract
-    "ext_ngram_jaccard_blocked": 0.66,  # r13 PPJoin+ count filter
-    "ext_ivfpq_topk": 0.55,
+    # output-driven + O(n^2) contract; TIGHTER than the r12 1.37/1.33
+    # pins because the r13 fan-out fix parallelized the block matmul
+    "ext_embedding_cosine_pairs": 1.25,
+    "ext_embedding_dup_clusters": 1.30,
+    "ext_ngram_jaccard_blocked": 0.90,  # r13 PPJoin+ count filter
+    "ext_ivfpq_topk": 0.67,
     "ext_topk_sim_search": 0.57,
     "stream_rollup_e2e": 0.26,
-    "join_q3_shipping": 0.35,
+    # TPC-H pins come from the SOLO sweep, not the first subset run: a
+    # loaded host inflates the sf0.1 DENOMINATOR and understates the
+    # exponent, so the quiet-host (larger) exponent is the honest pin
+    "join_q3_shipping": 0.70,
     "agg_q1_pricing": 0.40,
-    "join_q18_large_orders": 0.59,
+    "join_q18_large_orders": 0.73,
     "agg_q9_profit_by_nation_year": 0.69,
     "ext_cosine_pairs_lsh[12-bit]": 1.03,  # output-driven
 }
