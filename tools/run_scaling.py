@@ -211,8 +211,48 @@ def render(results: dict, sf1: str, reps: int) -> str:
             f"| {name} | {s01:.3f} | {s1:.3f} | {n01} | {n1} "
             f"| {s1 / max(s01, 1e-9):.1f}x | {e:.2f} |"
         )
-    lines.append("")
+    lines.append(ANALYSIS_MD)
     return "\n".join(lines)
+
+
+# Appended to SCALING.md by render() so the regenerated file stays an
+# ANALYZED witness table, not a bare number dump — maintained here next
+# to the pins and updated whenever the pins move.
+ANALYSIS_MD = """
+## Reading the table (r13 analysis)
+
+- **Anchors are healthy**: `agg_daily_rollup` / `join_star_schema` at
+  ~2.5x for 10x rows is shuffle-dominated linear scaling with fixed
+  costs amortizing; `ext_simhash` / `ext_exact_dedup` stay flat (map
+  side unsaturated at 50k docs).
+- **TPC-H shuffle witnesses (r13)**: `join_q3_shipping`,
+  `agg_q1_pricing`, `join_q18_large_orders`,
+  `agg_q9_profit_by_nation_year` — the registry's most Exchange-heavy
+  plans — all measure sub-linear (2-5x for 10x rows). Their exponents
+  are log-ratios of sub-second measurements, so pins carry the
+  double-violation re-probe rule (tests/test_scaling_gate.py).
+- **The cosine-pairs family rows (~1.0-1.25) are OUTPUT-driven**: at
+  the fixture's deliberately-low 0.4 threshold (3.2 sigma of dim-64
+  noise) true near-threshold pair mass grows quadratically in ANY
+  fixed-dimension corpus — exact pairs 920 -> 99,391 (108x) — while
+  runtime per OUTPUT row falls. `ext_embedding_cosine_pairs` /
+  `_dup_clusters` are O(n^2)-by-contract with a 100k-row refusal gate;
+  the scale path is the LSH row. The r13 gate run caught their block
+  matmul serialized on ONE core (single-split parquet inherited by
+  mapInPandas) — fixed with the under-split repartition guard, which
+  is why their pins TIGHTENED vs r12 (1.37/1.33 -> 1.25/1.30).
+- **`ext_ngram_jaccard_blocked` (~0.9 pin)** is the documented exact
+  worst case: after the r13 PPJoin+ count bound cut sf1 candidates
+  3.1M -> 237k, the residual is the exact verify over template
+  near-dups just under the threshold — output-adjacent work no
+  admissible filter removes (df~500 for every gram; prefix filtering's
+  honest worst case). Absolute sf1 time halved vs r12 (44 -> ~30 s).
+- **`ext_ngram_jaccard_simhash_blocked` (~1.05)** is exact verification
+  inside pigeonhole-bounded 96-bit bands; output grows 10x.
+- The sweep found four real scale defects in r12 and a fifth in r13
+  (the single-core matmul above) — the gate exists because smaller
+  fixtures stay green over exactly this class.
+"""
 
 
 def main() -> None:
