@@ -675,6 +675,80 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def decode_with_features(df: DataFrame) -> DataFrame:
+    """Fused decode + feature stage (r13): ONE decode per payload emits
+    both the metadata columns of decode_media and the feature column of
+    extract_features. The two-stage form decodes every payload twice
+    (metadata pass + feature pass) and pays a join to glue the halves
+    back; the fused kernel reuses the SAME pure decoders/feature
+    functions, so the outputs are identical by construction —
+    tests/test_multimodal.py pins fused == two-stage column-for-column.
+    Pure map over Arrow batches, no shuffle; the registered
+    ext_multimodal_features id consumes this, while decode_media stays
+    the metadata-only stage ext_multimodal_meta shares via its cache."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def row_of(b):
+            data = bytes(b)
+            for name, dec in (
+                ("bmp", decode_bmp),
+                ("png", decode_png),
+                ("jpeg", decode_jpeg),
+            ):
+                arr = dec(data)
+                if arr is not None:
+                    return (
+                        arr.shape[1], arr.shape[0], 0, name,
+                        bmp_pixel_feature(arr),
+                    )
+            wav = decode_wav(data)
+            if wav is not None:
+                samples, rate = wav
+                return (
+                    rate, samples.shape[1],
+                    samples.shape[0] * 1000 // rate, "wav",
+                    wav_audio_feature(samples, rate),
+                )
+            vid = decode_mjpeg_avi(data)
+            if vid is not None:
+                frames, vrate, vscale = vid
+                per_frame = np.array(
+                    [bmp_pixel_feature(f) for f in frames], dtype=np.float64
+                )
+                return (
+                    frames[0].shape[1], frames[0].shape[0],
+                    len(frames) * 1000 * vscale // vrate, "mjpeg-avi",
+                    [float(x) for x in per_frame.mean(axis=0)],
+                )
+            h = hashlib.sha256(data).digest()
+            v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(
+                np.float32
+            )
+            return 0, 0, 0, "none", (v / 65535.0).tolist()
+
+        for pdf in it:
+            rows = pdf["content"].map(row_of)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": rows.map(lambda m: m[0]).astype("int32"),
+                    "height": rows.map(lambda m: m[1]).astype("int32"),
+                    "duration_ms": rows.map(lambda m: m[2]).astype("int64"),
+                    "codec": rows.map(lambda m: m[3]),
+                    "checksum": pdf["content"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "feature": rows.map(lambda m: m[4]),
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA + ", feature array<float>")
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     """Frame-sampling stage for 'video' payloads. MJPEG AVI payloads
     yield their REAL frames: one row per movi video chunk, frame_bytes =

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from habits_etl_spark.multimodal import (
     decode_media,
+    decode_with_features,
     extract_features,
     with_real_audio,
     with_real_images,
@@ -117,18 +118,24 @@ def ext_multimodal_features(spark, sf_dir):
     with input splits and never shuffles; the kind filter and metadata
     projections are ordinary pushed-down columns. Swapping the BMP
     parser for PIL/ffmpeg changes only the batch inner functions."""
-    media = _media_table(spark, sf_dir)
-    decoded = _decoded_media(spark, sf_dir).select(
-        "media_id", "kind", "n_bytes", "width", "height", "codec", "checksum"
-    )
-    feats = extract_features(media).select(
+    # Fused stage (r13): one decode per payload yields metadata AND the
+    # feature — the old decode_media + extract_features pair decoded
+    # every payload twice and joined the halves back (fused == two-stage
+    # pinned column-for-column in tests/test_multimodal.py).
+    fused = decode_with_features(_media_table(spark, sf_dir))
+    return fused.select(
         "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "codec",
+        "checksum",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(
             F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("f_norm"),
-    )
-    return decoded.join(feats, "media_id").orderBy("media_id")
+    ).orderBy("media_id")
 
 
 @query(

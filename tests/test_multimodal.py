@@ -718,3 +718,27 @@ def test_decode_media_real_samples_for_audio(spark):
     # non-audio fake payloads match no codec and report zeros
     vid = [m for m, r in decoded.items() if r.kind == "video"][0]
     assert (decoded[vid].width, decoded[vid].height, decoded[vid].duration_ms) == (0, 0, 0)
+
+
+def test_fused_decode_with_features_matches_two_stage(spark):
+    """The r13 fused stage must reproduce decode_media's metadata AND
+    extract_features' feature vector EXACTLY — one decode per payload is
+    a plan change, never a value change. Runs over the full real-codec
+    media table (BMP/PNG/JPEG images, PCM WAVs, MJPEG AVIs, plus the
+    undecodable fallback) at the test fixture scale."""
+    from habits_etl_spark.multimodal import decode_with_features
+    from habits_etl_spark.plans.media import _build_media_table
+
+    media = _build_media_table(spark, "/root/testdata/sf0.001")
+    fused = {r.media_id: r for r in decode_with_features(media).collect()}
+    meta = {r.media_id: r for r in decode_media(media).collect()}
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert set(fused) == set(meta) == set(feats)
+    for mid, f in fused.items():
+        m = meta[mid]
+        assert (
+            f.kind, f.n_bytes, f.width, f.height, f.duration_ms, f.codec, f.checksum
+        ) == (
+            m.kind, m.n_bytes, m.width, m.height, m.duration_ms, m.codec, m.checksum
+        ), f"metadata drift at media_id={mid}"
+        assert f.feature == feats[mid], f"feature drift at media_id={mid}"
