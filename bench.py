@@ -208,6 +208,7 @@ CURATION = [
     # with _meta now (the pair's total is the directive's metric).
     "ext_minhash_delta_maintenance",
     "ext_split_leakage",
+    "ext_minhash_reband_sim",
     "ext_ngram_jaccard_blocked",
     "ext_multimodal_features",
 ]

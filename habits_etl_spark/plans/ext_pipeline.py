@@ -757,3 +757,124 @@ def ext_split_leakage(spark, sf_dir):
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- LSH re-banding simulation --------------------------------------------
+# The decision-support half of the maintenance arc: the delta report above
+# says WHEN to re-band; this op says what each candidate layout would COST
+# (verify budget on the actual corpus) and BUY (the s-curve collision
+# probability at the verify threshold). Layouts partition the same 16
+# signature minima into b bands x r rows, so no re-hashing is needed to
+# evaluate them — exactly how a deployment explores (b, r) before a
+# rebuild.
+_REBAND_LAYOUTS = ((8, 2), (5, 3), (4, 4))  # (n_bands, rows_per_band)
+
+
+def _scurve(b: int, r: int, j: float) -> float:
+    """P(collide in >= 1 band) for true Jaccard j under b bands x r rows —
+    computed in Python and inlined as the SAME literal in both engines."""
+    return round(1.0 - (1.0 - j**r) ** b, 6)
+
+
+def _reband_sql() -> str:
+    from habits_etl_spark.plans.ext_text import _JACCARD_THRESHOLD, _MINHASH_CTES
+
+    parts = []
+    for b, r in _REBAND_LAYOUTS:
+        band_sel = " UNION ALL ".join(
+            "SELECT doc_id, {i} AS band, concat_ws(':', {cols}) AS v FROM sig".format(
+                i=i, cols=", ".join(f"m{r * i + k}" for k in range(r))
+            )
+            for i in range(b)
+        )
+        parts.append(
+            f"""SELECT {r} AS r_rows, {b} AS n_bands,
+               CAST(sum(c) AS BIGINT) AS band_rows,
+               CAST(count(*) AS BIGINT) AS buckets,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs,
+               {_scurve(b, r, _JACCARD_THRESHOLD)} AS scurve_at_t
+        FROM (SELECT band, v, count(*) AS c FROM ({band_sel}) GROUP BY band, v)"""
+        )
+    body = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH {_MINHASH_CTES}
+    SELECT * FROM (
+    {body}
+    ) ORDER BY r_rows
+    """
+
+
+@query("ext_minhash_reband_sim", _reband_sql())
+def ext_minhash_reband_sim(spark, sf_dir):
+    """MinHash LSH re-banding simulation (r13): evaluate every candidate
+    (b bands x r rows) partition of the EXISTING 16 signature minima on
+    the actual corpus — per layout: band rows, occupied buckets, max
+    bucket occupancy, the verify budget sum-over-buckets-of-C(size,2)
+    (the number the delta-maintenance re-band flag watches), and the
+    closed-form s-curve collision probability at the verify threshold
+    (what the layout BUYS in recall). Wider rows-per-band cut noise
+    collisions ~j^r per band while the verify threshold keeps emitted
+    pairs exact — this table is the measured evidence a deployment
+    re-bands on, not a rule of thumb.
+
+    Scale: three groupBys over the skinny (doc_id, band, v) relations
+    derived from ONE cached signature pass — no re-hashing, no joins;
+    at 100 TB the sig table is the standing index artifact and each
+    layout evaluation is a single aggregation over it. Oracle: the
+    shared signature CTEs with the same per-layout band construction;
+    the s-curve is a Python literal inlined identically in both
+    engines. Reference parity: [E] extension (BASELINE north-star
+    dedup family); no reference twin."""
+    from habits_etl_spark.plans.ext_text import (
+        _N_HASHES,
+        _minhash_base,
+        _perm_col,
+    )
+
+    base = _minhash_base(
+        spark,
+        sf_dir,
+        x_sql="cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)",
+        cache_key="minhash.base",
+    )
+    sig = base.select("doc_id", *[_perm_col(h) for h in range(_N_HASHES)])
+    from habits_etl_spark.plans.ext_text import _JACCARD_THRESHOLD
+
+    reports = []
+    for b, r in _REBAND_LAYOUTS:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                ":", *[F.col(f"m{r * i + k}") for k in range(r)]
+                            ).alias("v"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("bv"),
+        ).select("doc_id", "bv.band", "bv.v")
+        bucket = bands.groupBy("band", "v").agg(F.count(F.lit(1)).alias("c"))
+        reports.append(
+            bucket.agg(
+                F.lit(r).alias("r_rows"),
+                F.lit(b).alias("n_bands"),
+                F.sum("c").cast("long").alias("band_rows"),
+                F.count(F.lit(1)).cast("long").alias("buckets"),
+                F.max("c").cast("long").alias("max_bucket"),
+                F.expr("sum((c * (c - 1)) div 2)").cast("long").alias("cand_pairs"),
+                F.lit(_scurve(b, r, _JACCARD_THRESHOLD)).alias("scurve_at_t"),
+            ).select(
+                "r_rows", "n_bands", "band_rows", "buckets", "max_bucket",
+                "cand_pairs", "scurve_at_t",
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("r_rows")
