@@ -217,24 +217,42 @@ CURATION = [
 # A headline median this far over its best committed reference gets one
 # re-probe set; the budget bounds the added wall time when the whole run
 # is slow (sustained steal — then the calibration probe is the lens).
+# r14 (VERDICT r13 #1): budget 8 -> 12 (both r13 runs exhausted 8), and
+# the budget is spent in WORST-EXCESS-FIRST order, not declaration order
+# — in BENCH_r13 the re-probed set was exactly the first eight headline
+# names while the actual offenders (join_asof +32%, ext_topk_sim_search
+# +49%) were never re-probed, so the record could not answer the one
+# question it exists for.
 REPROBE_TOLERANCE = 1.15
-REPROBE_BUDGET = 8
+REPROBE_BUDGET = 12
 
 
 def reference_medians(repo_dir: str) -> dict[str, float]:
-    """Best (minimum) committed per-query median across every tracked
+    """Best (minimum) COMMITTED per-query median across every tracked
     bench record: driver rounds (BENCH_r*.json, timings under
     parsed.queries) and accepted local records (BENCH_LOCAL_r*.json,
     timings under queries). The minimum over clean committed rounds is
     the quietest-host measurement of the same plan — the honest 'this
-    code can run this fast' reference the re-probe compares against."""
-    import glob
-    import re
+    code can run this fast' reference the re-probe compares against.
 
+    Only git-TRACKED records are read (r14, ADVICE r13): an uncommitted
+    working-dir BENCH_*.json from an experiment would silently move the
+    reference the committed record is judged against."""
+    import re
+    import subprocess
+
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "BENCH_*.json"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.split()
+    except Exception:
+        tracked = []
     ref: dict[str, float] = {}
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_*r*.json")):
-        if not re.search(r"BENCH_(LOCAL_)?r\d+\.json$", os.path.basename(p)):
+    for rel in tracked:
+        if not re.search(r"^BENCH_(LOCAL_)?r\d+\.json$", os.path.basename(rel)):
             continue
+        p = os.path.join(repo_dir, rel)
         try:
             with open(p) as fh:
                 d = json.load(fh)
@@ -562,20 +580,31 @@ def main():
     # but the plans are identical and the warmup already ran pre-measure,
     # so the bias is bounded to residual JIT/page-cache warmth.
     reference = reference_medians(os.path.dirname(os.path.abspath(__file__)))
+    # Spend the budget on the WORST offenders first (r14): candidates are
+    # sorted by excess ratio over their committed reference, descending,
+    # so when the budget runs out it is the marginal outliers — not the
+    # biggest apparent regressions — that go unprobed.
+    candidates = sorted(
+        (
+            (timings[n] / reference[n], n)
+            for n in HEADLINE
+            if n in reference and timings[n] > reference[n] * REPROBE_TOLERANCE
+        ),
+        reverse=True,
+    )
+    if len(candidates) > REPROBE_BUDGET:
+        print(
+            f"WARNING: {len(candidates)} outliers exceed the re-probe "
+            f"budget ({REPROBE_BUDGET}); probing the worst "
+            f"{REPROBE_BUDGET} by excess — if many queries are uniformly "
+            "slow, read calibration_sec_* (sustained churn), not "
+            "per-query regressions",
+            file=sys.stderr,
+        )
     outlier_reprobes: dict[str, dict] = {}
-    for name in HEADLINE:
-        r = reference.get(name)
-        if r is None or timings[name] <= r * REPROBE_TOLERANCE:
-            continue
-        if len(outlier_reprobes) >= REPROBE_BUDGET:
-            print(
-                f"WARNING: re-probe budget ({REPROBE_BUDGET}) exhausted — "
-                "remaining outliers published as measured; if many queries "
-                "are uniformly slow, read calibration_sec_* (sustained "
-                "churn), not per-query regressions",
-                file=sys.stderr,
-            )
-            break
+    reprobe_won: list[str] = []
+    for _, name in candidates[:REPROBE_BUDGET]:
+        r = reference[name]
         solo = time_query(QUERIES[name])
         solo_med = round(statistics.median(solo), 3)
         outlier_reprobes[name] = {
@@ -591,8 +620,15 @@ def main():
             file=sys.stderr,
         )
         if solo_med < timings[name]:
+            # Keep the published record self-consistent (ADVICE r13):
+            # when the re-probe median is published, the top-level
+            # repetitions[] it came from is published too (the first set
+            # stays in the sidecar under outlier_reprobes), and the query
+            # is flagged at top level via reprobe_published.
             timings[name] = solo_med
             timings_min[name] = min(timings_min[name], round(min(solo), 3))
+            reps_all[name] = solo
+            reprobe_won.append(name)
 
     # Sidecar-only Bloom-pruning A/B (plans/sketchjoin.py): the same
     # selective fact-dim join pinned to a MERGE (shuffle) join — the
@@ -762,6 +798,9 @@ def main():
             "steal_queries": steal_queries,
             "steal_retries": steal_retries,
             "outlier_reprobes": outlier_reprobes,
+            # queries whose published median/repetitions come from the
+            # re-probe set (first set preserved in outlier_reprobes)
+            "reprobe_published": reprobe_won,
             "reference_medians_headline": {
                 n: reference[n] for n in HEADLINE if n in reference
             },

@@ -567,6 +567,58 @@ def with_real_video(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, df.schema)
 
 
+def decode_row(
+    data: bytes, with_feature: bool = True
+) -> tuple[int, int, int, str, list[float] | None]:
+    """The ONE row-level decoder dispatch (r14, ADVICE r13): every stage
+    — decode_media (metadata), extract_features (feature vector),
+    decode_with_features (fused) — projects from this function, so a new
+    codec or a fallback change lands in exactly one place. Returns
+    (width, height, duration_ms, codec, feature); feature computation is
+    skipped (None) when ``with_feature`` is False so the metadata-only
+    stage doesn't pay histogram/RMS work it will drop.
+
+    Decode honesty contract unchanged: a payload no codec accepts reports
+    codec='none' with (0, 0, 0) geometry — never a fabricated one — and
+    its feature (when requested) is the deterministic hash-derived
+    stand-in, keeping refusals countable downstream."""
+    import hashlib
+
+    for name, dec in (("bmp", decode_bmp), ("png", decode_png), ("jpeg", decode_jpeg)):
+        arr = dec(data)
+        if arr is not None:  # real decode: true pixel dims
+            return (
+                arr.shape[1], arr.shape[0], 0, name,
+                bmp_pixel_feature(arr) if with_feature else None,
+            )
+    wav = decode_wav(data)
+    if wav is not None:  # real decode: true sample count / rate
+        samples, rate = wav
+        return (
+            rate, samples.shape[1], samples.shape[0] * 1000 // rate, "wav",
+            wav_audio_feature(samples, rate) if with_feature else None,
+        )
+    vid = decode_mjpeg_avi(data)
+    if vid is not None:  # real decode: true frame dims / timing
+        frames, vrate, vscale = vid
+        feature = None
+        if with_feature:  # temporal mean-pool over decoded frames
+            per_frame = np.array(
+                [bmp_pixel_feature(f) for f in frames], dtype=np.float64
+            )
+            feature = [float(x) for x in per_frame.mean(axis=0)]
+        return (
+            frames[0].shape[1], frames[0].shape[0],
+            len(frames) * 1000 * vscale // vrate, "mjpeg-avi", feature,
+        )
+    feature = None
+    if with_feature:  # undecodable: deterministic hash-derived stand-in
+        h = hashlib.sha256(data).digest()
+        v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+        feature = (v / 65535.0).tolist()
+    return 0, 0, 0, "none", feature
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode stage: mapInPandas over Arrow batches of binary payloads.
     BMP, PNG and baseline-JPEG payloads decode to REAL pixel dimensions
@@ -586,29 +638,7 @@ def decode_media(df: DataFrame) -> DataFrame:
         import hashlib
 
         def meta_of(b) -> tuple[int, int, int, str]:
-            data = bytes(b)
-            for name, dec in (
-                ("bmp", decode_bmp),
-                ("png", decode_png),
-                ("jpeg", decode_jpeg),
-            ):
-                arr = dec(data)
-                if arr is not None:  # real decode: true pixel dims
-                    return arr.shape[1], arr.shape[0], 0, name
-            wav = decode_wav(data)
-            if wav is not None:  # real decode: true sample count / rate
-                samples, rate = wav
-                return rate, samples.shape[1], samples.shape[0] * 1000 // rate, "wav"
-            vid = decode_mjpeg_avi(data)
-            if vid is not None:  # real decode: true frame dims / timing
-                frames, vrate, vscale = vid
-                return (
-                    frames[0].shape[1],
-                    frames[0].shape[0],
-                    len(frames) * 1000 * vscale // vrate,
-                    "mjpeg-avi",
-                )
-            return 0, 0, 0, "none"  # undecodable: report nothing, invent nothing
+            return decode_row(bytes(b), with_feature=False)[:4]
 
         for pdf in it:
             meta = pdf["content"].map(meta_of)
@@ -643,29 +673,8 @@ def extract_features(df: DataFrame) -> DataFrame:
     plumbing."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         def feat(b) -> list[float]:
-            data = bytes(b)
-            arr = decode_bmp(data)
-            if arr is None:
-                arr = decode_png(data)
-            if arr is None:
-                arr = decode_jpeg(data)
-            if arr is not None:
-                return bmp_pixel_feature(arr)
-            wav = decode_wav(data)
-            if wav is not None:
-                return wav_audio_feature(*wav)
-            vid = decode_mjpeg_avi(data)
-            if vid is not None:
-                per_frame = np.array(
-                    [bmp_pixel_feature(f) for f in vid[0]], dtype=np.float64
-                )
-                return [float(x) for x in per_frame.mean(axis=0)]
-            h = hashlib.sha256(data).digest()
-            v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
-            return (v / 65535.0).tolist()
+            return decode_row(bytes(b))[4]
 
         for pdf in it:
             yield pd.DataFrame(
@@ -690,46 +699,8 @@ def decode_with_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        def row_of(b):
-            data = bytes(b)
-            for name, dec in (
-                ("bmp", decode_bmp),
-                ("png", decode_png),
-                ("jpeg", decode_jpeg),
-            ):
-                arr = dec(data)
-                if arr is not None:
-                    return (
-                        arr.shape[1], arr.shape[0], 0, name,
-                        bmp_pixel_feature(arr),
-                    )
-            wav = decode_wav(data)
-            if wav is not None:
-                samples, rate = wav
-                return (
-                    rate, samples.shape[1],
-                    samples.shape[0] * 1000 // rate, "wav",
-                    wav_audio_feature(samples, rate),
-                )
-            vid = decode_mjpeg_avi(data)
-            if vid is not None:
-                frames, vrate, vscale = vid
-                per_frame = np.array(
-                    [bmp_pixel_feature(f) for f in frames], dtype=np.float64
-                )
-                return (
-                    frames[0].shape[1], frames[0].shape[0],
-                    len(frames) * 1000 * vscale // vrate, "mjpeg-avi",
-                    [float(x) for x in per_frame.mean(axis=0)],
-                )
-            h = hashlib.sha256(data).digest()
-            v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(
-                np.float32
-            )
-            return 0, 0, 0, "none", (v / 65535.0).tolist()
-
         for pdf in it:
-            rows = pdf["content"].map(row_of)
+            rows = pdf["content"].map(lambda b: decode_row(bytes(b)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -125,7 +125,10 @@ def ext_embedding_dup_clusters(spark, sf_dir):
     from habits_etl_spark.plans.ext_vectors import _exact_pairs_blocked
 
     prepped = _prepped_embeddings(spark, sf_dir)
-    pairs = _exact_pairs_blocked(spark, prepped).select("vec_a", "vec_b")
+    # parquet-metadata count of the underlying table: the gate inside
+    # _exact_pairs_blocked needs n but must not pay a full job for it
+    n = t(spark, sf_dir, "embeddings").count()
+    pairs = _exact_pairs_blocked(spark, prepped, n=n).select("vec_a", "vec_b")
     comps = connected_components(pairs, "vec_a", "vec_b")
     return comps.select(
         F.col("vertex").alias("vec_id"), F.col("component").alias("cluster_id")

@@ -275,7 +275,7 @@ def _cosine_pairs_from(pair_source, threshold=_COS_THRESHOLD):
     )
 
 
-# Memo of corpus broadcasts keyed by (session id, corpus fingerprint):
+# Memo of corpus broadcasts keyed by (applicationId, corpus sha256):
 # without it every _exact_pairs_blocked call leaked one ~51 MB-max
 # broadcast per invocation (ADVICE r12). Entries are never destroy()'d —
 # a returned DataFrame is lazy and may still reference the handle when a
@@ -283,10 +283,21 @@ def _cosine_pairs_from(pair_source, threshold=_COS_THRESHOLD):
 # caller holds; the memo bounds the leak to one broadcast per distinct
 # corpus per session (in practice: one per sf_dir), matching the other
 # shared relations in plans/common.py.
+#
+# Key discipline (r14, ADVICE r13): the old key was (id(spark), weak
+# fingerprint). id() can be REUSED after a stopped session's object is
+# GC'd (run_scaling stops sessions in-process), resurrecting a broadcast
+# tied to a dead SparkContext; and the weak fingerprint (len + first 512
+# ids + norm sum) excluded labels and vector bytes, so a norm-preserving
+# transform of a same-id corpus — exactly what the scaled fixture's
+# Rademacher sign-flip applies — would silently reuse the WRONG
+# broadcast. Now: applicationId (the repo-wide dead-handle convention,
+# common.py) + sha256 over ids+labels+vectors, with dead-app entries
+# evicted on access.
 _PAIRS_BCAST_MEMO: dict = {}
 
 
-def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
+def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD, n=None):
     """Exact all-pairs cosine >= threshold as a distributed BLOCK MATMUL:
     broadcast the (gate-bounded) corpus matrix once, then each partition
     computes its row-block's A @ V.T against it in numpy and emits only
@@ -316,7 +327,14 @@ def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
     out_schema = (
         f"vec_a long, vec_b long, label_a {ltype}, label_b {ltype}, cos double"
     )
-    n = prepped.count()  # gate BEFORE the collect, or the OOM beats the raise
+    # Gate BEFORE the collect, or the OOM beats the raise. Callers that
+    # already know the corpus row count (a cheap parquet-metadata count of
+    # the underlying table) pass it as `n` so the gate costs no extra
+    # Spark job (r14, ADVICE r13 — the corpus was counted twice per
+    # query: once by the caller's metadata count, once by a full job over
+    # the prepped plan here).
+    if n is None:
+        n = prepped.count()
     if n > _EXACT_PAIRS_MAX:
         raise ValueError(
             f"_exact_pairs_blocked is exact all-pairs (O(n^2)) and refuses "
@@ -330,12 +348,18 @@ def _exact_pairs_blocked(spark, prepped, threshold=_COS_THRESHOLD):
     labels = np.array([r.label for r in rows])
     V = np.vstack([r.v for r in rows])
     nrm = np.sqrt((V * V).sum(axis=1))
-    memo_key = (
-        id(spark),
-        len(rows),
-        ids.tobytes()[:4096],
-        float(nrm.sum()),
-    )
+    import hashlib
+
+    app_id = spark.sparkContext.applicationId
+    digest = hashlib.sha256()
+    digest.update(ids.tobytes())
+    digest.update("\x1f".join(str(x) for x in labels.tolist()).encode())
+    digest.update(V.tobytes())
+    memo_key = (app_id, digest.hexdigest())
+    # evict broadcasts tied to stopped sessions (their applicationId can
+    # never match again; holding them pins dead-JVM handles)
+    for k in [k for k in _PAIRS_BCAST_MEMO if k[0] != app_id]:
+        del _PAIRS_BCAST_MEMO[k]
     bcast = _PAIRS_BCAST_MEMO.get(memo_key)
     if bcast is None:
         bcast = spark.sparkContext.broadcast((ids, labels, V, nrm))
@@ -575,7 +599,7 @@ def ext_embedding_cosine_pairs(spark, sf_dir):
             f"refuses {n} rows > _EXACT_PAIRS_MAX={_EXACT_PAIRS_MAX}; use "
             "ext_cosine_pairs_lsh (banded SRP-LSH + exact verify) at scale"
         )
-    return _exact_pairs_blocked(spark, prepped)
+    return _exact_pairs_blocked(spark, prepped, n=n)
 
 
 def _pairs_lsh_oracle_sql() -> str:

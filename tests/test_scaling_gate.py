@@ -81,7 +81,13 @@ def test_sf1_sweep_exponents_hold():
                 merged = {}
                 for sf in ("sf0.1", "sf1"):
                     pairs = [r[sf] for r in (old, row) if sf in r]
-                    merged[sf] = min(pairs, key=lambda p: p[0])
+                    # both runs may lack one SF (e.g. each errored on sf1
+                    # only, leaving a partial row): min([]) would raise
+                    # here and kill the gate with an unrelated traceback
+                    # instead of letting check_pins report the witness as
+                    # missing data (ADVICE r13)
+                    if pairs:
+                        merged[sf] = min(pairs, key=lambda p: p[0])
                 results[name] = merged
 
     md = run_scaling.render(results, SF1, reps=3)

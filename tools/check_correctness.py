@@ -167,6 +167,34 @@ def main():
                 print("  duck :", odf.sort_values(sorted(odf.columns)[0]).head(3).to_dict("records"))
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+
+    # Solo re-probe of the slowest-5 Spark-side sweep entries (r14,
+    # VERDICT r13 #1b): the sweep runs each query ONCE inside a long
+    # shared-session pass on a bursty shared host, so its timing column
+    # was unusable round-over-round — r13's committed sf0.1 ledger
+    # recorded ext_multimodal_features at 49.3 s (churn) vs ~1.4 s warm
+    # witnesses, with no counter-evidence on the record. Each slow id is
+    # re-run once, minutes after its first measurement (a different slice
+    # of the host timeline); BOTH numbers land in the ledger so "churn or
+    # regression?" is answerable from the record alone. Hashes, not
+    # timings, remain the correctness gate — the re-probe never changes a
+    # status.
+    sweep_reprobes: dict[str, dict] = {}
+    for name, secs in sorted(
+        sweep_secs.items(), key=lambda kv: -kv[1]["spark_sec"]
+    )[:5]:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).toPandas()
+            reprobe = round(time.time() - t0, 3)
+        except Exception:
+            continue
+        sweep_reprobes[name] = {
+            "first_spark_sec": secs["spark_sec"],
+            "reprobe_spark_sec": reprobe,
+        }
+        print(f"re-probe {name}: first={secs['spark_sec']}s reprobe={reprobe}s")
+
     if json_out:
         import json
 
@@ -200,6 +228,10 @@ def main():
                     "slowest_sweep_ids": [
                         {"id": n, **secs} for n, secs in slowest
                     ],
+                    # solo re-probes of the slowest-5 Spark entries (r14):
+                    # first vs re-probe answers "churn or regression?"
+                    # from the ledger itself
+                    "slowest_reprobes": sweep_reprobes,
                     "total_sweep_sec": round(
                         sum(
                             s["spark_sec"] + s["oracle_sec"]
