@@ -713,28 +713,61 @@ def ext_containment_blocked(spark, sf_dir):
     Same blocking convention as ext_ngram_jaccard_blocked (source
     blocks), same posting-list intersection shape — no all-pairs scan.
 
-    Scale: distinct-shingle explode -> posting-list self-join on
-    (gram, block) -> one hash-agg; cost is sum(freq^2) per gram, never
-    |block|^2. At 100 TB the block key becomes the LSH band bucket
-    (ext_near_dedup_minhash's banding) instead of source, and a
-    stop-gram cut (drop grams above a frequency cap) bounds the worst
-    posting list; everything downstream is unchanged."""
+    Scale (r14): profiling at sf1 showed the cost was NEVER the posting
+    self-join — it is only 626k rows there (sum over (gram, source) of
+    C(freq,2)) — but (a) the heavy gram-build map (tokenize + transform/
+    concat + array_distinct + explode) inheriting the fixture parquet's
+    TWO splits and running on 2 of 32 cores (10.8 s of the 15.8 s warm
+    wall), and (b) that build running THREE times (sizes + both join
+    arms, nothing cached). Fix: the standard under-split repartition
+    guard before the build + managed_cache on the exploded posting
+    relation. Measured sf1 25.2 s cold / 15.8 s warm -> 6.9 / 5.4;
+    sf0.1 cold 10.5 -> ~9.5 (session fixed costs dominate there).
+
+    Measured NEGATIVE result, recorded so it isn't re-tried naively
+    (r13 verdict asked for the asymmetric containment prefix filter —
+    for threshold t the smaller doc S must share a gram among its first
+    |S| - ceil(t·|S|) + 1 rarest under a global (df, gram) order): at
+    t=0.1 the prefix keeps 91% of postings (sf1 2.60M -> 2.37M rows),
+    the candidate join shrinks only 626k -> 536k rows, and the plan
+    must switch from count-the-join-rows to distinct-candidates + exact
+    array_intersect verify, adding a 2.6M-row window sort, a 489k-pair
+    distinct, and a two-sided array join — measured SLOWER at both SFs
+    (sf0.1 warm 2.0 -> 4.0 s, sf1 warm 15.8 -> 19.9 s on the unguarded
+    base). The bound is sound but structurally weak at low t: prefix
+    length scales with (1-t)·n, so it prunes meaningfully only at the
+    high thresholds the Jaccard op runs at (t=0.5 -> half the postings),
+    not at a 0.1 containment screen. At 100 TB the block key becomes
+    the LSH band bucket (ext_near_dedup_minhash's banding) instead of
+    source, and a stop-gram cut (drop grams above a frequency cap)
+    bounds the worst posting list; everything downstream is unchanged."""
     d = t(spark, sf_dir, "documents")
+    # under-split guard (the r13 scaling-gate lesson): the fixture
+    # parquet arrives as 1-2 splits and the gram build is the dominant
+    # map cost — serialized on 2 cores it was 10.8 s of the sf1 wall
+    n_part = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < n_part:
+        d = d.repartition(n_part)
     w = d.select("doc_id", "source", _TOK_SPARK(F.col("text")).alias("w")).filter(
         F.size("w") >= _CONT_N
     )
-    g = w.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {_CONT_N - 1}), "
-                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), "
-                    "' ', element_at(w, i + 2)))"
+    # cached: sizes and BOTH join arms scan this relation — uncached, the
+    # gram build ran three times
+    g = managed_cache(
+        w.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(w) - {_CONT_N - 1}), "
+                        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), "
+                        "' ', element_at(w, i + 2)))"
+                    )
                 )
-            )
-        ).alias("gram"),
+            ).alias("gram"),
+        ),
+        "containment.grams",
     )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # posting-list self-join on (gram, source): cost is sum over grams of
