@@ -746,8 +746,29 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
     note on the old shape is obsolete: block-key quality now affects
     only the semantic filter, not the join volume; the banded
     ``ext_ngram_jaccard_simhash_blocked`` below remains the
-    content-keyed alternative when no block key exists at all."""
+    content-keyed alternative when no block key exists at all.
+
+    r14 (the under-split guard, NOT the dense gram dictionary): the
+    residual "floor" turned out to be mostly the 2-split trap — the
+    docs cache inherited the fixture parquet's 2 splits, so the shingle
+    build AND every downstream pre-shuffle map stage (explode, both
+    verify array joins) ran on 2 of 32 cores. The repartition guard
+    below measured sf1 37-42 s warm -> 13.3 s and sf0.1 ~4.6 s warm
+    (exponent ~0.46 vs the 0.90 r13 pin), hashes unchanged at both SFs.
+    The r13-planned dense collision-free gram dictionary (int gram ids
+    for the verify intersect) stays untried-and-documented: it costs a
+    second 10.2M-row re-aggregation to rebuild the arrays as ints, and
+    with the join+verify now a third of the (properly parallel) wall,
+    the rebuild can no longer pay for itself at these corpus sizes."""
     d = t(spark, sf_dir, "documents").filter(F.length("text") >= _CGRAM_N)
+    # under-split guard (r14, the containment profiling lesson): the
+    # fixture parquet arrives as 1-2 splits, the ~2000-gram shingle build
+    # is the pipeline's heaviest map, AND the cache pins its partitioning
+    # — every downstream pre-shuffle map stage (explode, both verify
+    # array joins) inherited 2 partitions on 32 cores
+    n_part = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < n_part:
+        d = d.repartition(n_part)
     grams_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - (_CGRAM_N - 1)),
