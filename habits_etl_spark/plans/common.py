@@ -76,6 +76,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widened(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Under-split repartition guard, shared (r14). Single-row-group
+    fixture parquet arrives as 1-2 splits; any HEAVY map stage built on
+    it — an Arrow mapInPandas kernel, a shingle/signature build — runs
+    on 1-2 of 32 cores, and a cache() built on it PINS that partitioning
+    for every downstream pre-shuffle stage. The r13 scaling gate caught
+    this in the vector block-matmul (105 s on one core); r14 profiling
+    found it again in ext_containment_blocked and
+    ext_ngram_jaccard_blocked (sf1 warm 37-42 s -> 13.3 s). At real
+    scale input splits already provide width and the guard is a no-op;
+    use it ONLY in front of heavy builds — a cheap scan is better left
+    unshuffled for Catalyst to prune."""
+    n_part = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < n_part:
+        return df.repartition(n_part)
+    return df
+
+
 # Plan builders are lazy, so a try/finally around construction can't release
 # caches (nothing has materialized yet). Instead each cached intermediate
 # registers under a scope key; the NEXT invocation of the same operator

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from habits_etl_spark.plans.common import dec, managed_cache, query, t
+from habits_etl_spark.plans.common import dec, managed_cache, query, t, widened
 from habits_etl_spark.plans.ext_text import (
     _MINHASH_CTES,
     _MINHASH_FINAL,
@@ -745,9 +745,7 @@ def ext_containment_blocked(spark, sf_dir):
     # under-split guard (the r13 scaling-gate lesson): the fixture
     # parquet arrives as 1-2 splits and the gram build is the dominant
     # map cost — serialized on 2 cores it was 10.8 s of the sf1 wall
-    n_part = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < n_part:
-        d = d.repartition(n_part)
+    d = widened(spark, d)
     w = d.select("doc_id", "source", _TOK_SPARK(F.col("text")).alias("w")).filter(
         F.size("w") >= _CONT_N
     )

@@ -19,6 +19,7 @@ from habits_etl_spark.plans.common import (
     shared_cache,
     sql_davg,
     t,
+    widened,
 )
 
 # Whitespace tokenization shared by every operator here.
@@ -766,9 +767,7 @@ def ext_ngram_jaccard_blocked(spark, sf_dir):
     # is the pipeline's heaviest map, AND the cache pins its partitioning
     # — every downstream pre-shuffle map stage (explode, both verify
     # array joins) inherited 2 partitions on 32 cores
-    n_part = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < n_part:
-        d = d.repartition(n_part)
+    d = widened(spark, d)
     grams_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - (_CGRAM_N - 1)),
