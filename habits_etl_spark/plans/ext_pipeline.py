@@ -881,3 +881,57 @@ def ext_minhash_reband_sim(spark, sf_dir):
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.orderBy("r_rows")
+
+
+# --- re-banded dedup (the decision, executed) -------------------------------
+# ext_minhash_reband_sim above produces the decision table; this id PROVES
+# the retune path end-to-end: the same dedup chain running under the
+# deepest simulated layout. 4 bands x 4 rows partitions the SAME 16
+# signature minima (no re-hashing, exactly what a deployed index does on a
+# re-band), s-curve threshold (1/4)^(1/4) ~= 0.71 vs the default 8x2's
+# 0.35 — the layout the delta-maintenance report's re-band flag points to
+# when bucket occupancy (and so the verify budget) outgrows the fair
+# share: r=4 cuts random band collisions to ~j^4.
+_REBAND_B, _REBAND_R = 4, 4
+
+
+def _rebanded_sql() -> str:
+    from habits_etl_spark.plans.ext_text import _MINHASH_FINAL, _minhash_ctes
+
+    return f"""
+    WITH {_minhash_ctes(_REBAND_B, _REBAND_R)}
+    {_MINHASH_FINAL}
+    """
+
+
+@query("ext_near_dedup_minhash_rebanded", _rebanded_sql())
+def ext_near_dedup_minhash_rebanded(spark, sf_dir):
+    """MinHash near-dedup under the RE-BANDED 4x4 LSH layout (r14,
+    VERDICT r13 #5): identical shingling, signatures, and exact-verify
+    threshold as ext_near_dedup_minhash — only the (b x r) partition of
+    the 16 minima changes, which is precisely what a production re-band
+    does. Emitted pairs remain exact-verified (precision 1.0); recall
+    follows the deeper layout's s-curve (higher collision threshold,
+    ~j^4 noise candidates — the trade the re-band buys when the verify
+    budget outgrows its fair share under corpus growth). Together with
+    ext_minhash_delta_maintenance (when to re-band), ext_minhash_reband_sim
+    (which layout), and this id (the retuned chain itself), the dedup
+    index has an executable maintain -> decide -> retune lifecycle.
+
+    Scale: same as the default chain — map-only signature stage over the
+    shared cached base, band self-join on (band, v), broadcast candidate
+    verify; the 4x4 layout HALVES band rows (4 per doc vs 8) and cuts
+    random collisions ~j^4, so it is strictly cheaper per doc at equal
+    corpus size. Oracle: the shared CTE chain under the same layout
+    literals. Reference parity: [E] extension (BASELINE north-star
+    'MinHash+LSH'); no reference twin."""
+    from habits_etl_spark.plans.ext_text import _near_dedup_pipeline
+
+    return _near_dedup_pipeline(
+        spark,
+        sf_dir,
+        x_sql="cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)",
+        cache_key="minhash.base",
+        n_bands=_REBAND_B,
+        band_rows=_REBAND_R,
+    )

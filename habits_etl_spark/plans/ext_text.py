@@ -340,18 +340,30 @@ def _minhash_sql_sigs():
     return ",\n             ".join(parts)
 
 
-def _band_sql(alias: str = "sig"):
+def _band_sql(
+    alias: str = "sig", n_bands: int = _N_BANDS, band_rows: int = _BAND_ROWS
+):
+    """Band-table SQL for any (b x r) partition of the signature minima
+    (r14: parameterized so a re-banded layout — the ext_minhash_reband_sim
+    decision — is the same chain with different literals)."""
+    assert n_bands * band_rows <= _N_HASHES
     return " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat_ws(':', m{2 * b}, m{2 * b + 1}) AS v FROM {alias}"
-        for b in range(_N_BANDS)
+        "SELECT doc_id, {b} AS band, concat_ws(':', {cols}) AS v FROM {alias}".format(
+            b=b,
+            cols=", ".join(f"m{band_rows * b + j}" for j in range(band_rows)),
+            alias=alias,
+        )
+        for b in range(n_bands)
     )
 
 
-# The MinHash pipeline's CTE chain + final select, shared between the
-# ext_near_dedup_minhash oracle and the ext_dup_clusters recursive oracle.
-# Mirrors the Spark topology: shingle ARRAYS stay packed per doc (no
-# corpus-wide unnest); only candidate pairs compare full shingle sets.
-_MINHASH_CTES = f"""words AS (
+def _minhash_ctes(n_bands: int = _N_BANDS, band_rows: int = _BAND_ROWS) -> str:
+    """The MinHash pipeline's CTE chain under a given (b x r) banding,
+    shared between the ext_near_dedup_minhash oracle, the dup-clusters
+    recursive oracle, and (r14) the re-banded dedup twin. Mirrors the
+    Spark topology: shingle ARRAYS stay packed per doc (no corpus-wide
+    unnest); only candidate pairs compare full shingle sets."""
+    return f"""words AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
     base AS (
@@ -368,7 +380,7 @@ _MINHASH_CTES = f"""words AS (
       FROM xs
     ),
     bands AS (
-      {_band_sql()}
+      {_band_sql(n_bands=n_bands, band_rows=band_rows)}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -382,6 +394,9 @@ _MINHASH_CTES = f"""words AS (
       JOIN xs a ON a.doc_id = c.doc_a
       JOIN xs b ON b.doc_id = c.doc_b
     )"""
+
+
+_MINHASH_CTES = _minhash_ctes()
 
 _MINHASH_FINAL = f"""SELECT doc_a, doc_b,
            round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
@@ -525,9 +540,12 @@ def _perm_col(h: int):
     ).alias(f"m{h}")
 
 
-def _band_rows_from(base):
+def _band_rows_from(base, n_bands: int = _N_BANDS, band_rows: int = _BAND_ROWS):
     """(doc_id, band, v) LSH band rows from the packed base relation —
-    the standing band TABLE a deployed dedup index materializes."""
+    the standing band TABLE a deployed dedup index materializes — under
+    any (b x r) partition of the signature minima (r14: parameterized so
+    the re-band decision is executable, not just simulated)."""
+    assert n_bands * band_rows <= _N_HASHES
     sig = base.select("doc_id", *[_perm_col(h) for h in range(_N_HASHES)])
     # One pass, not a b-way union: explode an array of (band, value)
     # structs. A union of b selects re-evaluates the signature subtree
@@ -541,21 +559,34 @@ def _band_rows_from(base):
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
+                            ":",
+                            *[
+                                F.col(f"m{band_rows * b + j}")
+                                for j in range(band_rows)
+                            ],
                         ).alias("v"),
                     )
-                    for b in range(_N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bv"),
     ).select("doc_id", "bv.band", "bv.v")
 
 
-def _near_dedup_pipeline(spark, sf_dir, x_sql: str, cache_key: str):
+def _near_dedup_pipeline(
+    spark,
+    sf_dir,
+    x_sql: str,
+    cache_key: str,
+    n_bands: int = _N_BANDS,
+    band_rows: int = _BAND_ROWS,
+):
     """Shared MinHash+LSH pipeline; ``x_sql`` maps a shingle string ``s``
-    to the 32-bit integer fed to the universal-hash permutations."""
+    to the 32-bit integer fed to the universal-hash permutations.
+    ``n_bands x band_rows`` selects the LSH layout over the same
+    signature minima (default = the registered 8x2)."""
     base = _minhash_base(spark, sf_dir, x_sql, cache_key)
-    bands = _band_rows_from(base)
+    bands = _band_rows_from(base, n_bands, band_rows)
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (
