@@ -54,6 +54,16 @@ def _ledger_line(tag: str, d: dict | None, path: str) -> list[str]:
             for e in slowest[:5]
         )
         lines.append(f"  - slowest: {top}")
+    # r14: the ledger's own solo re-probes of its slowest Spark entries —
+    # renders the churn-vs-regression answer next to the numbers it
+    # qualifies, so a churn-window sweep timing can't be quoted bare
+    reprobes = d.get("slowest_reprobes") or {}
+    if reprobes:
+        rp = ", ".join(
+            f"{n} {v['first_spark_sec']}s->{v['reprobe_spark_sec']}s"
+            for n, v in reprobes.items()
+        )
+        lines.append(f"  - solo re-probes (first->reprobe): {rp}")
     return lines
 
 
@@ -78,6 +88,25 @@ def render(round_n: int, pytest_line: str | None) -> str:
             f"{bench.get('reprobed')}, extras "
             f"{bench.get('extras_pass')}/{bench.get('extras_fail')}"
             f"/{bench.get('extras_error')})"
+        )
+    # r14 (VERDICT r13 #6): solo probe artifacts are first-class rendered
+    # records — a directive-closure claim cites one of these lines, never
+    # an intermediate run's number
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(REPO, f"PROBE_r{round_n}_*.json"))):
+        name = os.path.basename(p)
+        d = _load(name)
+        if d is None:
+            lines.append(f"- `{name}`: UNREADABLE")
+            continue
+        probes = ", ".join(
+            f"{q} cold {v.get('cold_sec')}s / warm {v.get('warm_secs')}"
+            for q, v in (d.get("probes") or {}).items()
+        )
+        lines.append(
+            f"- `{name}` (git_head `{d.get('git_head')}`, "
+            f"{d.get('sf_dir')}): {probes}"
         )
     scaling = os.path.join(REPO, "SCALING.md")
     if os.path.exists(scaling):

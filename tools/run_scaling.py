@@ -78,13 +78,8 @@ PINNED_EXPONENTS = {
     "ext_weighted_minhash_pairs": 0.00,
     "ext_simhash": 0.02,
     "ext_ngram_jaccard_simhash_blocked": 0.93,
-    "ext_cosine_pairs_lsh": 1.05,  # output-driven (SCALING.md analysis)
     "ext_ann_lsh_bucketed": 0.33,
-    # output-driven + O(n^2) contract; TIGHTER than the r12 1.37/1.33
-    # pins because the r13 fan-out fix parallelized the block matmul
-    "ext_embedding_cosine_pairs": 1.25,
-    "ext_embedding_dup_clusters": 1.30,
-    "ext_ngram_jaccard_blocked": 0.90,  # r13 PPJoin+ count filter
+    "ext_ngram_jaccard_blocked": 0.55,  # r14 under-split guard (was 0.90)
     "ext_ivfpq_topk": 0.67,
     "ext_topk_sim_search": 0.57,
     "stream_rollup_e2e": 0.26,
@@ -95,8 +90,32 @@ PINNED_EXPONENTS = {
     "agg_q1_pricing": 0.40,
     "join_q18_large_orders": 0.73,
     "agg_q9_profit_by_nation_year": 0.69,
-    "ext_cosine_pairs_lsh[12-bit]": 1.03,  # output-driven
 }
+
+# The output-quadratic cosine family is gated on its OUTPUT-NORMALIZED
+# exponent (r14, VERDICT r13 #4): log10 of the sec-per-emitted-row ratio
+# between SFs. The raw exponents (~0.9-1.3) absorbed output growth (true
+# near-threshold pair mass grows ~quadratically at the fixture's 0.4
+# threshold: 920 -> 99,391 exact pairs for 10x rows) and host churn in
+# one number, so a pin move was uninterpretable. Normalized, the
+# per-pair cost FALLS with scale for the pair emitters (fixed costs
+# amortize; pins negative) and stays ~flat for the clustering
+# (per-clustered-vertex cost). The raw exponent remains a REPORTED
+# column in SCALING.md for these rows, not a gated one.
+PINNED_NORM_EXPONENTS = {
+    "ext_cosine_pairs_lsh": -1.10,
+    "ext_embedding_cosine_pairs": -1.05,
+    "ext_embedding_dup_clusters": 0.12,
+    "ext_cosine_pairs_lsh[12-bit]": -1.60,
+}
+
+# Sub-2s witnesses get extra repetitions (r14, VERDICT r13 #7): an
+# exponent is a log-ratio of wall-clock times, and with a sub-second
+# numerator two same-code sweeps measured join_q3 at 0.35 vs 0.70 purely
+# from where host bursts landed. Best-of-5 on the fast side shrinks the
+# per-SF noise the ratio amplifies.
+FAST_WITNESS_SEC = 2.0
+FAST_EXTRA_REPS = 2
 
 
 def runnable_queries(names=None):
@@ -142,6 +161,13 @@ def sweep(sf01: str, sf1: str, reps: int = 3, names=None) -> dict:
                     t0 = time.perf_counter()
                     n = fn(spark, sf_dir).count()
                     rep_times.append(time.perf_counter() - t0)
+                # fast witnesses get extra reps: a sub-2s best is the
+                # noise-amplified side of the exponent's log-ratio
+                if min(rep_times) < FAST_WITNESS_SEC:
+                    for _ in range(FAST_EXTRA_REPS):
+                        t0 = time.perf_counter()
+                        n = fn(spark, sf_dir).count()
+                        rep_times.append(time.perf_counter() - t0)
                 row[label] = (min(rep_times), n)
                 print(f"{name} {label}: best={min(rep_times):.3f}s rows={n}", flush=True)
         except Exception as exc:  # record the failure, keep sweeping
@@ -161,12 +187,38 @@ def exponent(row: dict) -> float | None:
     return math.log10(max(s1 / max(s01, 1e-9), 1e-9))
 
 
+def norm_exponent(row: dict) -> float | None:
+    """Output-normalized exponent: log10 of the sec-per-emitted-row ratio
+    between SFs — the gated metric for the output-quadratic family."""
+    if "error" in row or "sf1" not in row or "sf0.1" not in row:
+        return None
+    s01, n01 = row["sf0.1"]
+    s1, n1 = row["sf1"]
+    if not n01 or not n1:
+        return None  # zero-output run: per-row cost undefined
+    return math.log10(max((s1 / n1) / max(s01 / n01, 1e-12), 1e-12))
+
+
 def check_pins(results: dict) -> list[str]:
     """Names whose measured exponent exceeds its pin by > PIN_TOLERANCE
     (unpinned or errored witnesses are reported too — a sweep that can't
-    measure a witness must not silently pass)."""
+    measure a witness must not silently pass). Witnesses in
+    PINNED_NORM_EXPONENTS are gated on their output-normalized exponent
+    instead; their raw exponent is reported-only."""
     bad = []
     for name, row in results.items():
+        if name in PINNED_NORM_EXPONENTS:
+            ne = norm_exponent(row)
+            if ne is None:
+                bad.append(
+                    f"{name}: sweep error ({row.get('error', 'no data')})"
+                )
+            elif ne > PINNED_NORM_EXPONENTS[name] + PIN_TOLERANCE:
+                bad.append(
+                    f"{name}: normalized exponent {ne:.2f} > pin "
+                    f"{PINNED_NORM_EXPONENTS[name]} + {PIN_TOLERANCE}"
+                )
+            continue
         e = exponent(row)
         if e is None:
             bad.append(f"{name}: sweep error ({row.get('error', 'no data')})")
@@ -195,21 +247,32 @@ def render(results: dict, sf1: str, reps: int) -> str:
         "exponent = log10(sec_sf1 / sec_sf0.1): 1.0 = linear in rows,",
         "< 1 = fixed cost amortizing, > 1 = super-linear (bad).",
         "Exponents are PINNED in tools/run_scaling.py and gated by",
-        "`pytest -m scaling` (fails past pin + 0.15).",
+        "`pytest -m scaling` (fails past pin + 0.15). Rows marked `*` in",
+        "the norm column are the output-quadratic family: they are gated",
+        "on the NORM exponent (log10 of the sec-per-emitted-row ratio —",
+        "r14, so output growth and host churn stop sharing one number);",
+        "their raw exponent is reported-only.",
         "",
-        "| query | sf0.1 sec | sf1 sec | rows sf0.1 | rows sf1 | x | exponent |",
-        "|---|---|---|---|---|---|---|",
+        "| query | sf0.1 sec | sf1 sec | rows sf0.1 | rows sf1 | x | exponent | norm |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, row in results.items():
         e = exponent(row)
         if e is None:
-            lines.append(f"| {name} | — | — | — | — | ERROR | {row.get('error', '?')} |")
+            lines.append(
+                f"| {name} | — | — | — | — | ERROR | {row.get('error', '?')} | |"
+            )
             continue
         s01, n01 = row["sf0.1"]
         s1, n1 = row["sf1"]
+        ne = norm_exponent(row)
+        norm_cell = (
+            f"{ne:.2f}*" if name in PINNED_NORM_EXPONENTS and ne is not None
+            else ""
+        )
         lines.append(
             f"| {name} | {s01:.3f} | {s1:.3f} | {n01} | {n1} "
-            f"| {s1 / max(s01, 1e-9):.1f}x | {e:.2f} |"
+            f"| {s1 / max(s01, 1e-9):.1f}x | {e:.2f} | {norm_cell} |"
         )
     lines.append(ANALYSIS_MD)
     return "\n".join(lines)
@@ -219,7 +282,16 @@ def render(results: dict, sf1: str, reps: int) -> str:
 # ANALYZED witness table, not a bare number dump — maintained here next
 # to the pins and updated whenever the pins move.
 ANALYSIS_MD = """
-## Reading the table (r13 analysis)
+## Reading the table (r13 analysis; r14: normalized gating + guards)
+
+- **r14 changes**: the cosine family's gate moved to the output-
+  normalized exponent (the `norm` column — per-emitted-row cost, which
+  FALLS with scale for the pair emitters as fixed costs amortize and
+  stays ~flat for the clustering); sub-2s witnesses run best-of-5; and
+  `ext_ngram_jaccard_blocked`'s pin tightened 0.90 -> 0.55 after the
+  under-split guard fix (the docs cache had pinned the fixture's
+  2-split layout onto every downstream map stage — sf1 warm 37-42 s ->
+  13.3 s).
 
 - **Anchors are healthy**: `agg_daily_rollup` / `join_star_schema` at
   ~2.5x for 10x rows is shuffle-dominated linear scaling with fixed
