@@ -106,7 +106,10 @@ PINNED_NORM_EXPONENTS = {
     "ext_cosine_pairs_lsh": -1.10,
     "ext_embedding_cosine_pairs": -1.05,
     "ext_embedding_dup_clusters": 0.12,
-    "ext_cosine_pairs_lsh[12-bit]": -1.60,
+    # the 12-bit row emits only 68 pairs at sf0.1, so its per-row
+    # normalization is denominator-noisy: r13 data gave -1.65, the r14
+    # sweep -1.45 on the same plan; pinned at the loose end
+    "ext_cosine_pairs_lsh[12-bit]": -1.40,
 }
 
 # Sub-2s witnesses get extra repetitions (r14, VERDICT r13 #7): an
