@@ -935,3 +935,97 @@ def ext_near_dedup_minhash_rebanded(spark, sf_dir):
         n_bands=_REBAND_B,
         band_rows=_REBAND_R,
     )
+
+
+def _reband_audit_sql() -> str:
+    from habits_etl_spark.plans.ext_text import (
+        _JACCARD_THRESHOLD,
+        _minhash_ctes,
+    )
+
+    # "kept" = the pair still collides in >= 1 band of the re-banded
+    # layout — an OR over the 4 four-minima conjunctions on the SAME sig
+    # relation the default chain already computed (no second chain, no
+    # CTE-name collision).
+    kept = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa.m{_REBAND_R * b + j} = sb.m{_REBAND_R * b + j}"
+            for j in range(_REBAND_R)
+        )
+        + ")"
+        for b in range(_REBAND_B)
+    )
+    return f"""
+    WITH {_minhash_ctes()},
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+      FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {_JACCARD_THRESHOLD}
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard, ({kept}) AS kept
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+@query("ext_reband_recall_audit", _reband_audit_sql())
+def ext_reband_recall_audit(spark, sf_dir):
+    """Measured recall audit of the re-band decision (r14): for every
+    TRUE near-dup pair the registered 8x2 layout verifies, report
+    whether the re-banded {_REBAND_B}x{_REBAND_R} layout would still
+    surface it (``kept`` = the pair collides in >= 1 of the re-banded
+    bands — a pure predicate over the SAME 16 signature minima). The
+    s-curve in ext_minhash_reband_sim is the closed-form recall
+    ESTIMATE; this id is the ground truth on the actual corpus — the
+    per-pair loss list a deployment reviews before committing a
+    re-band, and the measured check that the retune (lower verify
+    budget) costs only the recall the curve predicted.
+
+    Scale: the pair relation is the standing dedup index (collision-
+    sized); the audit joins it twice against the signature table
+    (corpus-sized, one row per doc) and evaluates a constant-width
+    boolean — no new candidate generation, no re-hashing. Oracle: the
+    shared default-layout chain plus the same band-equality predicate
+    over its sig CTE. Reference parity: [E] extension (BASELINE
+    north-star dedup family); no reference twin."""
+    from habits_etl_spark.plans.ext_text import (
+        _N_HASHES,
+        _minhash_base,
+        _perm_col,
+        ext_near_dedup_minhash,
+    )
+
+    pairs = ext_near_dedup_minhash(spark, sf_dir)
+    base = _minhash_base(
+        spark,
+        sf_dir,
+        x_sql="cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)",
+        cache_key="minhash.base",
+    )
+    sig = base.select("doc_id", *[_perm_col(h) for h in range(_N_HASHES)])
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{h}").alias(f"a{h}") for h in range(_N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{h}").alias(f"b{h}") for h in range(_N_HASHES)],
+    )
+    kept = None
+    for b in range(_REBAND_B):
+        band_eq = None
+        for j in range(_REBAND_R):
+            h = _REBAND_R * b + j
+            eq = F.col(f"a{h}") == F.col(f"b{h}")
+            band_eq = eq if band_eq is None else (band_eq & eq)
+        kept = band_eq if kept is None else (kept | band_eq)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "jaccard", kept.alias("kept"))
+        .orderBy("doc_a", "doc_b")
+    )
