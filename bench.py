@@ -211,6 +211,12 @@ CURATION = [
     "ext_minhash_reband_sim",
     "ext_ngram_jaccard_blocked",
     "ext_multimodal_features",
+    # round 14: same rule — new oracle-gated ids (the re-band lifecycle
+    # pair) and the plan-changed containment (under-split guard + cached
+    # postings; ngram_jaccard & multimodal already tracked above).
+    "ext_containment_blocked",
+    "ext_near_dedup_minhash_rebanded",
+    "ext_reband_recall_audit",
 ]
 
 
