@@ -217,6 +217,12 @@ CURATION = [
     "ext_containment_blocked",
     "ext_near_dedup_minhash_rebanded",
     "ext_reband_recall_audit",
+    # r14 wave 2: TPC-H Q2 completes the 22/22 shape coverage; the IVF
+    # index gains the decide/audit lifecycle pair (the vector analogue of
+    # the minhash reband sim + recall audit above).
+    "join_q2_min_cost_supplier",
+    "ext_ivf_partition_sim",
+    "ext_ivf_recall_audit",
 ]
 
 

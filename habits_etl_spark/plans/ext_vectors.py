@@ -687,8 +687,10 @@ _IVF_H_DUCK = (
 )
 
 
-def _ivf_probe_oracle_sql() -> str:
-    """Full DuckDB statement of the IVF pipeline. Nothing in it is
+def _ivf_probe_ctes() -> str:
+    """The IVF pipeline as a CTE body (``e`` through ``scored``), shared
+    by the probe oracle below and the lifecycle oracles in ext_vectors4
+    (the _minhash_ctes / _MINHASH_FINAL pattern). Nothing in it is
     trained or sampled at runtime — centroids are a hash-of-id pick,
     assignment is an argmax over pinned cells — so the 'approximate' op
     (approximate only vs exact ANN) is a deterministic function of the
@@ -697,8 +699,7 @@ def _ivf_probe_oracle_sql() -> str:
     exact-pairs oracle has pinned this parity since r2), and every rank
     tie-breaks on cell_id / neighbor_id."""
     sim = "list_dot_product({l}.v, {r}.c_v) / ({l}.nrm * {r}.c_nrm)"
-    return f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS MATERIALIZED (
       SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ),
@@ -734,13 +735,70 @@ def _ivf_probe_oracle_sql() -> str:
       SELECT q.query_id, a.vec_id AS neighbor_id,
              round(list_dot_product(q.q_v, a.v) / (q.q_nrm * a.nrm), 4) AS cos
       FROM assign a JOIN qprobe q ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id
-    )
+    )"""
+
+
+def _ivf_probe_oracle_sql() -> str:
+    return f"""
+    WITH {_ivf_probe_ctes()}
     SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rk
       FROM scored
     ) WHERE rk <= {_TOP_K}
     """
+
+
+def _ivf_pick_assign(spark, sf_dir, n_cells):
+    """Hash-pick ``n_cells`` coarse centroids and assign the corpus — the
+    shared build step of the IVF family (probe here, partition-sim /
+    recall-audit in ext_vectors4). Returns ``(assigned, centroids)``
+    where assigned carries (vec_id, label, v, nrm, cell_id, cell_cos) —
+    cell_cos is the winning member-to-centroid cosine, the quantization-
+    quality signal the lifecycle reports aggregate.
+
+    Scale: ONE corpus scan against k broadcast centroid literals; the
+    centroid pick sorts only the ~2k-row hash-oversampled set (bounded
+    heap via TakeOrderedAndProject), and the k-bounded collect is the
+    same driver materialization the broadcast needs anyway."""
+    prepped = _prepped_embeddings(spark, sf_dir)
+    total = prepped.count()  # bounded metadata read (one count of the corpus)
+    step = max(total // n_cells, 1)
+    # Hash-based centroid pick — no density/contiguity assumption on
+    # vec_id: keep rows whose id-hash lands in ~2*n_cells/total of the
+    # hash space (oversampled 2x against Poisson shortfall), then number
+    # the first n_cells in hash order.
+    hsh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("centroid:"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand_c = prepped.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2)
+    picked = cand_c.orderBy("__h", "vec_id").limit(n_cells).select("v", "nrm").collect()
+    centroids = spark.createDataFrame(
+        [(i, list(r.v), float(r.nrm)) for i, r in enumerate(picked)],
+        "cell_id int, c_v array<double>, c_nrm double",
+    )
+    dot_vc = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim_to_centroid = dot_vc / (F.col("nrm") * F.col("c_nrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    assigned = (
+        prepped.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", sim_to_centroid)
+        .withColumn("__rk", F.row_number().over(w_assign))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "vec_id", "label", "v", "nrm", "cell_id",
+            F.col("__sim").alias("cell_cos"),
+        )
+    )
+    return assigned, centroids
 
 
 @query("ext_ann_ivf_probe", _ivf_probe_oracle_sql())
@@ -762,57 +820,9 @@ def ext_ann_ivf_probe(spark, sf_dir):
     from crc32 to the engine-portable md5-prefix integer, and the whole
     pipeline (pick -> assign -> probe -> re-rank) is now oracle-gated in
     SQL (previously rows-only)."""
-    n_cells = _IVF_N_CELLS
     n_probe = _IVF_N_PROBE
-    e = t(spark, sf_dir, "embeddings")
-    prepped = e.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(F.aggregate(
-        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )))
-
-    total = prepped.count()  # bounded metadata read (one count of the corpus)
-    step = max(total // n_cells, 1)
-    # Hash-based centroid pick — no density/contiguity assumption on
-    # vec_id: keep rows whose id-hash lands in ~2*n_cells/total of the
-    # hash space (oversampled 2x against Poisson shortfall), then number
-    # the first n_cells in hash order. The window sorts only the tiny
-    # oversampled set, never the corpus.
-    hsh = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("centroid:"), F.col("vec_id").cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    cand_c = prepped.withColumn("__h", hsh).filter(F.pmod(F.col("__h"), F.lit(step)) < 2)
-    # TakeOrderedAndProject pick (bounded heap per partition, no
-    # unpartitioned WindowExec), then a k-bounded collect to enumerate
-    # cell_ids — the centroid table is driver-materialized ANYWAY before
-    # being broadcast into the assignment crossJoin, so this moves zero
-    # extra data; only the tiny oversampled set is ever sorted.
-    picked = cand_c.orderBy("__h", "vec_id").limit(n_cells).select("v", "nrm").collect()
-    centroids = spark.createDataFrame(
-        [(i, list(r.v), float(r.nrm)) for i, r in enumerate(picked)],
-        "cell_id int, c_v array<double>, c_nrm double",
-    )
-
-    dot_vc = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sim_to_centroid = dot_vc / (F.col("nrm") * F.col("c_nrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cell_id"))
-    assigned = (
-        prepped.crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", sim_to_centroid)
-        .withColumn("__rk", F.row_number().over(w_assign))
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "label", "v", "nrm", "cell_id")
-    )
+    assigned, centroids = _ivf_pick_assign(spark, sf_dir, _IVF_N_CELLS)
+    assigned = assigned.drop("cell_cos")
 
     queries_assigned = (
         assigned.filter(F.col("vec_id") < _N_QUERIES)

@@ -1,0 +1,256 @@
+"""IVF index lifecycle, decide + audit (r14): the vector index gets the
+same maintain -> decide -> audit arc the MinHash dedup index finished in
+r13/r14.
+
+- maintain: ext_ivf_delta_maintenance (ext_vectors2, r12) — arrivals
+  route into standing cells, per-cell health report gates refits.
+- decide:  ext_ivf_partition_sim (here) — every candidate ``nlist``
+  evaluated on the actual corpus: occupancy skew, probe scan cost, and
+  quantization quality per layout, the measured evidence a re-partition
+  rests on (the IVF analogue of ext_minhash_reband_sim).
+- audit:   ext_ivf_recall_audit (here) — ground-truth recall of the
+  DEPLOYED probe configuration against the exact top-k, per query, per
+  missed neighbor (the IVF analogue of ext_reband_recall_audit).
+
+Both ops are oracle-gated end to end: centroids are a deterministic
+hash-of-id pick and assignment is an argmax over pinned cells
+(ext_vectors._ivf_probe_ctes has carried that parity since r10), so
+"approximate" means approximate vs exact ANN, never nondeterministic.
+
+Reference parity: [E] extension (BASELINE north-star similarity-search
+family); no reference twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from habits_etl_spark.plans.common import managed_cache, query
+from habits_etl_spark.plans.ext_vectors import (
+    _IVF_H_DUCK,
+    _IVF_N_PROBE,
+    _N_QUERIES,
+    _TOP_K,
+    _ivf_pick_assign,
+    _ivf_probe_ctes,
+    _prepped_embeddings,
+    ext_ann_ivf_probe,
+    ext_topk_sim_search,
+)
+
+# Candidate nlist layouts the partition sim evaluates — bracketing the
+# deployed _IVF_N_CELLS = 16 the way _REBAND_LAYOUTS brackets the 8x2
+# banding. At a real re-shard these scale with corpus size (nlist ~
+# sqrt(N) is the FAISS rule of thumb); the op is the measurement that
+# replaces the rule of thumb.
+_IVF_SIM_LAYOUTS = (8, 16, 32)
+
+
+def _ivf_layout_ctes(c: int) -> str:
+    """Per-layout DuckDB CTEs (suffix = nlist) over the shared e/n/tot
+    base: hash-pick ``c`` centroids, argmax-assign the corpus, cell
+    sizes, and the query probe routing at the deployed _IVF_N_PROBE."""
+    sim = "list_dot_product({l}.v, {r}.c_v) / ({l}.nrm * {r}.c_nrm)"
+    return f"""candc{c} AS (
+      SELECT vec_id, v, nrm, {_IVF_H_DUCK} AS h
+      FROM n CROSS JOIN tot
+      WHERE {_IVF_H_DUCK} % greatest(total // {c}, 1) < 2
+    ),
+    cent{c} AS (
+      SELECT cell_id, v AS c_v, nrm AS c_nrm FROM (
+        SELECT *, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id FROM candc{c}
+      ) WHERE cell_id < {c}
+    ),
+    assign{c} AS MATERIALIZED (
+      SELECT vec_id, nrm, cell_id, cc FROM (
+        SELECT n.vec_id, n.nrm, c.cell_id,
+               {sim.format(l='n', r='c')} AS cc,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {sim.format(l='n', r='c')} DESC,
+                                           c.cell_id) AS rk
+        FROM n CROSS JOIN cent{c} c
+      ) WHERE rk = 1
+    ),
+    sizes{c} AS (SELECT cell_id, count(*) AS m FROM assign{c} GROUP BY 1),
+    qp{c} AS (
+      SELECT query_id, cell_id FROM (
+        SELECT nn.vec_id AS query_id, c.cell_id,
+               row_number() OVER (PARTITION BY nn.vec_id
+                                  ORDER BY ({sim.format(l='nn', r='c')}) DESC,
+                                           c.cell_id) AS rk
+        FROM n nn CROSS JOIN cent{c} c WHERE nn.vec_id < {_N_QUERIES}
+      ) WHERE rk <= {_IVF_N_PROBE}
+    )"""
+
+
+def _ivf_sim_sql() -> str:
+    layout_ctes = ",\n    ".join(_ivf_layout_ctes(c) for c in _IVF_SIM_LAYOUTS)
+    reports = "\n    UNION ALL\n    ".join(
+        f"""SELECT {c} AS n_cells,
+      (SELECT CAST(count(*) AS BIGINT) FROM sizes{c}) AS occupied_cells,
+      (SELECT CAST(max(m) AS BIGINT) FROM sizes{c}) AS max_cell,
+      (SELECT CAST(sum(s.m) AS BIGINT)
+       FROM qp{c} q JOIN sizes{c} s USING (cell_id)) AS probe_scan_rows,
+      (SELECT round(CAST(sum(CAST(cc AS DECIMAL(28,12))) AS DOUBLE)
+                    / count(*), 4) FROM assign{c}) AS mean_cos_to_centroid"""
+        for c in _IVF_SIM_LAYOUTS
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS MATERIALIZED (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    tot AS (SELECT count(*) AS total FROM e),
+    {layout_ctes}
+    SELECT * FROM (
+    {reports}
+    ) ORDER BY n_cells
+    """
+
+
+@query("ext_ivf_partition_sim", _ivf_sim_sql())
+def ext_ivf_partition_sim(spark, sf_dir):
+    """IVF re-partition simulation (r14): every candidate ``nlist`` in
+    {_IVF_SIM_LAYOUTS} evaluated on the actual corpus — per layout its
+    occupied cell count, max cell occupancy (the skew the probe's tail
+    latency rides on), the measured probe scan cost (rows the
+    {_N_QUERIES} standing queries would touch at the deployed
+    n_probe={_IVF_N_PROBE}), and the decimal-exact mean
+    member-to-centroid cosine (what coarser cells COST in quantization
+    quality). The delta-maintenance report says WHEN the index needs
+    attention; this table says which nlist to rebuild at — measured
+    evidence, not the sqrt(N) rule of thumb.
+
+    Scale: each layout costs ONE corpus scan against nlist broadcast
+    centroid literals (assignment is embarrassingly parallel) plus a
+    cell-sized aggregation; no layout ever shuffles the vectors. At
+    100 TB this is exactly the affordable experiment: scan the standing
+    corpus k times vs committing a wrong nlist to a full re-shard.
+    Oracle: the shared hash-pick/argmax chain per layout (suffixed CTEs
+    over one e/n/tot base). Reference parity: [E] extension; no
+    reference twin."""
+    reports = []
+    for c in _IVF_SIM_LAYOUTS:
+        assigned, cents = _ivf_pick_assign(spark, sf_dir, c)
+        # three aggregate branches (occupancy, probe scan, quality) read
+        # this relation — without the cache each one replays the
+        # assignment crossJoin+window, tripling every layout's cost
+        assigned = managed_cache(assigned, f"ivf_sim.assign{c}:{sf_dir}")
+        sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("m"))
+        occ = sizes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("occupied_cells"),
+            F.max("m").cast("bigint").alias("max_cell"),
+        )
+        dot_qc = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.col("__sim").desc(), F.col("cell_id")
+        )
+        qp = (
+            _prepped_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id") < _N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "v", "nrm")
+            .crossJoin(F.broadcast(cents))
+            .withColumn("__sim", dot_qc / (F.col("nrm") * F.col("c_nrm")))
+            .withColumn("__rk", F.row_number().over(w_probe))
+            .filter(F.col("__rk") <= _IVF_N_PROBE)
+            .select("query_id", "cell_id")
+        )
+        scan = qp.join(F.broadcast(sizes), "cell_id").agg(
+            F.sum("m").cast("bigint").alias("probe_scan_rows")
+        )
+        quality = assigned.agg(
+            F.round(
+                F.sum(F.col("cell_cos").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_cos_to_centroid")
+        )
+        reports.append(
+            occ.crossJoin(scan).crossJoin(quality).select(
+                F.lit(c).alias("n_cells"),
+                "occupied_cells", "max_cell",
+                "probe_scan_rows", "mean_cos_to_centroid",
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("n_cells")
+
+
+def _ivf_audit_sql() -> str:
+    return f"""
+    WITH {_ivf_probe_ctes()},
+    probe AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_TOP_K}
+    ),
+    ex_scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+    ),
+    exact AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS exact_rk
+      FROM ex_scored
+    )
+    SELECT x.query_id, x.neighbor_id, x.cos,
+           CAST(x.exact_rk AS BIGINT) AS exact_rk,
+           (p.neighbor_id IS NOT NULL) AS found
+    FROM exact x LEFT JOIN probe p USING (query_id, neighbor_id)
+    WHERE x.exact_rk <= {_TOP_K}
+    ORDER BY x.query_id, x.exact_rk
+    """
+
+
+@query("ext_ivf_recall_audit", _ivf_audit_sql())
+def ext_ivf_recall_audit(spark, sf_dir):
+    """Measured recall audit of the deployed IVF configuration (r14):
+    for every TRUE top-{_TOP_K} neighbor (exact brute-force cosine),
+    whether the standing probe (nlist=16, n_probe={_IVF_N_PROBE}) also
+    surfaced it — the per-miss loss list a deployment reviews before
+    trusting (or re-partitioning) its index, and the ground truth the
+    partition sim's scan-cost table trades against. recall@k is
+    ``avg(found)``; each miss names the query, the neighbor, and its
+    exact rank/cosine, which is what makes the number actionable
+    (misses at rank 5 and cos 0.41 are tolerable; at rank 1 and 0.9
+    they are not).
+
+    Scale: the exact side is the broadcast-queries x corpus scan the
+    audit needs as ground truth — priced for a SAMPLED query set (the
+    standing {_N_QUERIES} queries here), never the full corpus; the
+    probe side reuses the standing index. The audit joins two
+    query-bounded top-k relations (k rows per query each) — the join is
+    trivially broadcast. Oracle: the shared probe CTE chain plus the
+    exact chain over the same normed base. Reference parity: [E]
+    extension; no reference twin."""
+    exact = ext_topk_sim_search(spark, sf_dir).select(
+        "query_id", "neighbor_id", "cos",
+        F.col("rk").cast("bigint").alias("exact_rk"),
+    )
+    probe = ext_ann_ivf_probe(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("p_neighbor_id")
+    )
+    return (
+        exact.join(
+            F.broadcast(probe),
+            (exact["query_id"] == probe["query_id"])
+            & (exact["neighbor_id"] == probe["p_neighbor_id"]),
+            "left",
+        )
+        .select(
+            exact["query_id"], "neighbor_id", "cos", "exact_rk",
+            F.col("p_neighbor_id").isNotNull().alias("found"),
+        )
+        .orderBy("query_id", "exact_rk")
+    )
