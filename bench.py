@@ -223,6 +223,7 @@ CURATION = [
     "join_q2_min_cost_supplier",
     "ext_ivf_partition_sim",
     "ext_ivf_recall_audit",
+    "ext_ann_ivf_probe_retuned",
 ]
 
 

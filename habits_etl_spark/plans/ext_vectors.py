@@ -687,10 +687,11 @@ _IVF_H_DUCK = (
 )
 
 
-def _ivf_probe_ctes() -> str:
+def _ivf_probe_ctes(n_cells: int = _IVF_N_CELLS, n_probe: int = _IVF_N_PROBE) -> str:
     """The IVF pipeline as a CTE body (``e`` through ``scored``), shared
     by the probe oracle below and the lifecycle oracles in ext_vectors4
-    (the _minhash_ctes / _MINHASH_FINAL pattern). Nothing in it is
+    (the _minhash_ctes / _MINHASH_FINAL pattern), parameterized by the
+    index layout the way _minhash_ctes is by (b, r). Nothing in it is
     trained or sampled at runtime — centroids are a hash-of-id pick,
     assignment is an argmax over pinned cells — so the 'approximate' op
     (approximate only vs exact ANN) is a deterministic function of the
@@ -707,12 +708,12 @@ def _ivf_probe_ctes() -> str:
     candc AS (
       SELECT vec_id, v, nrm, {_IVF_H_DUCK} AS h
       FROM n CROSS JOIN tot
-      WHERE {_IVF_H_DUCK} % greatest(total // {_IVF_N_CELLS}, 1) < 2
+      WHERE {_IVF_H_DUCK} % greatest(total // {n_cells}, 1) < 2
     ),
     cent AS (
       SELECT cell_id, v AS c_v, nrm AS c_nrm FROM (
         SELECT *, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id FROM candc
-      ) WHERE cell_id < {_IVF_N_CELLS}
+      ) WHERE cell_id < {n_cells}
     ),
     assign AS MATERIALIZED (
       SELECT vec_id, label, v, nrm, cell_id FROM (
@@ -729,7 +730,7 @@ def _ivf_probe_ctes() -> str:
                                   ORDER BY (list_dot_product(a.v, c.c_v) / (a.nrm * c.c_nrm)) DESC,
                                            c.cell_id) AS rk
         FROM assign a CROSS JOIN cent c WHERE a.vec_id < {_N_QUERIES}
-      ) WHERE rk <= {_IVF_N_PROBE}
+      ) WHERE rk <= {n_probe}
     ),
     scored AS (
       SELECT q.query_id, a.vec_id AS neighbor_id,
@@ -738,9 +739,9 @@ def _ivf_probe_ctes() -> str:
     )"""
 
 
-def _ivf_probe_oracle_sql() -> str:
+def _ivf_probe_oracle_sql(n_cells: int = _IVF_N_CELLS, n_probe: int = _IVF_N_PROBE) -> str:
     return f"""
-    WITH {_ivf_probe_ctes()}
+    WITH {_ivf_probe_ctes(n_cells, n_probe)}
     SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rk
@@ -820,8 +821,16 @@ def ext_ann_ivf_probe(spark, sf_dir):
     from crc32 to the engine-portable md5-prefix integer, and the whole
     pipeline (pick -> assign -> probe -> re-rank) is now oracle-gated in
     SQL (previously rows-only)."""
-    n_probe = _IVF_N_PROBE
-    assigned, centroids = _ivf_pick_assign(spark, sf_dir, _IVF_N_CELLS)
+    return ivf_probe(spark, sf_dir)
+
+
+def ivf_probe(spark, sf_dir, n_cells=_IVF_N_CELLS, n_probe=_IVF_N_PROBE):
+    """``ext_ann_ivf_probe`` with the index layout exposed — the
+    re-tune-on-growth API, like ``scale_tuned_cosine_pairs`` for the SRP
+    index. The registered query pins the deployed defaults; the retuned
+    registration in ext_vectors4 runs the nlist the partition sim's
+    decision table points to."""
+    assigned, centroids = _ivf_pick_assign(spark, sf_dir, n_cells)
     assigned = assigned.drop("cell_cos")
 
     queries_assigned = (

@@ -34,9 +34,11 @@ from habits_etl_spark.plans.ext_vectors import (
     _TOP_K,
     _ivf_pick_assign,
     _ivf_probe_ctes,
+    _ivf_probe_oracle_sql,
     _prepped_embeddings,
     ext_ann_ivf_probe,
     ext_topk_sim_search,
+    ivf_probe,
 )
 
 # Candidate nlist layouts the partition sim evaluates — bracketing the
@@ -181,6 +183,35 @@ def ext_ivf_partition_sim(spark, sf_dir):
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.orderBy("n_cells")
+
+
+# The layout the partition sim's decision table points to on this corpus:
+# nlist=32 scans ~4x fewer rows per probe than nlist=8 (645 vs 2506 at
+# sf0.01) at the deployed n_probe, with BETTER quantization fit (mean cos
+# 0.31 vs 0.20) — finer cells win on both axes until occupancy ~ n_probe.
+_IVF_RETUNE_CELLS = 32
+
+
+@query(
+    "ext_ann_ivf_probe_retuned",
+    _ivf_probe_oracle_sql(n_cells=_IVF_RETUNE_CELLS),
+)
+def ext_ann_ivf_probe_retuned(spark, sf_dir):
+    """The IVF re-partition decision EXECUTED (r14, the vector twin of
+    ext_near_dedup_minhash_rebanded): the identical probe pipeline under
+    the nlist={_IVF_RETUNE_CELLS} layout ext_ivf_partition_sim's table
+    selects — a re-partition is a parameter change through the shared
+    ivf_probe / _ivf_probe_ctes pair, not a new code path. With
+    maintenance (when), the partition sim (which nlist), the recall
+    audit (what the deployed layout misses), and this id (the retuned
+    index itself), the vector index lifecycle is executable end to end.
+
+    Scale: identical shape to the deployed probe — one corpus scan
+    against broadcast centroids, query cost O(N * n_probe / n_cells),
+    so the finer layout cuts probed rows ~4x on this corpus. Oracle:
+    the shared CTE chain under the retuned layout literal. Reference
+    parity: [E] extension; no reference twin."""
+    return ivf_probe(spark, sf_dir, n_cells=_IVF_RETUNE_CELLS)
 
 
 def _ivf_audit_sql() -> str:

@@ -89,6 +89,33 @@ def test_ivf_partition_sim_structure(spark, sf_dir):
     )
 
 
+def test_ivf_retuned_probe_semantics(spark, sf_dir):
+    """The retuned probe must be the same pipeline under a finer layout:
+    per-query top-k shape intact, every returned neighbor's cosine equal
+    to the exact score, and recall above the family floor (finer cells
+    at fixed n_probe scan less, so recall may dip but not collapse)."""
+    from habits_etl_spark.plans import QUERIES
+    from habits_etl_spark.plans.ext_vectors4 import ext_ann_ivf_probe_retuned
+
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in QUERIES["ext_topk_sim_search"](spark, sf_dir).collect()
+    }
+    rows = ext_ann_ivf_probe_retuned(spark, sf_dir).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r.rk)
+    assert len(per_q) == _N_QUERIES
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= _TOP_K
+    hits = [r for r in rows if (r.query_id, r.neighbor_id) in exact_cos]
+    for r in hits:
+        assert r.cos == exact_cos[(r.query_id, r.neighbor_id)]
+    recall = len(hits) / (len(exact_cos) or 1)
+    assert recall >= 0.2, f"retuned IVF recall collapsed: {recall}"
+
+
 def test_ivf_recall_audit_matches_direct_join(spark, sf_dir):
     """The audit's found flags must equal a direct membership check of
     the probe's pairs inside the exact top-k, and recall@k must agree
