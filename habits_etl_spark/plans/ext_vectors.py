@@ -750,7 +750,7 @@ def _ivf_probe_oracle_sql(n_cells: int = _IVF_N_CELLS, n_probe: int = _IVF_N_PRO
     """
 
 
-def _ivf_pick_assign(spark, sf_dir, n_cells):
+def _ivf_pick_assign(spark, sf_dir, n_cells, total=None):
     """Hash-pick ``n_cells`` coarse centroids and assign the corpus — the
     shared build step of the IVF family (probe here, partition-sim /
     recall-audit in ext_vectors4). Returns ``(assigned, centroids)``
@@ -763,7 +763,11 @@ def _ivf_pick_assign(spark, sf_dir, n_cells):
     heap via TakeOrderedAndProject), and the k-bounded collect is the
     same driver materialization the broadcast needs anyway."""
     prepped = _prepped_embeddings(spark, sf_dir)
-    total = prepped.count()  # bounded metadata read (one count of the corpus)
+    if total is None:
+        # bounded metadata read (one count of the corpus); multi-layout
+        # callers (the partition sim) pass it in so three layouts don't
+        # pay three identical count jobs
+        total = prepped.count()
     step = max(total // n_cells, 1)
     # Hash-based centroid pick — no density/contiguity assumption on
     # vec_id: keep rows whose id-hash lands in ~2*n_cells/total of the

@@ -132,9 +132,10 @@ def ext_ivf_partition_sim(spark, sf_dir):
     Oracle: the shared hash-pick/argmax chain per layout (suffixed CTEs
     over one e/n/tot base). Reference parity: [E] extension; no
     reference twin."""
+    total = _prepped_embeddings(spark, sf_dir).count()
     reports = []
     for c in _IVF_SIM_LAYOUTS:
-        assigned, cents = _ivf_pick_assign(spark, sf_dir, c)
+        assigned, cents = _ivf_pick_assign(spark, sf_dir, c, total=total)
         # three aggregate branches (occupancy, probe scan, quality) read
         # this relation — without the cache each one replays the
         # assignment crossJoin+window, tripling every layout's cost

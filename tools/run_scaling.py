@@ -57,6 +57,12 @@ QUERIES = [
     "agg_q1_pricing",
     "join_q18_large_orders",
     "agg_q9_profit_by_nation_year",
+    # r14: the minhash banding-law row (VERDICT r13 #5 — the re-banded
+    # 4x4 chain next to the default 8x2, the dedup analogue of the
+    # 12-bit SRP row) and Q2 as a fifth TPC-H shuffle witness (its
+    # derived-partsupp aggregation is a real fact shuffle).
+    "ext_near_dedup_minhash_rebanded",
+    "join_q2_min_cost_supplier",
 ]
 
 # the banding-law variant (band_bits ~ log2 n): measured alongside the
@@ -93,6 +99,13 @@ PINNED_EXPONENTS = {
     "agg_q1_pricing": 0.40,
     "join_q18_large_orders": 0.73,
     "agg_q9_profit_by_nation_year": 0.69,
+    # r14 provisional pins (set from the first full-sweep measurement,
+    # then confirmed by a solo re-sweep the same round — see NOTES_r14):
+    # the re-banded chain shares the default minhash chain's shape with
+    # HALF the band rows, so its pin starts at the sibling's 0.53; Q2 is
+    # one fact hash-agg + broadcasts, pinned near its TPC-H siblings.
+    "ext_near_dedup_minhash_rebanded": 0.55,
+    "join_q2_min_cost_supplier": 0.60,
 }
 
 # The output-quadratic cosine family is gated on its OUTPUT-NORMALIZED
