@@ -1055,11 +1055,33 @@ def ext_ngram_jaccard_simhash_blocked(spark, sf_dir):
         .withColumn("n", F.size("arr")),
         "sbj.arrs",
     )
-    gh = arrs.select("doc_id", F.explode("arr").alias("gram")).select(
-        "doc_id", F.md5("gram").alias("h")
+    gh = arrs.select("doc_id", F.explode("arr").alias("gram"))
+    # Gram votes are computed ONCE per distinct gram and broadcast back
+    # (r14): the shingle vocabulary is tiny next to its occurrences
+    # (~2k distinct 5-grams vs ~1M (doc, gram) rows at sf0.1), but the
+    # previous form md5-hashed and hex-parsed {_SBJ_BITS} CASE votes per
+    # OCCURRENCE inside the aggregate — the dominant stage of the sf1
+    # sweep witness (73 s). With the dictionary the per-occurrence work
+    # is a broadcast probe + {_SBJ_BITS} plain integer sums; identical
+    # values, identical oracle hash (the DuckDB chain keeps the
+    # per-occurrence form — vote(gram) is a pure function, so where it
+    # is evaluated cannot change the sum).
+    vocab = (
+        gh.select("gram")
+        .distinct()
+        .withColumn("h", F.md5("gram"))
+        .select(
+            "gram",
+            *[
+                F.expr(_simhash_vote_from_hex(k, "h")).alias(f"v{k}")
+                for k in range(_SBJ_BITS)
+            ],
+        )
     )
-    sums = gh.groupBy("doc_id").agg(
-        *[F.expr(_simhash_bit_from_hex(k, "h")).alias(f"s{k}") for k in range(_SBJ_BITS)]
+    sums = (
+        gh.join(F.broadcast(vocab), "gram")
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"v{k}").alias(f"s{k}") for k in range(_SBJ_BITS)])
     )
     sh = sums.select(
         "doc_id",
