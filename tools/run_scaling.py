@@ -83,7 +83,11 @@ PINNED_EXPONENTS = {
     "ext_near_dedup_minhash": 0.53,
     "ext_weighted_minhash_pairs": 0.00,
     "ext_simhash": 0.02,
-    "ext_ngram_jaccard_simhash_blocked": 0.93,
+    # r14 gram-dictionary rewrite of the fingerprint stage: sf1 73.5 ->
+    # 20.7 s, clean-run exponent 0.64 (was ~1.0); pinned with the same
+    # headroom discipline as its njb sibling (the sf0.1 denominator of
+    # these witnesses swings ~2x with host state)
+    "ext_ngram_jaccard_simhash_blocked": 0.85,
     "ext_ann_lsh_bucketed": 0.33,
     # r14 under-split guard (was 0.90): sf1 halved 44 -> ~18 s, but the
     # sf0.1 side ALSO dropped (6.7 -> 2.6 s), so the exponent only moved
@@ -99,13 +103,14 @@ PINNED_EXPONENTS = {
     "agg_q1_pricing": 0.40,
     "join_q18_large_orders": 0.73,
     "agg_q9_profit_by_nation_year": 0.69,
-    # r14 provisional pins (set from the first full-sweep measurement,
-    # then confirmed by a solo re-sweep the same round — see NOTES_r14):
-    # the re-banded chain shares the default minhash chain's shape with
-    # HALF the band rows, so its pin starts at the sibling's 0.53; Q2 is
-    # one fact hash-agg + broadcasts, pinned near its TPC-H siblings.
-    "ext_near_dedup_minhash_rebanded": 0.55,
-    "join_q2_min_cost_supplier": 0.60,
+    # r14 pins, set from the round's clean sweeps and confirmed by a
+    # solo re-sweep (NOTES_r14, PROBE_r14_tpch_agreement.json): the
+    # re-banded chain measured 0.49/0.58 across two sweeps; Q2 measured
+    # 0.79/0.82 — a genuine ~0.8 witness like join_q18 (its sf1 side is
+    # the 600k-row derived-partsupp hash-agg, which amortizes less than
+    # the dimension-bound aggregates).
+    "ext_near_dedup_minhash_rebanded": 0.58,
+    "join_q2_min_cost_supplier": 0.82,
 }
 
 # The output-quadratic cosine family is gated on its OUTPUT-NORMALIZED
