@@ -100,14 +100,27 @@ def render(round_n: int, pytest_line: str | None) -> str:
         if d is None:
             lines.append(f"- `{name}`: UNREADABLE")
             continue
-        probes = ", ".join(
-            f"{q} cold {v.get('cold_sec')}s / warm {v.get('warm_secs')}"
-            for q, v in (d.get("probes") or {}).items()
-        )
-        lines.append(
-            f"- `{name}` (git_head `{d.get('git_head')}`, "
-            f"{d.get('sf_dir')}): {probes}"
-        )
+        head = d.get("git_head") or d.get("git_head_after") or d.get("git_heads")
+        parts = []
+        for q, v in (d.get("probes") or {}).items():
+            if "cold_sec" in v:
+                parts.append(f"{q} cold {v['cold_sec']}s / warm {v.get('warm_secs')}")
+            elif "before_reps" in v:
+                parts.append(
+                    f"{q} reps {v['before_reps']} -> {v.get('after_reps')}"
+                )
+            else:
+                parts.append(f"{q} {v}")
+        # probe files without a `probes` map (e.g. the TPC-H agreement
+        # record) summarize their own top-level tables instead
+        for key in ("tpch_exponents", "new_witness_confirmations"):
+            for q, v in (d.get(key) or {}).items():
+                parts.append(
+                    f"{q} " + "/".join(
+                        f"{rk}={rv}" for rk, rv in v.items() if rk != "note"
+                    )
+                )
+        lines.append(f"- `{name}` (git_head `{head}`): " + ", ".join(parts))
     scaling = os.path.join(REPO, "SCALING.md")
     if os.path.exists(scaling):
         rows = [
