@@ -224,6 +224,7 @@ CURATION = [
     "ext_ivf_partition_sim",
     "ext_ivf_recall_audit",
     "ext_ann_ivf_probe_retuned",
+    "ext_classifier_calibration",
 ]
 
 

@@ -952,3 +952,94 @@ def ext_vocab_coverage(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# --- classifier calibration audit (r14) -------------------------------------
+# The learned-model slot got a scorer (ext_quality_classifier); this is the
+# audit that decides whether its probabilities can be TRUSTED to gate data:
+# a reliability table against an independent quality signal (the Gopher rule
+# battery) — the standard check before thresholding a classifier over 100 TB.
+
+
+def _calibration_sql() -> str:
+    # Compose the two REGISTERED oracle statements verbatim (DuckDB allows
+    # a full WITH statement inside a parenthesized subquery), so this
+    # oracle can never drift from the chains it audits.
+    from habits_etl_spark.plans.common import ORACLES
+
+    qc_sql = ORACLES["ext_quality_classifier"]
+    gr_sql = ORACLES["ext_gopher_rules"]
+    mean_pred = (
+        "round(CAST(sum(CAST(quality_prob AS DECIMAL(28,12))) AS DOUBLE)"
+        " / count(*), 6)"
+    )
+    pass_rate = "round(CAST(count(*) FILTER (passed) AS DOUBLE) / count(*), 6)"
+    return f"""
+    WITH qc AS (FROM ({qc_sql})),
+    gr AS (FROM ({gr_sql})),
+    j AS (
+      SELECT least(CAST(floor(qc.quality_prob * 10) AS BIGINT), 9) AS bin,
+             qc.quality_prob, gr.passed
+      FROM qc JOIN gr USING (doc_id)
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {mean_pred} AS mean_predicted,
+           {pass_rate} AS rule_pass_rate,
+           round({mean_pred} - {pass_rate}, 6) AS calibration_gap
+    FROM j GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("ext_classifier_calibration", _calibration_sql())
+def ext_classifier_calibration(spark, sf_dir):
+    """Reliability table of the learned quality classifier against the
+    Gopher rule battery (r14): decile bins of predicted keep-probability
+    -> doc count, decimal-exact mean predicted probability, observed
+    rule-battery pass rate, and their gap. A well-calibrated model's
+    gap is ~0 per bin; a large positive gap says the model is
+    over-confident exactly where thresholding would KEEP bad data —
+    the audit a deployment runs before gating a 100 TB corpus on
+    model scores, and the loop-closer for the learned-model slot
+    (score -> calibrate -> threshold).
+
+    Scale: both inputs are map-only featurizers over the corpus; the
+    audit joins them on doc_id (co-partitioned hash join, no skew — the
+    key is unique per side) and reduces to <= 10 bins with map-side
+    partials. Binning floor(p*10) happens on the SAME 6-dp-rounded
+    double in both engines, so bin edges cannot disagree. Oracle: the
+    two registered oracle statements composed verbatim as subqueries.
+    Reference parity: [E] extension (BASELINE north-star 'quality
+    scoring'); no reference twin."""
+    from habits_etl_spark.plans.ext_curation3 import ext_gopher_rules
+
+    qc = ext_quality_classifier(spark, sf_dir).select("doc_id", "quality_prob")
+    gr = ext_gopher_rules(spark, sf_dir).select("doc_id", "passed")
+    j = qc.join(gr, "doc_id").select(
+        F.least(F.floor(F.col("quality_prob") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        "quality_prob",
+        "passed",
+    )
+    mean_pred = F.round(
+        F.sum(F.col("quality_prob").cast("decimal(28,12)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    pass_rate = F.round(
+        F.count_if(F.col("passed")).cast("double") / F.count(F.lit(1)), 6
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            mean_pred.alias("mean_predicted"),
+            pass_rate.alias("rule_pass_rate"),
+        )
+        .withColumn(
+            "calibration_gap",
+            F.round(F.col("mean_predicted") - F.col("rule_pass_rate"), 6),
+        )
+        .orderBy("bin")
+    )
