@@ -225,6 +225,8 @@ CURATION = [
     "ext_ivf_recall_audit",
     "ext_ann_ivf_probe_retuned",
     "ext_classifier_calibration",
+    "ext_pq_recall_audit",
+    "ext_lsh_recall_audit",
 ]
 
 

@@ -266,11 +266,19 @@ def ext_ivf_recall_audit(spark, sf_dir):
     trivially broadcast. Oracle: the shared probe CTE chain plus the
     exact chain over the same normed base. Reference parity: [E]
     extension; no reference twin."""
+    return _recall_audit_frame(spark, sf_dir, ext_ann_ivf_probe(spark, sf_dir))
+
+
+def _recall_audit_frame(spark, sf_dir, probe_df):
+    """Shared audit plan: exact top-k ground truth LEFT JOIN the probe's
+    (query_id, neighbor_id) pairs -> per-true-neighbor ``found`` flag.
+    One implementation for every index family's audit (IVF / PQ / SRP),
+    so the audits cannot drift from each other."""
     exact = ext_topk_sim_search(spark, sf_dir).select(
         "query_id", "neighbor_id", "cos",
         F.col("rk").cast("bigint").alias("exact_rk"),
     )
-    probe = ext_ann_ivf_probe(spark, sf_dir).select(
+    probe = probe_df.select(
         "query_id", F.col("neighbor_id").alias("p_neighbor_id")
     )
     return (
@@ -286,3 +294,55 @@ def ext_ivf_recall_audit(spark, sf_dir):
         )
         .orderBy("query_id", "exact_rk")
     )
+
+
+def _composed_audit_sql(probe_oracle_id: str) -> str:
+    """Recall-audit oracle by composing two REGISTERED oracle statements
+    verbatim as subqueries (DuckDB nested-WITH; the
+    ext_classifier_calibration pattern) — the audit cannot drift from
+    the probe chain it measures."""
+    from habits_etl_spark.plans.common import ORACLES
+
+    exact_sql = ORACLES["ext_topk_sim_search"]
+    probe_sql = ORACLES[probe_oracle_id]
+    return f"""
+    WITH ex AS (FROM ({exact_sql})),
+    pr AS (FROM ({probe_sql}))
+    SELECT ex.query_id, ex.neighbor_id, ex.cos,
+           CAST(ex.rk AS BIGINT) AS exact_rk,
+           (pr.neighbor_id IS NOT NULL) AS found
+    FROM ex LEFT JOIN pr
+      ON pr.query_id = ex.query_id AND pr.neighbor_id = ex.neighbor_id
+    ORDER BY ex.query_id, exact_rk
+    """
+
+
+@query("ext_pq_recall_audit", _composed_audit_sql("ext_pq_topk"))
+def ext_pq_recall_audit(spark, sf_dir):
+    """Measured recall audit of the PQ/ADC search (r14): per true
+    exact-top-k neighbor, whether ``ext_pq_topk``'s quantized scan +
+    exact re-rank surfaced it. PQ's loss mechanism differs from IVF's
+    (code-space distortion vs cell misses), so it gets its own measured
+    number — with this and the SRP audit below, every ANN family (IVF /
+    PQ / SRP-LSH) carries a ground-truth recall table next to its index,
+    the same shape the dedup index got in r14. Plan and oracle are the
+    shared audit builders (one implementation, composed registered
+    statements). Reference parity: [E] extension; no reference twin."""
+    from habits_etl_spark.plans.ext_vectors3 import ext_pq_topk
+
+    return _recall_audit_frame(spark, sf_dir, ext_pq_topk(spark, sf_dir))
+
+
+@query("ext_lsh_recall_audit", _composed_audit_sql("ext_ann_lsh_bucketed"))
+def ext_lsh_recall_audit(spark, sf_dir):
+    """Measured recall audit of the SRP-LSH bucketed search (r14): per
+    true exact-top-k neighbor, whether ``ext_ann_lsh_bucketed``'s band
+    join surfaced it. SRP's loss mechanism is the band s-curve (a
+    near-neighbor whose signs differ in every band), so its misses
+    cluster at LOW cosines — the opposite tail from PQ distortion —
+    which is exactly why each family needs its own table. Shared audit
+    builders as above. Reference parity: [E] extension; no reference
+    twin."""
+    from habits_etl_spark.plans.ext_vectors import ext_ann_lsh_bucketed
+
+    return _recall_audit_frame(spark, sf_dir, ext_ann_lsh_bucketed(spark, sf_dir))

@@ -116,10 +116,22 @@ def test_ivf_retuned_probe_semantics(spark, sf_dir):
     assert recall >= 0.2, f"retuned IVF recall collapsed: {recall}"
 
 
-def test_ivf_recall_audit_matches_direct_join(spark, sf_dir):
-    """The audit's found flags must equal a direct membership check of
-    the probe's pairs inside the exact top-k, and recall@k must agree
-    with the long-standing test_ivf_recall floor."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "audit_id,probe_id,floor",
+    [
+        ("ext_ivf_recall_audit", "ext_ann_ivf_probe", 0.3),
+        ("ext_pq_recall_audit", "ext_pq_topk", 0.3),
+        ("ext_lsh_recall_audit", "ext_ann_lsh_bucketed", 0.3),
+    ],
+)
+def test_recall_audit_matches_direct_join(spark, sf_dir, audit_id, probe_id, floor):
+    """Each family's audit found flags must equal a direct membership
+    check of that probe's pairs inside the exact top-k, and recall@k
+    must stay above the family floor (the long-standing
+    test_ivf_recall/test_vectors3 levels)."""
     from habits_etl_spark.plans import QUERIES
 
     exact = [
@@ -128,13 +140,13 @@ def test_ivf_recall_audit_matches_direct_join(spark, sf_dir):
     ]
     probe_pairs = {
         (r.query_id, r.neighbor_id)
-        for r in QUERIES["ext_ann_ivf_probe"](spark, sf_dir).collect()
+        for r in QUERIES[probe_id](spark, sf_dir).collect()
     }
-    audit = ext_ivf_recall_audit(spark, sf_dir).collect()
+    audit = QUERIES[audit_id](spark, sf_dir).collect()
     assert len(audit) == _N_QUERIES * _TOP_K
     got = {(r.query_id, r.neighbor_id): (r.exact_rk, r.found) for r in audit}
     assert len(got) == len(audit)
     for qid, nid, rk in exact:
         assert got[(qid, nid)] == (rk, (qid, nid) in probe_pairs)
     recall = sum(1 for r in audit if r.found) / len(audit)
-    assert recall >= 0.3, f"audited IVF recall collapsed: {recall}"
+    assert recall >= floor, f"audited {probe_id} recall collapsed: {recall}"
