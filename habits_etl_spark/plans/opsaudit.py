@@ -314,58 +314,80 @@ def ext_pca_top_component(spark, sf_dir):
     because the lead component is usually a corpus-wide frequency
     artifact.
 
-    Rows-only by design: the iteration has no single-SQL twin; sign
-    convention, normalization, and convergence vs numpy's
-    eigendecomposition are asserted in tests/test_opsaudit.py. On a
-    near-degenerate spectrum ({_PCA_ITERS} rounds, λ2/λ1 ≈ 0.93 on the
-    fixture) the converged claim is subspace membership + Rayleigh
-    quotient in the top band — the artifact-removal use case needs
-    exactly that, not one ill-conditioned eigenvector.
+    Oracle parity: decimal(28,12) sums are EXACT arithmetic, so every
+    grouped/folded sum below is order-invariant and matches the unrolled
+    CTE oracle bit-for-bit regardless of partitioning or fold order.
+    Sign convention, normalization, and convergence vs numpy's
+    eigendecomposition are additionally asserted in
+    tests/test_opsaudit.py. On a near-degenerate spectrum
+    ({_PCA_ITERS} rounds, λ2/λ1 ≈ 0.93 on the fixture) the converged
+    claim is subspace membership + Rayleigh quotient in the top band —
+    the artifact-removal use case needs exactly that, not one
+    ill-conditioned eigenvector.
 
-    Scale: each round is ONE map over the corpus computing the scalar
-    projection Xv per row (v broadcast, d-bounded) and ONE hash-agg
-    summing score·x_j per dimension — decimal exact sums, so the
-    iterate is parallelism-invariant; nothing materializes beyond the
-    d-vector on the driver (k-bounded collect, the k-means rule)."""
+    Scale: the centered matrix stays in ARRAY form (n rows, one
+    array<double> each — d× smaller than the exploded relation), and
+    each round is ONE job: the scalar projection Xv is a join-free
+    decimal-exact zip_with/aggregate fold against the round's v as an
+    array LITERAL (no broadcast DataFrame, no shuffle), and X^T(Xv) is
+    a single explode + hash-agg shuffle of n·d rows into d groups.
+    Nothing materializes beyond the d-vector on the driver (k-bounded
+    collect, the k-means rule). The r14 rework cut the per-round cost
+    from two shuffle joins over the exploded relation + a driver
+    createDataFrame broadcast (~10.4 s solo warm at sf0.01) to the one
+    aggregation above."""
     e = t(spark, sf_dir, "embeddings")
-    x = e.select(
+    emb = e.select(
         "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda c: c.cast("double"))
-        ).alias("dim", "val"),
+        F.transform("embedding", lambda c: c.cast("double")).alias("arr"),
     )
-    mean = x.groupBy("dim").agg(
-        (
-            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu")
+    x = emb.select("vec_id", F.posexplode("arr").alias("dim", "val"))
+    mu_rows = (
+        x.groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        .orderBy("dim")
+        .collect()
+    )  # d-bounded collect: one double per dimension
+    mu = [r.mu for r in mu_rows]
+    xc_arr = emb.select(
+        "vec_id",
+        F.zip_with(
+            "arr", F.array(*[F.lit(float(m)) for m in mu]), lambda xv, m: xv - m
+        ).alias("arr"),
     )
-    xc = x.join(F.broadcast(mean), "dim").select(
-        "vec_id", "dim", (F.col("val") - F.col("mu")).alias("val")
-    )
+
+    def dec_dot(ws):
+        """Decimal(28,12)-exact dot of the centered row against the
+        literal weight vector: each term cast to decimal BEFORE the
+        fold, so the sum is exact and order-free — bit-identical to the
+        oracle's grouped decimal SUM over the same terms. The fold keeps
+        scale 12 throughout: (28,12)+(28,12) widens to (29,12) with NO
+        rounding, and the cast back to (28,12) is exact for any
+        magnitude below 10^16 (the centered products are < 1)."""
+        return F.aggregate(
+            F.zip_with(
+                F.col("arr"),
+                F.array(*[F.lit(float(w)) for w in ws]),
+                lambda xv, w: (xv * w).cast("decimal(28,12)"),
+            ),
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, term: (acc + term).cast("decimal(28,12)"),
+        ).cast("double")
     from habits_etl_spark.plans.common import managed_cache
 
-    xc = managed_cache(xc, "ext_pca_top_component/xc")
-    n_dims = len(e.select("embedding").first()[0])
+    xc_arr = managed_cache(xc_arr, "ext_pca_top_component/xc")
+    n_dims = len(mu)
     v = [1.0 / (n_dims ** 0.5)] * n_dims
     spark_sess = e.sparkSession
     for _ in range(_PCA_ITERS):
-        v_df = F.broadcast(
-            spark_sess.createDataFrame(
-                [(i, float(w)) for i, w in enumerate(v)], "dim int, w double"
-            )
-        )
-        scored = (
-            xc.join(v_df, "dim")
-            .groupBy("vec_id")
-            .agg(
-                F.sum((F.col("val") * F.col("w")).cast("decimal(28,12)"))
-                .cast("double")
-                .alias("score")
-            )
-        )
         nxt = (
-            xc.join(scored, "vec_id")
+            xc_arr.select(dec_dot(v).alias("score"), "arr")
+            .select("score", F.posexplode("arr").alias("dim", "val"))
             .groupBy("dim")
             .agg(
                 F.sum((F.col("val") * F.col("score")).cast("decimal(28,12)"))
@@ -380,32 +402,28 @@ def ext_pca_top_component(spark, sf_dir):
         v = [w / nrm for w in u]
     if v[0] < 0:  # deterministic sign convention: first loading >= 0
         v = [-w for w in v]
-    # Rayleigh quotient through one more distributed pass for lambda
-    v_df = F.broadcast(
-        spark_sess.createDataFrame(
-            [(i, float(w)) for i, w in enumerate(v)], "dim int, w double"
-        )
-    )
-    lam_row = (
-        xc.join(v_df, "dim")
-        .groupBy("vec_id")
-        .agg(
-            F.sum((F.col("val") * F.col("w")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("score")
+    # Rayleigh quotient + total variance fused into ONE final pass:
+    # per-row score (decimal-exact fold) and per-row Σval² partial
+    # (decimal terms, so the global decimal sum of per-row partials
+    # equals the oracle's flat decimal SUM over all cells).
+    fin = (
+        xc_arr.select(
+            dec_dot(v).alias("score"),
+            F.aggregate(
+                F.transform("arr", lambda xv: (xv * xv).cast("decimal(28,12)")),
+                F.lit(0).cast("decimal(28,12)"),
+                lambda acc, term: (acc + term).cast("decimal(28,12)"),
+            ).alias("v2"),
         )
         .agg(
             F.sum((F.col("score") * F.col("score")).cast("decimal(28,12)"))
             .cast("double")
-            .alias("lam_n")
+            .alias("lam_n"),
+            F.sum("v2").cast("double").alias("tot"),
         )
         .first()
     )
-    tot_row = (
-        xc.select((F.col("val") * F.col("val")).cast("decimal(28,12)").alias("v2"))
-        .agg(F.sum("v2").cast("double").alias("tot"))
-        .first()
-    )
+    lam_row, tot_row = fin, fin
     explained = lam_row.lam_n / tot_row.tot if tot_row.tot else 0.0
     return spark_sess.createDataFrame(
         [
