@@ -48,9 +48,9 @@ def _lit_arr(vals) -> str:
     return "array(" + ", ".join(f"{x!r}D" for x in vals) + ")"
 
 
-def _sub_slice(m: int, vcol: str = "v") -> str:
+def _sub_slice(m: int, vcol: str = "v", dsub: int = _PQ_DSUB) -> str:
     """SQL slice of subspace m (1-based slice positions)."""
-    return f"slice({vcol}, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+    return f"slice({vcol}, {m * dsub + 1}, {dsub})"
 
 
 def _cb_lit(codebooks) -> str:
@@ -178,7 +178,7 @@ def _pq_fit(spark, sf_dir, m_sub, k, iters):
             F.posexplode(
                 F.expr(
                     "array("
-                    + ", ".join(_sub_slice(m) for m in range(m_sub))
+                    + ", ".join(_sub_slice(m, dsub=dsub) for m in range(m_sub))
                     + ")"
                 )
             ).alias("sub_id", "sv"),
@@ -222,12 +222,15 @@ def _with_codes(base: DataFrame, codebooks) -> DataFrame:
     """Attach the M-code array — a pure map, codebooks as plan literals.
     One sequence-transform expression (the codebook matrix appears twice
     — argmax needs the scores array for both position and max — instead
-    of 2 x M times as separate per-subspace expressions)."""
-    s = _scores_matrix_sql(codebooks, f"slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB})", "m")
+    of 2 x M times as separate per-subspace expressions). Layout (m_sub,
+    dsub) is derived from the codebook shape, so the same builder encodes
+    under any layout the sim evaluates."""
+    m_sub, dsub = len(codebooks), len(codebooks[0][0])
+    s = _scores_matrix_sql(codebooks, f"slice(v, m * {dsub} + 1, {dsub})", "m")
     return base.withColumn(
         "codes",
         F.expr(
-            f"transform(sequence(0, {_PQ_M - 1}),"
+            f"transform(sequence(0, {m_sub - 1}),"
             f" m -> CAST(array_position({s}, array_max({s})) - 1 AS INT))"
         ),
     )
@@ -375,28 +378,7 @@ def ext_pq_codes(spark, sf_dir):
     codebooks = pq_fit(spark, sf_dir)
     base = _normed_embeddings(spark, sf_dir)
     coded = _with_codes(base, codebooks)
-    # |u - c|^2 per subspace = |u_m|^2 - 2 u_m.c + |c|^2, all folds on raw
-    # v with scalar 1/nrm applied outside the lambda. The codeword dot
-    # folds against the SELECTED codeword only (element_at into the
-    # literal matrix) — the r9 form folded all k codewords per subspace
-    # and picked one, 16x the float work and a far bigger codegen unit.
-    cb = _cb_lit(codebooks)
-    err_terms = []
-    for m in range(_PQ_M):
-        vm = _sub_slice(m)
-        um2 = f"aggregate(zip_with({vm}, {vm}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (nrm * nrm)"
-        cw = f"element_at(element_at({cb}, {m + 1}), codes[{m}] + 1)"
-        dot_c = (
-            f"aggregate(zip_with({vm}, {cw}, (x, y) -> x * y),"
-            " 0.0D, (acc, x) -> acc + x) / nrm"
-        )
-        c2 = (
-            "element_at(array("
-            + ", ".join(f"{sum(x * x for x in c)!r}D" for c in codebooks[m])
-            + f"), codes[{m}] + 1)"
-        )
-        err_terms.append(f"({um2} - 2.0D * {dot_c} + {c2})")
-    recon = F.expr(" + ".join(err_terms))
+    recon = _recon_err_expr(codebooks)
     return coded.select(
         "vec_id",
         "label",
@@ -409,6 +391,34 @@ def ext_pq_codes(spark, sf_dir):
         ).alias("codes"),
         F.round(recon, 4).alias("recon_err"),
     ).orderBy("vec_id")
+
+
+def _recon_err_expr(codebooks):
+    """|u - recon|^2 over a ``codes`` column: per subspace |u_m|^2 -
+    2 u_m.c + |c|^2, all folds on raw v with scalar 1/nrm applied outside
+    the lambda. The codeword dot folds against the SELECTED codeword only
+    (element_at into the literal matrix) — the r9 form folded all k
+    codewords per subspace and picked one, 16x the float work and a far
+    bigger codegen unit. Layout derived from the codebook shape (shared
+    by ext_pq_codes and ext_pq_layout_sim)."""
+    m_sub, dsub = len(codebooks), len(codebooks[0][0])
+    cb = _cb_lit(codebooks)
+    err_terms = []
+    for m in range(m_sub):
+        vm = _sub_slice(m, dsub=dsub)
+        um2 = f"aggregate(zip_with({vm}, {vm}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (nrm * nrm)"
+        cw = f"element_at(element_at({cb}, {m + 1}), codes[{m}] + 1)"
+        dot_c = (
+            f"aggregate(zip_with({vm}, {cw}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x) / nrm"
+        )
+        c2 = (
+            "element_at(array("
+            + ", ".join(f"{sum(x * x for x in c)!r}D" for c in codebooks[m])
+            + f"), codes[{m}] + 1)"
+        )
+        err_terms.append(f"({um2} - 2.0D * {dot_c} + {c2})")
+    return F.expr(" + ".join(err_terms))
 
 
 def _query_units(base: DataFrame) -> dict[int, list[float]]:
@@ -426,16 +436,17 @@ def _adc_tables(units, codebooks):
     d*d, not d**2: multiplication has ONE defined IEEE result, while **
     routes through libm pow — keeping it a product is what lets the
     DuckDB oracle state the identical table."""
+    m_sub, dsub = len(codebooks), len(codebooks[0][0])
     return {
         qid: [
             [
                 sum(
-                    (u[m * _PQ_DSUB + i] - c[i]) * (u[m * _PQ_DSUB + i] - c[i])
-                    for i in range(_PQ_DSUB)
+                    (u[m * dsub + i] - c[i]) * (u[m * dsub + i] - c[i])
+                    for i in range(dsub)
                 )
                 for c in codebooks[m]
             ]
-            for m in range(_PQ_M)
+            for m in range(m_sub)
         ]
         for qid, u in units.items()
     }
@@ -444,7 +455,7 @@ def _adc_tables(units, codebooks):
 def _adc_dist_sql(tab) -> str:
     """sum_m element_at(T_m, codes[m]+1) — the whole per-row ADC cost."""
     return " + ".join(
-        f"element_at({_lit_arr(tab[m])}, codes[{m}] + 1)" for m in range(_PQ_M)
+        f"element_at({_lit_arr(tab[m])}, codes[{m}] + 1)" for m in range(len(tab))
     )
 
 
@@ -487,13 +498,16 @@ def _rerank_exact(shortlist: DataFrame, base: DataFrame, units) -> DataFrame:
     )
 
 
-def _pq_search_tail_sql(adcd_body: str, extra: str = "") -> str:
-    """Shared oracle tail of the two PQ search queries: unit query
-    vectors, the per-(query, sub, cell) ADC table (same d*d products and
+def _pq_search_tail_sql(
+    adcd_body: str, extra: str = "", m_sub: int = _PQ_M, iters: int = _PQ_ITERS
+) -> str:
+    """Shared oracle tail of the PQ search queries: unit query vectors,
+    the per-(query, sub, cell) ADC table (same d*d products and
     left-to-right folds as _adc_tables), the caller-supplied candidate
     scoring relation ``adcd``, the ADC shortlist, and the exact-cosine
-    re-rank — each tie broken exactly as the Spark windows break it."""
-    dsub = _PQ_DSUB
+    re-rank — each tie broken exactly as the Spark windows break it.
+    ``m_sub``/``iters`` select the codebook layout (cb{{iters}} chain)."""
+    dsub = _DIM // m_sub
     return f"""qunits AS MATERIALIZED (
       SELECT vec_id AS query_id,
              list_transform(v, x -> x / (CASE WHEN nrm = 0.0 THEN 1.0 ELSE nrm END)) AS u
@@ -506,7 +520,7 @@ def _pq_search_tail_sql(adcd_body: str, extra: str = "") -> str:
                  i -> (q.u[c.sub_id * {dsub} + i + 1] - c.w[i + 1])
                       * (q.u[c.sub_id * {dsub} + i + 1] - c.w[i + 1])),
                'sum') AS t
-      FROM qunits q CROSS JOIN cb{_PQ_ITERS} c
+      FROM qunits q CROSS JOIN cb{iters} c
     ),
     {extra + "," if extra else ""}
     adcd AS MATERIALIZED (
@@ -566,9 +580,18 @@ def ext_pq_topk(spark, sf_dir):
     Emits (query_id, neighbor_id, cos) — same shape as the exact
     ext_topk_sim_search, so consumers can swap scan for index. Recall
     against the exact top-k is asserted in tests/test_vectors3.py."""
+    return pq_topk(spark, sf_dir)
+
+
+def pq_topk(spark, sf_dir, m_sub: int = _PQ_M, k: int = _PQ_K) -> DataFrame:
+    """The flat PQ-ADC search pipeline under any (m_sub, k) codebook
+    layout — the layout is a PARAMETER through pq_fit/_with_codes/
+    _adc_tables (all derive shapes from the codebooks), not a code path,
+    which is what makes ext_pq_topk_retuned (ext_vectors4) a literal
+    change. Called with defaults this IS ext_pq_topk's plan."""
     from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
 
-    codebooks = pq_fit(spark, sf_dir)
+    codebooks = pq_fit(spark, sf_dir, m_sub=m_sub, k=k)
     base = _normed_embeddings(spark, sf_dir)
     coded = _with_codes(base, codebooks).select("vec_id", "codes")
 

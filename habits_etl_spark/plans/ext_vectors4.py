@@ -333,6 +333,159 @@ def ext_pq_recall_audit(spark, sf_dir):
     return _recall_audit_frame(spark, sf_dir, ext_pq_topk(spark, sf_dir))
 
 
+# Candidate PQ layouts the layout sim evaluates — subspace counts
+# bracketing the deployed _PQ_M = 8 at the fixed k=16 (4-bit) codebook.
+# The decision axis is bytes-per-code vs quantization distortion: more
+# subspaces = longer codes = finer reconstruction.
+_PQ_SIM_LAYOUTS = (4, 8, 16)
+
+
+def _pq_layout_report_sql(m_sub: int) -> str:
+    """One layout's report row: the full codebook chain for ``m_sub``
+    runs inside a derived-table WITH (the _composed_audit_sql nesting
+    trick — per-layout CTE names cannot collide), ending in the same
+    per-vector recon_err relation ext_pq_codes emits, aggregated to one
+    row. Every aggregate is cross-engine exact: the per-vector err is
+    rounded to 4 (the grain ext_pq_codes' hash already proves portable),
+    the mean folds decimal-cast rounded values, max is order-free."""
+    from habits_etl_spark.plans.ext_vectors3 import (
+        _PQ_K,
+        _pq_codebook_sql,
+    )
+
+    return f"""SELECT {m_sub} AS m_sub,
+      {m_sub * 4} AS code_bits,
+      {m_sub * _PQ_K} AS table_floats,
+      vectors, mean_recon_err, max_recon_err
+    FROM (
+      WITH {_pq_codebook_sql(m_sub=m_sub)},
+      recon AS (
+        SELECT vec_id,
+               round(list_aggregate(list(term ORDER BY sub_id), 'sum'), 4) AS err4
+        FROM (
+          SELECT vec_id, sub_id,
+                 (list_dot_product(sv, sv) / (nrm * nrm))
+                 - 2.0 * (list_dot_product(sv, cw) / nrm)
+                 + list_aggregate(list_transform(cw, x -> x * x), 'sum') AS term
+          FROM fasg
+        ) GROUP BY vec_id
+      )
+      SELECT CAST(count(*) AS BIGINT) AS vectors,
+             round(CAST(sum(CAST(err4 AS DECIMAL(28,12))) AS DOUBLE)
+                   / count(*), 6) AS mean_recon_err,
+             max(err4) AS max_recon_err
+      FROM recon
+    )"""
+
+
+def _pq_sim_sql() -> str:
+    reports = "\n    UNION ALL\n    ".join(
+        _pq_layout_report_sql(m) for m in _PQ_SIM_LAYOUTS
+    )
+    return f"SELECT * FROM (\n    {reports}\n    ) ORDER BY m_sub"
+
+
+@query("ext_pq_layout_sim", _pq_sim_sql())
+def ext_pq_layout_sim(spark, sf_dir):
+    """PQ re-layout simulation (r14): every candidate subspace count in
+    {_PQ_SIM_LAYOUTS} trained and scored on the actual corpus — per
+    layout its code size (bits per vector), ADC table size (floats per
+    query), and the measured quantization distortion (mean + max
+    per-vector reconstruction error of the unit vectors). This is the
+    PQ analogue of ext_ivf_partition_sim: the table that replaces the
+    'm = d/8' rule of thumb with measured evidence before a re-encode
+    of the standing code column.
+
+    Scale: each layout is one pq_fit (three Lloyd rounds, map-side
+    partials, M x k x dsub driver traffic) plus ONE encode+score map
+    over the corpus — no layout shuffles the vectors; the corpus is
+    scanned a constant number of times per candidate, which is the
+    affordable experiment vs re-encoding 100 TB at a wrong m. Oracle:
+    the per-layout codebook chain nested in a derived table (CTE names
+    scoped per layout), aggregated over the SAME rounded per-vector
+    error grain ext_pq_codes' hash already proves portable. Reference
+    parity: [E] extension; no reference twin."""
+    from habits_etl_spark.plans.ext_vectors2 import _normed_embeddings
+    from habits_etl_spark.plans.ext_vectors3 import (
+        _PQ_K,
+        _recon_err_expr,
+        _with_codes,
+        pq_fit,
+    )
+
+    base = _normed_embeddings(spark, sf_dir)
+    reports = []
+    for m_sub in _PQ_SIM_LAYOUTS:
+        codebooks = pq_fit(spark, sf_dir, m_sub=m_sub)
+        err4 = F.round(_recon_err_expr(codebooks), 4)
+        reports.append(
+            _with_codes(base, codebooks)
+            .select(err4.alias("err4"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("vectors"),
+                F.round(
+                    F.sum(F.col("err4").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mean_recon_err"),
+                F.max("err4").alias("max_recon_err"),
+            )
+            .select(
+                F.lit(m_sub).alias("m_sub"),
+                F.lit(m_sub * 4).alias("code_bits"),
+                F.lit(m_sub * _PQ_K).alias("table_floats"),
+                "vectors", "mean_recon_err", "max_recon_err",
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("m_sub")
+
+
+# The layout the PQ sim's table points to on this corpus: m=16 halves
+# the mean reconstruction distortion vs the deployed m=8 (0.327 vs
+# 0.566 at sf0.01, max 0.45 vs 0.73) for 2x the code bytes (8 vs 4) —
+# and the ADC scan cost per row is still m element_at lookups, so the
+# scan stays code-bound, not float-bound.
+_PQ_RETUNE_M = 16
+
+
+def _pq_retuned_oracle_sql() -> str:
+    from habits_etl_spark.plans.ext_vectors3 import (
+        _PQ_FLAT_ADCD,
+        _pq_codebook_sql,
+        _pq_search_tail_sql,
+    )
+
+    return f"""
+    WITH {_pq_codebook_sql(m_sub=_PQ_RETUNE_M)},
+    {_pq_search_tail_sql(_PQ_FLAT_ADCD, m_sub=_PQ_RETUNE_M)}
+    """
+
+
+@query("ext_pq_topk_retuned", _pq_retuned_oracle_sql())
+def ext_pq_topk_retuned(spark, sf_dir):
+    """The PQ re-layout decision EXECUTED (r14, completing the third
+    index family's lifecycle): the identical flat ADC + exact-re-rank
+    pipeline under the m={_PQ_RETUNE_M} layout ext_pq_layout_sim's
+    table selects — a re-encode is a parameter change through the
+    shared pq_fit / _with_codes / _adc_tables / pq_topk builders, not a
+    new code path. With the layout sim (which m), the recall audit
+    (what the deployed codes miss), and this id (the retuned index
+    itself), PQ now has the same decide -> audit -> retune arc as the
+    MinHash and IVF indexes.
+
+    Scale: identical shape to ext_pq_topk — per-query float math on the
+    driver, a code-only corpus scan ({_PQ_RETUNE_M} element_at lookups
+    per row), exact folds only on the shortlist. Oracle: the shared
+    codebook + search-tail chains under the retuned layout literals.
+    Reference parity: [E] extension; no reference twin."""
+    from habits_etl_spark.plans.ext_vectors3 import pq_topk
+
+    return pq_topk(spark, sf_dir, m_sub=_PQ_RETUNE_M)
+
+
 @query("ext_lsh_recall_audit", _composed_audit_sql("ext_ann_lsh_bucketed"))
 def ext_lsh_recall_audit(spark, sf_dir):
     """Measured recall audit of the SRP-LSH bucketed search (r14): per
