@@ -762,6 +762,147 @@ def ext_split_leakage(spark, sf_dir):
     )
 
 
+# --- Cluster-safe split: the FIX for what ext_split_leakage detects --------
+_CSPLIT_SALT = "csplit:"
+_CSPLIT_BUCKET_DUCK = (
+    f"CAST(('0x' || substr(md5('{_CSPLIT_SALT}' || CAST(rep AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10"
+)
+
+
+@query(
+    "ext_cluster_safe_split",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_FINAL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS u, w.label FROM walk w JOIN edges e ON e.u = w.u
+    ),
+    comp AS (SELECT u AS doc_id, min(label) AS rep FROM walk GROUP BY u),
+    asg AS (
+      SELECT doc_id, rep,
+             CASE WHEN {_CSPLIT_BUCKET_DUCK} < 8 THEN 'train'
+                  WHEN {_CSPLIT_BUCKET_DUCK} = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      )
+    ),
+    g AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS docs,
+             CAST(count(DISTINCT rep) AS BIGINT) AS clusters
+      FROM asg GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM asg),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+      FROM pairs p
+      JOIN asg a ON a.doc_id = p.doc_a
+      JOIN asg b ON b.doc_id = p.doc_b
+      WHERE a.split <> b.split
+    )
+    SELECT split, docs, clusters,
+           round(CAST(docs AS DOUBLE) / total_docs, 6) AS doc_share,
+           leaked_pairs
+    FROM g CROSS JOIN tot CROSS JOIN leak
+    ORDER BY split
+    """,
+)
+def ext_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split — the FIX for the contamination
+    ext_split_leakage detects: split assignment hashes the near-dup
+    CLUSTER representative (connected component of the MinHash pair
+    graph; singletons represent themselves), so every near-duplicate
+    family lands in ONE split and cross-split leakage is zero by
+    construction. Output is the audit a pipeline reviews before
+    training: per split its doc count, cluster count, corpus share, and
+    the residual cross-split near-dup pair count — recomputed the same
+    way the leakage audit counts it, so the 0 is measured, not assumed.
+    With detect (ext_split_leakage) and fix (this id), the split has the
+    same detect -> repair arc the dedup and vector indexes got.
+
+    Scale: the pair relation is the standing banded-MinHash index table
+    (collision-sized, never all-pairs); components via
+    operators/clusters.py (driver union-find at collision scale, the
+    O(log n) alternating label-propagation loop beyond it); the
+    assignment is one salted md5 map over (doc_id, rep) — stable under
+    corpus growth like ext_hash_split, because a cluster's rep only
+    changes if a new doc BRIDGES clusters, exactly the case where the
+    family must be re-split together anyway. Oracle: the shared
+    _MINHASH_CTES chain + the recursive-CTE closure (the
+    ext_dup_clusters pattern) + the same salted-hash CASE. Reference
+    parity: [E] extension (BASELINE north-star dedup family); no
+    reference twin."""
+    from habits_etl_spark.plans.common import managed_cache
+    from habits_etl_spark.plans.ext_text import minhash_pairs_shared
+
+    pairs = minhash_pairs_shared(spark, sf_dir)
+    comps = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("comp")
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_CSPLIT_SALT), F.col("rep").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    asg = (
+        docs.join(F.broadcast(comps), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("rep"))
+        .select(
+            "doc_id",
+            "rep",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    asg = managed_cache(asg, f"cluster_safe_split/asg:{sf_dir}")
+    g = asg.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.countDistinct("rep").cast("bigint").alias("clusters"),
+    )
+    tot = asg.agg(F.count(F.lit(1)).cast("bigint").alias("total_docs"))
+    sa = asg.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = asg.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leak = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_pairs"))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "docs",
+            "clusters",
+            F.round(F.col("docs").cast("double") / F.col("total_docs"), 6).alias(
+                "doc_share"
+            ),
+            "leaked_pairs",
+        )
+        .orderBy("split")
+    )
+
+
 # --- LSH re-banding simulation --------------------------------------------
 # The decision-support half of the maintenance arc: the delta report above
 # says WHEN to re-band; this op says what each candidate layout would COST

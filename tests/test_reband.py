@@ -37,3 +37,25 @@ def test_audit_kept_equals_rebanded_output(spark, sf_dir):
     assert {(r.doc_a, r.doc_b, r.jaccard) for r in audit} == default
     kept = {(r.doc_a, r.doc_b, r.jaccard) for r in audit if r.kept}
     assert kept == rebanded
+
+
+def test_cluster_safe_split_has_zero_leakage(spark, sf_dir):
+    """The fix op's invariants: same-cluster docs share a split, so the
+    measured residual leakage is zero — while the naive doc_id split
+    (ext_split_leakage) does leak on the same pair graph, which is what
+    makes the fix non-vacuous on this fixture."""
+    from habits_etl_spark.plans.ext_pipeline import (
+        ext_cluster_safe_split,
+        ext_split_leakage,
+    )
+
+    rows = {r.split: r for r in ext_cluster_safe_split(spark, sf_dir).collect()}
+    assert sorted(rows) == ["test", "train", "val"]
+    assert all(r.leaked_pairs == 0 for r in rows.values())
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.docs for r in rows.values()) == n_docs
+    assert abs(sum(r.doc_share for r in rows.values()) - 1.0) < 1e-4
+    for r in rows.values():
+        assert 0 < r.clusters <= r.docs
+    # the naive split leaks on the same pair graph (non-vacuity witness)
+    assert ext_split_leakage(spark, sf_dir).count() > 0
