@@ -430,3 +430,75 @@ def ext_token_count_bpe(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _fertility_oracle_sql() -> str:
+    """Composes the REGISTERED ext_token_count_bpe oracle verbatim as a
+    subquery (the _composed_audit_sql nesting pattern) joined back to the
+    documents' language column — the fertility table cannot drift from
+    the token counts it summarizes. All sums are exact integers; the two
+    ratios are single divisions of exact integers, deterministic in both
+    engines."""
+    from habits_etl_spark.plans.common import ORACLES
+
+    tc = ORACLES["ext_token_count_bpe"]
+    return f"""
+    WITH tc AS (FROM ({tc}))
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(tc.n_tokens_ws) AS BIGINT) AS n_words,
+           CAST(sum(tc.n_tokens_bpe) AS BIGINT) AS n_bpe,
+           CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+           round(CAST(sum(tc.n_tokens_bpe) AS DOUBLE)
+                 / sum(tc.n_tokens_ws), 6) AS fertility,
+           round(CAST(sum(tc.n_tokens_bpe) AS DOUBLE)
+                 / sum(length(d.text)), 6) AS bpe_per_char
+    FROM tc JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@query("ext_tokenizer_fertility", _fertility_oracle_sql())
+def ext_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: BPE tokens per whitespace word
+    and per character, with the underlying exact doc/word/token/char
+    sums — the table a training pipeline reads to convert per-language
+    document budgets into token budgets (and to spot languages the
+    learned vocabulary serves badly: high fertility means the tokenizer
+    fragments that language, inflating its effective cost per document).
+    Complements ext_domain_temperature_mix (which mixes by doc counts)
+    with the token-accurate denominator mixing actually needs.
+
+    Scale: one groupBy over |langs| groups with map-side partials on top
+    of the standing BPE count relation — at 100 TB the token counts are
+    an artifact the packing stage already materialized, so this audit is
+    one cheap aggregate over it. Oracle: the registered
+    ext_token_count_bpe statement composed verbatim as a subquery (zero
+    drift) joined to the language column; exact-integer sums, two
+    deterministic divisions. Reference parity: [E] extension (BASELINE
+    north-star text-analysis family); no reference twin."""
+    counts = ext_token_count_bpe(spark, sf_dir)
+    langs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    return (
+        counts.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tokens_ws").cast("bigint").alias("n_words"),
+            F.sum("n_tokens_bpe").cast("bigint").alias("n_bpe"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang", "docs", "n_words", "n_bpe", "n_chars",
+            F.round(
+                F.col("n_bpe").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_bpe").cast("double") / F.col("n_chars"), 6
+            ).alias("bpe_per_char"),
+        )
+        .orderBy("lang")
+    )

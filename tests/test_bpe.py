@@ -119,3 +119,19 @@ def test_apply_bpe_invariants_property(spark):
         assert _apply_bpe(word, ranks) == n  # deterministic
 
     check()
+
+
+def test_tokenizer_fertility_invariants(spark, sf_dir):
+    """Fertility is bounded below by 1 token per word (BPE never merges
+    across the pre-tokenizer boundary, so every word is >= 1 token) and
+    above by chars+1 per word; the language sums conserve the corpus."""
+    from habits_etl_spark.plans.ext_curation import ext_tokenizer_fertility
+
+    rows = ext_tokenizer_fertility(spark, sf_dir).collect()
+    assert len(rows) >= 2  # the fixture carries multiple languages
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.docs for r in rows) == n_docs
+    for r in rows:
+        assert r.fertility >= 1.0, r
+        assert 0.0 < r.bpe_per_char <= 1.0, r
+        assert r.n_bpe >= r.n_words > 0

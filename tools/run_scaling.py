@@ -63,6 +63,13 @@ QUERIES = [
     # derived-partsupp aggregation is a real fact shuffle).
     "ext_near_dedup_minhash_rebanded",
     "join_q2_min_cost_supplier",
+    # r14 late additions: the completed PQ lifecycle (the retuned m=16
+    # search is the registry's newest ANN scan; the layout sim is
+    # fit-dominated and must stay amortized) and the cluster-safe split
+    # (components + salted-map over the standing pair graph).
+    "ext_pq_topk_retuned",
+    "ext_pq_layout_sim",
+    "ext_cluster_safe_split",
 ]
 
 # the banding-law variant (band_bits ~ log2 n): measured alongside the
@@ -111,6 +118,16 @@ PINNED_EXPONENTS = {
     # the dimension-bound aggregates).
     "ext_near_dedup_minhash_rebanded": 0.58,
     "join_q2_min_cost_supplier": 0.82,
+    # r14 PQ-lifecycle + split witnesses, pinned from the quiet solo
+    # sweep (2.67->9.93 s, 1.37->2.36 s, 3.98->5.03 s): the retuned
+    # m=16 ADC scan sits in the same class as ext_topk_sim_search
+    # (0.57); the layout sim is fit-dominated (three bounded Lloyd
+    # fits amortize, 0.10 measured, small headroom for the encode
+    # maps); the split's sf0.1 side is sub-2s (best-of-5 applies), so
+    # its pin carries the fast-witness headroom discipline.
+    "ext_pq_topk_retuned": 0.60,
+    "ext_pq_layout_sim": 0.15,
+    "ext_cluster_safe_split": 0.35,
 }
 
 # The output-quadratic cosine family is gated on its OUTPUT-NORMALIZED
