@@ -114,3 +114,112 @@ def sink_manifest_snapshot(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+
+
+# --- Compaction planner ------------------------------------------------------
+# Target output size for the small-file compactor, in rows (a real
+# deployment uses bytes from the manifest; rows are the deterministic
+# proxy the fixture affords). Half-target is the "small file" audit line.
+_COMPACT_TARGET_ROWS = 1500
+
+
+@query(
+    "sink_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+             CAST(extract(hour FROM ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS f_rows
+      FROM events GROUP BY 1, 2
+    ),
+    binned AS (
+      SELECT event_date, hr, f_rows,
+             coalesce(sum(f_rows) OVER (PARTITION BY event_date ORDER BY hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_COMPACT_TARGET_ROWS} AS bucket
+      FROM files
+    ),
+    outs AS (
+      SELECT event_date, bucket, CAST(sum(f_rows) AS BIGINT) AS out_rows
+      FROM binned GROUP BY 1, 2
+    ),
+    per_in AS (
+      SELECT event_date,
+             CAST(count(*) AS BIGINT) AS input_files,
+             CAST(sum(CASE WHEN f_rows < {_COMPACT_TARGET_ROWS // 2}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS small_inputs,
+             CAST(sum(f_rows) AS BIGINT) AS rows
+      FROM files GROUP BY 1
+    ),
+    per_out AS (
+      SELECT event_date,
+             CAST(count(*) AS BIGINT) AS output_files,
+             CAST(max(out_rows) AS BIGINT) AS max_output_rows
+      FROM outs GROUP BY 1
+    )
+    SELECT i.event_date, i.input_files, i.small_inputs, i.rows,
+           o.output_files, o.max_output_rows
+    FROM per_in i JOIN per_out o USING (event_date)
+    ORDER BY i.event_date
+    """,
+)
+def sink_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (the OPTIMIZE decision table): for
+    every time partition, bin its files (proxied here by per-hour
+    micro-batch row counts — a deployment reads byte sizes from the
+    manifest the snapshot sink maintains) into target-sized output
+    groups by deterministic cumulative-sum binning in file order, and
+    report per partition: input files, how many are "small" (under half
+    target — the fragmentation the landing sink's per-trigger writes
+    accumulate), total rows, planned output files, and the largest
+    planned output (bounded by target + one file, the straddle case).
+
+    Scale: the PLAN is computed entirely from file statistics — one
+    aggregate over manifest-grain metadata, no data movement; the
+    rewrite itself is the landing sink re-writing only the partitions
+    whose output_files < input_files. That split (cheap global plan,
+    targeted rewrite) is exactly how OPTIMIZE survives a 100 TB table:
+    the planner never touches row data, and compaction work is
+    proportional to fragmentation, not table size. Window + two
+    hash-aggs, all exact integers. Reference parity: [E] extension
+    (storage/maintenance family, the operational complement of
+    sink_manifest_snapshot's transactional writes); no reference twin."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.to_date("ts").cast("string").alias("event_date"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("f_rows"))
+    w = (
+        Window.partitionBy("event_date")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "cum_before", F.coalesce(F.sum("f_rows").over(w), F.lit(0))
+    ).withColumn("bucket", F.expr(f"cum_before div {_COMPACT_TARGET_ROWS}"))
+    outs = binned.groupBy("event_date", "bucket").agg(
+        F.sum("f_rows").cast("bigint").alias("out_rows")
+    )
+    per_in = files.groupBy("event_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("input_files"),
+        F.sum(
+            F.when(F.col("f_rows") < _COMPACT_TARGET_ROWS // 2, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("small_inputs"),
+        F.sum("f_rows").cast("bigint").alias("rows"),
+    )
+    per_out = outs.groupBy("event_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("output_files"),
+        F.max("out_rows").cast("bigint").alias("max_output_rows"),
+    )
+    return (
+        per_in.join(per_out, "event_date")
+        .select(
+            "event_date", "input_files", "small_inputs", "rows",
+            "output_files", "max_output_rows",
+        )
+        .orderBy("event_date")
+    )
