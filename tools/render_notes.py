@@ -113,7 +113,7 @@ def render(round_n: int, pytest_line: str | None) -> str:
                 parts.append(f"{q} {v}")
         # probe files without a `probes` map (e.g. the TPC-H agreement
         # record) summarize their own top-level tables instead
-        for key in ("tpch_exponents", "new_witness_confirmations"):
+        for key in ("tpch_exponents", "new_witness_confirmations", "witnesses"):
             for q, v in (d.get(key) or {}).items():
                 parts.append(
                     f"{q} " + "/".join(
