@@ -72,44 +72,127 @@ def sink_manifest_snapshot(spark, sf_dir):
     Scale: each commit writes only its batch's files (append never
     rewrites); the read plans from the manifest file list — no directory
     listing. The aggregate is the standard single hash-agg."""
-    e = t(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "value", F.col("props").alias("notes")
-    )
     table = os.path.join(
         tempfile.mkdtemp(prefix="manifest_e2e_"), "events_snapshot"
     )
     try:
-        M.overwrite_snapshot(spark, e.filter(F.col("user_id") % 3 == 0), table)
-        M.append_snapshot(spark, e.filter(F.col("user_id") % 3 == 1), table)
-        incoming = e.filter(F.col("user_id") % 6 == 0).select(
-            "user_id",
-            "event_type",
-            "ts",
-            (F.col("value") * 2).alias("value"),
-            F.lit(None).cast("string").alias("notes"),
-        )
-        M.upsert_snapshot(
-            spark,
-            incoming,
-            table,
-            keys=["user_id", "event_type", "ts"],
-            set_cols=["value"],
-            coalesce_cols=["notes"],
-        )
-        snap = M.read_snapshot(spark, table)
-        out = (
-            snap.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count("notes").alias("n_notes"),
-                F.round(
-                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
-                ).alias("sum_value"),
-            )
-            .orderBy("event_type")
-        )
+        _snapshot_lifecycle(spark, sf_dir, table)
+        out = _snapshot_agg(M.read_snapshot(spark, table))
         # materialize before the temp table is deleted (the returned DF
         # must survive the cleanup below; the result is |event_types| rows)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+
+
+def _snapshot_lifecycle(spark, sf_dir, table):
+    """The shared three-commit history (overwrite v1, append v2, upsert
+    v3) both transactional ids replay — one batch carving, so the vacuum
+    op's oracle can compose sink_manifest_snapshot's registered
+    statement verbatim."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", F.col("props").alias("notes")
+    )
+    M.overwrite_snapshot(spark, e.filter(F.col("user_id") % 3 == 0), table)
+    M.append_snapshot(spark, e.filter(F.col("user_id") % 3 == 1), table)
+    incoming = e.filter(F.col("user_id") % 6 == 0).select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.col("value") * 2).alias("value"),
+        F.lit(None).cast("string").alias("notes"),
+    )
+    M.upsert_snapshot(
+        spark,
+        incoming,
+        table,
+        keys=["user_id", "event_type", "ts"],
+        set_cols=["value"],
+        coalesce_cols=["notes"],
+    )
+
+
+def _snapshot_agg(snap):
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("notes").alias("n_notes"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _vacuum_oracle_sql() -> str:
+    """Composes the REGISTERED sink_manifest_snapshot oracle verbatim
+    (the final-state relation a correct vacuum must leave untouched) and
+    pins the transactional assertions as literals: exactly one manifest
+    version survives retain=1, the pre-retention snapshot is gone from
+    time travel, and the current read is bit-identical to pre-vacuum."""
+    from habits_etl_spark.plans.common import ORACLES
+
+    snap = ORACLES["sink_manifest_snapshot"]
+    return f"""
+    SELECT event_type, n_rows, n_notes, sum_value,
+           1 AS versions_after,
+           TRUE AS v1_time_travel_gone,
+           TRUE AS current_unchanged
+    FROM ({snap})
+    ORDER BY event_type
+    """
+
+
+@query("sink_retention_vacuum", _vacuum_oracle_sql())
+def sink_retention_vacuum(spark, sf_dir):
+    """Retention vacuum driven END TO END through the hash gate — the
+    third leg of the table-maintenance triad (transactional write:
+    sink_manifest_snapshot; optimize: sink_compaction_plan; retention:
+    this id). Replays the shared three-commit history, vacuums to
+    retain_versions=1, and emits the post-vacuum snapshot aggregate plus
+    three PROBED assertions: ``versions_after`` counts the manifests
+    actually left on disk (must be 1), ``v1_time_travel_gone`` probes
+    manifest_at(v1) and requires KeyError (history really pruned), and
+    ``current_unchanged`` compares the post-vacuum aggregate rows
+    against the pre-vacuum ones (a vacuum that deletes a live file
+    flips this to False — and also breaks the value hash). The oracle
+    recomputes the final state relationally and pins the assertions as
+    literals, so a torn vacuum cannot pass.
+
+    Scale: vacuum is manifest-metadata work — file liveness is a set
+    union over retained manifests' file lists, never a data scan; the
+    delete set is exactly the files only dead manifests reference (the
+    Delta VACUUM retention contract, sinks/manifest.py:359). Reference
+    parity: [E] extension (storage/maintenance family); no reference
+    twin."""
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="manifest_vacuum_"), "events_snapshot"
+    )
+    try:
+        _snapshot_lifecycle(spark, sf_dir, table)
+        pre_rows = _snapshot_agg(M.read_snapshot(spark, table)).collect()
+        M.vacuum(table, retain_versions=1)
+        man_dir, _ = M._paths(table)
+        versions_after = sum(
+            1 for f in os.listdir(man_dir) if f.endswith(".json")
+        )
+        try:
+            M.manifest_at(table, 1)
+            v1_gone = False
+        except KeyError:
+            v1_gone = True
+        post = _snapshot_agg(M.read_snapshot(spark, table))
+        post_rows = post.collect()
+        unchanged = [tuple(r) for r in post_rows] == [tuple(r) for r in pre_rows]
+        out = spark.createDataFrame(post_rows, post.schema).select(
+            "*",
+            F.lit(versions_after).alias("versions_after"),
+            F.lit(v1_gone).alias("v1_time_travel_gone"),
+            F.lit(unchanged).alias("current_unchanged"),
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:

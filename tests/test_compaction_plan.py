@@ -32,3 +32,17 @@ def test_compaction_plan_invariants(spark, sf_dir):
         assert r.max_output_rows <= _COMPACT_TARGET_ROWS - 1 + max_file
         compacted += r.input_files - r.output_files
     assert compacted > 0  # the fixture's hourly files do get merged
+
+
+def test_retention_vacuum_assertions(spark, sf_dir):
+    """The e2e vacuum op's probed assertions hold: exactly one manifest
+    survives retain=1, v1 is gone from time travel, and the current
+    snapshot read is unchanged by the vacuum."""
+    from habits_etl_spark.plans.manifest_e2e import sink_retention_vacuum
+
+    rows = sink_retention_vacuum(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.versions_after == 1
+        assert r.v1_time_travel_gone is True
+        assert r.current_unchanged is True
