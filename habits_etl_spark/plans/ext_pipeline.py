@@ -879,11 +879,15 @@ def ext_cluster_safe_split(spark, sf_dir):
         F.countDistinct("rep").cast("bigint").alias("clusters"),
     )
     tot = asg.agg(F.count(F.lit(1)).cast("bigint").alias("total_docs"))
+    # Broadcast the COLLISION-SIZED side (the pair list, and then the
+    # pair list enriched with one split), never the corpus-sized split
+    # assignment — at 100 TB asg is one row per document while pairs is
+    # the standing dedup-index table.
     sa = asg.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     sb = asg.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    half = sa.join(F.broadcast(pairs.select("doc_a", "doc_b")), "doc_a")
     leak = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        sb.join(F.broadcast(half), "doc_b")
         .filter(F.col("sa") != F.col("sb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_pairs"))
     )

@@ -353,8 +353,9 @@ def _pq_layout_report_sql(m_sub: int) -> str:
         _pq_codebook_sql,
     )
 
+    bits = (_PQ_K - 1).bit_length()  # bits per code = log2(k)
     return f"""SELECT {m_sub} AS m_sub,
-      {m_sub * 4} AS code_bits,
+      {m_sub * bits} AS code_bits,
       {m_sub * _PQ_K} AS table_floats,
       vectors, mean_recon_err, max_recon_err
     FROM (
@@ -432,7 +433,7 @@ def ext_pq_layout_sim(spark, sf_dir):
             )
             .select(
                 F.lit(m_sub).alias("m_sub"),
-                F.lit(m_sub * 4).alias("code_bits"),
+                F.lit(m_sub * (_PQ_K - 1).bit_length()).alias("code_bits"),
                 F.lit(m_sub * _PQ_K).alias("table_floats"),
                 "vectors", "mean_recon_err", "max_recon_err",
             )

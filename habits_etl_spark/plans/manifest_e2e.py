@@ -187,14 +187,15 @@ def sink_retention_vacuum(spark, sf_dir):
         post = _snapshot_agg(M.read_snapshot(spark, table))
         post_rows = post.collect()
         unchanged = [tuple(r) for r in post_rows] == [tuple(r) for r in pre_rows]
-        out = spark.createDataFrame(post_rows, post.schema).select(
+        # post_rows are already local — unlike sink_manifest_snapshot's
+        # lazy read, nothing here depends on the temp table, so the
+        # assembled frame is safe to return directly
+        return spark.createDataFrame(post_rows, post.schema).select(
             "*",
             F.lit(versions_after).alias("versions_after"),
             F.lit(v1_gone).alias("v1_time_travel_gone"),
             F.lit(unchanged).alias("current_unchanged"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(os.path.dirname(table), ignore_errors=True)
 

@@ -406,7 +406,7 @@ def ext_pca_top_component(spark, sf_dir):
     # per-row score (decimal-exact fold) and per-row Σval² partial
     # (decimal terms, so the global decimal sum of per-row partials
     # equals the oracle's flat decimal SUM over all cells).
-    fin = (
+    fin_row = (
         xc_arr.select(
             dec_dot(v).alias("score"),
             F.aggregate(
@@ -423,8 +423,7 @@ def ext_pca_top_component(spark, sf_dir):
         )
         .first()
     )
-    lam_row, tot_row = fin, fin
-    explained = lam_row.lam_n / tot_row.tot if tot_row.tot else 0.0
+    explained = fin_row.lam_n / fin_row.tot if fin_row.tot else 0.0
     return spark_sess.createDataFrame(
         [
             (i, round(float(w), 6), round(float(explained), 6))

@@ -28,11 +28,18 @@ def test_layout_sim_distortion_monotone(spark, sf_dir):
     counts = {r.vectors for r in rows.values()}
     assert len(counts) == 1  # every layout scored the whole corpus
     for r in rows.values():
-        assert r.code_bits == r.m_sub * 4
+        assert r.code_bits == r.m_sub * 4  # log2(k)=4 at the deployed k=16
         assert 0.0 <= r.mean_recon_err <= r.max_recon_err
     errs = [rows[m].mean_recon_err for m in sorted(rows)]
-    assert errs == sorted(errs, reverse=True), errs  # finer m -> lower err
-    # the selected layout is the distortion argmin of the table
+    # finer m -> lower err. Representability guarantees this only for
+    # OPTIMAL codebooks; 3-round Lloyd fits from hash-picked seeds get a
+    # small tolerance so a regenerated fixture can't fail the test on a
+    # near-tie (the shipped fixture measures strict gaps of ~0.17-0.24)
+    for hi, lo in zip(errs, errs[1:]):
+        assert lo <= hi + 0.05, errs
+    # the selected layout is the distortion argmin of the table — a
+    # DELIBERATE coupling: if a new fixture moves the argmin, the
+    # _PQ_RETUNE_M constant must be re-decided with it
     assert min(rows.values(), key=lambda r: r.mean_recon_err).m_sub == _PQ_RETUNE_M
 
 
