@@ -226,3 +226,61 @@ def src_csv_malformed_audit(spark, sf_dir):
         .orderBy("event_type")
     )
     return _finish(spark, out, tmp)
+
+
+@query(
+    "src_schema_evolution_scan",
+    f"""
+    WITH unioned AS (
+      SELECT event_id, ts, user_id, value,
+             CASE WHEN user_id % 2 = 1 THEN event_type END AS event_type
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(event_type) AS BIGINT) AS n_typed,
+           {sql_dsum("value")} AS sum_value
+    FROM unioned GROUP BY 1 ORDER BY 1 NULLS FIRST
+    """,
+)
+def src_schema_evolution_scan(spark, sf_dir):
+    """Schema-evolution read: two parquet batches written at different
+    schema versions into ONE table directory — v1 (even user_ids)
+    without ``event_type``, v2 (odd user_ids) with it, the additive
+    column change every long-lived lake table accumulates — read back
+    in a single ``mergeSchema`` scan whose unified schema backfills the
+    missing column as NULL, then aggregated per (possibly NULL) type.
+    The hash gate passes only if the merged scan neither drops v1 rows
+    nor invents values for the backfilled column.
+
+    Scale: mergeSchema's cost is footer-sampling at PLANNING time, not
+    a data pre-scan — and a production table pins the unified schema in
+    its catalog/manifest so per-query merging is off the hot path
+    entirely (the manifest sink stores exactly that); the scan itself
+    stays an ordinary parallel parquet read with pushdown intact
+    (tests/test_pruning.py pins the mergeSchema + pruning interaction).
+    Oracle restates the evolution relationally: v1 rows contribute NULL
+    event_type by construction. Reference parity: [E] extension
+    (source family); no reference twin."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    path = os.path.join(tmp, "events_evolved")
+    ev.filter(F.col("user_id") % 2 == 0).drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(path)
+    ev.filter(F.col("user_id") % 2 == 1).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("event_type").cast("bigint").alias("n_typed"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+    return _finish(spark, out, tmp)
