@@ -59,6 +59,28 @@ _P_CUM = (
 )
 
 
+def _ci_interp_duck(q: str) -> str:
+    """Linear-interpolated percentile over the sorted replica-mean list
+    ``v`` (length ``n_replicas``), as ONE explicitly-stated formula:
+    pos = (n-1)*q, value = v[lo] + (v[hi] - v[lo]) * frac. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` are algebraically this
+    but evaluate it in different float forms (lerp vs convex blend),
+    which diverged by one ulp at sf0.001 and flipped the 6-dp round —
+    so BOTH engines now state the identical arithmetic over the
+    identical (already 6-dp-rounded) inputs."""
+    pos = f"(CAST(s.n_replicas - 1 AS DOUBLE) * {q})"
+    lo = f"CAST(floor({pos}) AS BIGINT)"
+    hi = f"least({lo} + 1, s.n_replicas - 1)"
+    # explicit floor(+0.5) rounding (the ext_int8_quantize idiom), NOT
+    # round(): the pre-round doubles are bit-identical across engines,
+    # but Spark rounds the shortest-decimal repr HALF_UP while DuckDB
+    # rounds a scaled double — at sf0.001 the 0.975 lerp landed 4e-9
+    # below a 6-dp boundary and the two disagreed. floor(x*1e6 + 0.5) is
+    # one float pipeline, bit-deterministic given identical inputs.
+    v = f"(s.v[{lo} + 1] + (s.v[{hi} + 1] - s.v[{lo} + 1]) * ({pos} - floor({pos})))"
+    return f"(floor({v} * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def _poisson_weight_sql(u: str) -> str:
     return (
         f"CASE WHEN {u} < {_P_CUM[0]} THEN 0 "
@@ -101,13 +123,16 @@ def _poisson_weight_sql(u: str) -> str:
                    / count(*), 6) AS point_mean,
              CAST(count(*) AS BIGINT) AS n
       FROM x
+    ),
+    ms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+             list(m ORDER BY m) AS v
+      FROM rep_means
     )
-    SELECT b.point_mean, b.n,
-           CAST(count(*) AS BIGINT) AS n_replicas,
-           round(quantile_cont(r.m, 0.025), 6) AS ci_lo,
-           round(quantile_cont(r.m, 0.975), 6) AS ci_hi
-    FROM base b CROSS JOIN rep_means r
-    GROUP BY 1, 2
+    SELECT b.point_mean, b.n, s.n_replicas,
+           {_ci_interp_duck("0.025")} AS ci_lo,
+           {_ci_interp_duck("0.975")} AS ci_hi
+    FROM base b CROSS JOIN ms s
     """,
 )
 def agg_poisson_bootstrap_ci(spark, sf_dir):
@@ -184,13 +209,33 @@ def agg_poisson_bootstrap_ci(spark, sf_dir):
         ),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    def interp(q: float):
+        # the SAME explicitly-stated lerp AND the same explicit
+        # floor(+0.5) rounding as the oracle (_ci_interp_duck): library
+        # percentile/quantile_cont lerp in different float forms, and
+        # library round() implementations disagree on 6-dp knife edges
+        # (both bit-level divergences surfaced by the sf0.001 ledger)
+        pos = (F.col("n_replicas") - 1).cast("double") * F.lit(q)
+        lo = F.floor(pos).cast("bigint")
+        hi = F.least(lo + 1, F.col("n_replicas") - 1)
+        vlo = F.element_at("ms", (lo + 1).cast("int"))
+        vhi = F.element_at("ms", (hi + 1).cast("int"))
+        v = vlo + (vhi - vlo) * (pos - F.floor(pos))
+        return F.floor(v * 1000000.0 + 0.5) / 1000000.0
+
     return (
         base.crossJoin(rep_means)
         .groupBy("point_mean", "n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
-            F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
-            F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+            F.sort_array(F.collect_list("m")).alias("ms"),
+        )
+        .select(
+            "point_mean",
+            "n",
+            "n_replicas",
+            interp(0.025).alias("ci_lo"),
+            interp(0.975).alias("ci_hi"),
         )
     )
 
