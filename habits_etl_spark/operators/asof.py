@@ -30,15 +30,19 @@ def asof_join(
     """For each left row, attach the payload of the latest right row with
     right_ts <= left_ts within the same key. Right side should be unique
     per (keys, right_ts); pass ``tie_col`` to break intra-instant ties
-    deterministically (highest wins)."""
-    if tie_col:
-        w_dedup = Window.partitionBy(*keys, right_ts).orderBy(F.col(tie_col).desc())
-        right = (
-            right.withColumn("__rn", F.row_number().over(w_dedup))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+    deterministically (highest wins).
 
+    Tie handling (r14 optimization, guide §2.4): the old form pre-deduped
+    the right side with a row_number window on (keys, right_ts) — a whole
+    extra Exchange + sort before the carry-forward window's own Exchange
+    on (keys). The dedup FOLDS into the carry-forward ordering instead:
+    right rows at the same instant sort by ``tie_col`` ASCENDING, so the
+    running ``last(__r, ignorenulls)`` naturally lands on the highest
+    tie — identical winner, one shuffle + one window sort total. (Left
+    rows carry a NULL tie and still sort after all right rows at the same
+    instant via __is_r DESC; their relative order is irrelevant because
+    each left row's frame already contains every right row at-or-before
+    it and left rows contribute only NULL payloads.)"""
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
@@ -48,6 +52,9 @@ def asof_join(
             "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}"
                                  for c in [right_ts, *payload_cols]) + ">"
         ).alias("__r"),
+        F.lit(None).cast(
+            right.schema[tie_col].dataType.simpleString() if tie_col else "int"
+        ).alias("__tie"),
     )
     r_tagged = right.select(
         *keys,
@@ -58,13 +65,21 @@ def asof_join(
                                  for c in left.columns) + ">"
         ).alias("__l"),
         F.struct(F.col(right_ts), *[F.col(c) for c in payload_cols]).alias("__r"),
+        (F.col(tie_col) if tie_col else F.lit(None).cast("int")).alias("__tie"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
-    # Right rows sort before left rows at the same instant => >= visibility.
+    # Right rows sort before left rows at the same instant => >= visibility;
+    # among same-instant right rows the highest tie_col sorts LAST, so the
+    # running last() picks it (asc_nulls_last keeps a no-tie_col call
+    # byte-identical to the old ordering).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_r").desc(),
+            F.col("__tie").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))

@@ -62,16 +62,33 @@ def agg_daily_rollup(spark, sf_dir):
 
     Scale: single hash aggregation; partial (map-side) aggregation then one
     shuffle on (day, user, type) — high combined cardinality keys, no skew.
+    The group key is the 4-byte DATE, not the 10-byte formatted string
+    (guide §2.3, narrower shuffle keys); the ISO string is derived from
+    the aggregated rows only — same groups (date -> 'yyyy-MM-dd' is 1:1),
+    identical output.
     """
     e = t(spark, sf_dir, "events")
-    return e.groupBy(
-        day_str(F.col("ts")).alias("day"),
-        "user_id",
-        "event_type",
-    ).agg(
-        F.count(F.when(F.col("value") >= 1, 1)).alias("count_done"),
-        davg("value").alias("avg_value"),
-        dsum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("sum_purchase"),
+    return (
+        e.groupBy(
+            day_of(F.col("ts")).alias("day_d"),
+            "user_id",
+            "event_type",
+        )
+        .agg(
+            F.count(F.when(F.col("value") >= 1, 1)).alias("count_done"),
+            davg("value").alias("avg_value"),
+            dsum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
+                "sum_purchase"
+            ),
+        )
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            "user_id",
+            "event_type",
+            "count_done",
+            "avg_value",
+            "sum_purchase",
+        )
     )
 
 
@@ -87,10 +104,14 @@ def agg_sum_timeseries(spark, sf_dir):
     """Daily sum of one metric (reference README.md:122-125, the
     meditation-minutes-per-day Grafana panel)."""
     e = t(spark, sf_dir, "events")
+    # Group on the DATE, format after the aggregate (guide §2.3 — narrower
+    # shuffle key, same groups/rows); ordering by the ISO string equals
+    # ordering by the date.
     return (
         e.filter(F.col("event_type") == "click")
-        .groupBy(day_str(F.col("ts")).alias("day"))
+        .groupBy(day_of(F.col("ts")).alias("day_d"))
         .agg(dsum("value").alias("sum_value"))
+        .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "sum_value")
         .orderBy("day")
     )
 

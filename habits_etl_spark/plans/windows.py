@@ -12,7 +12,6 @@ from habits_etl_spark.operators.distrank import (
 )
 from habits_etl_spark.plans.common import (
     day_of,
-    day_str,
     managed_cache,
     query,
     sql_dsum,
@@ -42,21 +41,42 @@ def win_streaks(spark, sf_dir):
     """Longest consecutive-day streak per user — gaps-and-islands
     (SURVEY §2.8 win_streaks, [D] from reference README.md:5 'streaks').
 
-    day - row_number(day) is constant within a consecutive run; grouping on
-    that anchor yields streak lengths. Scale: one shuffle on user_id for
-    the window, then an agg on (user_id, anchor) that AQE keeps local."""
+    The oracle keeps the classic form (day - row_number(day) is constant
+    within a consecutive run; group on that anchor). The Spark plan (r14
+    optimization, guide §2.4) computes the identical quantities from ONE
+    aggregation: per user, collect the distinct click days (bounded by
+    calendar days, not data volume — the same bound the old distinct
+    relied on), sort the array, and fold it for run count + longest run.
+    This removes two of the three exchanges (the old shape paid
+    distinct-on-(user, day) -> window-on-user -> agg-on-(user, anchor));
+    map-side partial collect_set dedups exactly where the old distinct's
+    partial aggregate did, so shuffle bytes are unchanged."""
     e = t(spark, sf_dir, "events")
-    days = (
+    per_user = (
         e.filter((F.col("event_type") == "click") & (F.col("value") >= 1))
-        .select("user_id", day_of(F.col("ts")).alias("day"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set(day_of(F.col("ts")))).alias("ds"))
     )
-    w = Window.partitionBy("user_id").orderBy("day")
-    islands = days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
-    streaks = islands.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    fold = F.expr(
+        """
+        aggregate(
+          ds,
+          named_struct('prev', CAST(NULL AS DATE), 'cur', 0L, 'best', 0L, 'n', 0L),
+          (s, d) -> IF(s.prev IS NULL OR datediff(d, s.prev) > 1,
+                       named_struct('prev', d, 'cur', 1L,
+                                    'best', greatest(s.best, 1L), 'n', s.n + 1L),
+                       named_struct('prev', d, 'cur', s.cur + 1L,
+                                    'best', greatest(s.best, s.cur + 1L), 'n', s.n)),
+          s -> named_struct('longest_streak', s.best, 'n_streaks', s.n))
+        """
+    )
     return (
-        streaks.groupBy("user_id")
-        .agg(F.max("len").alias("longest_streak"), F.count(F.lit(1)).alias("n_streaks"))
+        per_user.select("user_id", fold.alias("st"))
+        .select(
+            "user_id",
+            F.col("st.longest_streak").alias("longest_streak"),
+            F.col("st.n_streaks").alias("n_streaks"),
+        )
         .orderBy("user_id")
     )
 
@@ -108,13 +128,21 @@ def win_ranking(spark, sf_dir):
 def win_analytic(spark, sf_dir):
     """7-day rolling average + day-over-day delta per user (SURVEY §2.8
     win_analytic [E]): range frame over a day index so gaps count as
-    missing days, plus lag. One shuffle on user_id serves both windows."""
+    missing days, plus lag. One shuffle on user_id serves both windows.
+    The group key is (user_id, DATE) — the ISO string and the day index
+    are both 1:1 functions of the date, derived after the aggregate
+    (guide §2.3, narrower shuffle keys; identical groups and output)."""
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "user_id",
-        day_str(F.col("ts")).alias("day"),
-        F.datediff(day_of(F.col("ts")), F.lit("2024-01-01").cast("date")).alias("day_idx"),
-    ).agg(dsum("value").alias("sum_value"))
+    daily = (
+        e.groupBy("user_id", day_of(F.col("ts")).alias("day_d"))
+        .agg(dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            F.datediff("day_d", F.lit("2024-01-01").cast("date")).alias("day_idx"),
+            "sum_value",
+        )
+    )
     w_range = (
         Window.partitionBy("user_id").orderBy("day_idx").rangeBetween(-6, 0)
     )

@@ -54,19 +54,35 @@ def upsert_keyed(
 
     Assumes both sides are unique on ``keys`` (use ``dedup_batch`` on the
     incoming side first if not — the reference's UNIQUE constraint
-    guarantees it for the target).
+    guarantees it for the target) and that key columns are non-null
+    (Postgres conflict targets are unique indexes over NOT NULL columns;
+    the engine's flt_required_fields enforces it upstream).
+
+    Plan shape (r14 optimization, guide §3.1): a FULL OUTER shuffled-hash
+    join on the keys, building the hash relation from the INCOMING side.
+    The previous form (union + groupBy(keys) with per-column
+    ``max(when(__seq...))``) computed the same merge, but string-typed
+    aggregation buffers (notes/props) are not mutable in UnsafeRow, so
+    Spark planned a SortAggregate — a full sort of target+batch per merge.
+    The join needs the same single shuffle but NO sort (hash build over
+    the batch, streamed probe of the target), and at 100 TB the build
+    side is the incoming micro-batch — bounded per partition — while the
+    big target side is only shuffled, exactly Delta MERGE's shape. Under
+    the unique-keys contract above the two forms are row-identical
+    (oracle-verified: the DuckDB twin of sink_upsert_events is itself a
+    FULL OUTER JOIN).
     """
     keep_old_cols = keep_old_cols or []
-    cols = keys + set_cols + coalesce_cols + keep_old_cols
-    tagged = existing.select(*cols).withColumn("__seq", F.lit(0)).unionByName(
-        incoming.select(*cols).withColumn("__seq", F.lit(1))
+    val_cols = set_cols + coalesce_cols + keep_old_cols
+    old = existing.select(
+        *keys, *[F.col(c).alias(f"__old_{c}") for c in val_cols]
     )
-    has_new = (F.max("__seq") == 1).alias("__has_new")
-    aggs = [has_new]
-    for c in set_cols + coalesce_cols + keep_old_cols:
-        aggs.append(F.max(F.when(F.col("__seq") == 1, F.col(c))).alias(f"__new_{c}"))
-        aggs.append(F.max(F.when(F.col("__seq") == 0, F.col(c))).alias(f"__old_{c}"))
-    grouped = tagged.groupBy(*keys).agg(*aggs)
+    new = incoming.select(
+        *keys,
+        *[F.col(c).alias(f"__new_{c}") for c in val_cols],
+        F.lit(True).alias("__has_new"),
+    )
+    joined = old.join(new.hint("shuffle_hash"), on=keys, how="full_outer")
 
     out_cols = [F.col(k) for k in keys]
     for c in set_cols:
@@ -79,4 +95,4 @@ def upsert_keyed(
         out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c))
     for c in keep_old_cols:
         out_cols.append(F.coalesce(F.col(f"__old_{c}"), F.col(f"__new_{c}")).alias(c))
-    return grouped.select(*out_cols)
+    return joined.select(*out_cols)
