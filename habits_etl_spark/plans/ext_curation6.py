@@ -374,6 +374,15 @@ def ext_pmi_collocations(spark, sf_dir):
             F.expr("split_part(bg, ' ', 2)").alias("w2"),
         )
     )
+    # NOTE (r14): caching cab (four consumers: ca, cb, tot, scored) was
+    # measured and REJECTED — alternating solo A/B at sf0.1 put the
+    # cached form consistently SLOWER (uncached 1.27/1.24 s vs cached
+    # 1.43/1.38 s warm medians over four session pairs): the columnar
+    # materialization of the vocab²-sized pair table costs more than
+    # three re-runs of the corpus explode + map-partial hash-agg at this
+    # scale. (ext_bigram_lm_score's cab/cuni caches, by contrast, carry a
+    # measured WIN — there the reduced tables feed broadcast lineages
+    # that would otherwise re-explode the corpus five times.)
     cab = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
     ca = cab.groupBy("w1").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
     cb = cab.groupBy("w2").agg(F.sum("c_ab").cast("bigint").alias("c_b"))

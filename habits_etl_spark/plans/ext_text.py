@@ -1505,8 +1505,15 @@ def ext_weighted_minhash_pairs(spark, sf_dir):
         F.col("token").alias("token2"),
         F.col("tf").alias("wb"),
     )
+    # shuffle_hash hint (r14, guide §3.1): both arms are candidate-bounded
+    # (banding collisions x tokens-per-doc, never corpus-scale), so the
+    # per-partition hash build is bounded and the full-outer merge skips
+    # both sorts. Honest measurement: alternating solo A/B at sf0.1 shows
+    # a small consistent win (unhinted 2.86/2.84 s vs hinted 2.61/2.83 s
+    # warm medians; the 3.6 -> 2.4 s delta in the first sweep was mostly
+    # host churn).
     ptok = pa.join(
-        pb,
+        pb.hint("shuffle_hash"),
         (pa.da == pb.da2) & (pa.db == pb.db2) & (pa.token == pb.token2),
         "full_outer",
     ).select(

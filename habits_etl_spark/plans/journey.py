@@ -81,6 +81,12 @@ def ext_basket_pairs(spark, sf_dir):
     and the basket total are broadcast. All ratios are exact-integer
     divisions evaluated identically in both engines."""
     ev = t(spark, sf_dir, "events")
+    # NOTE (r14): caching this distinct (four consumers: nb, item_n, both
+    # self-join sides) was measured and REJECTED — alternating solo A/B
+    # at sf0.1 showed a consistent ~30% REGRESSION (1.11/1.19 s -> 1.50/
+    # 1.68 s warm medians): the columnar materialization + lost column
+    # pruning cost more than three re-scans of a narrow projected
+    # distinct. Recompute-per-consumer is the right call here.
     basket = ev.select(
         "user_id",
         F.date_trunc("DAY", "ts").cast("date").alias("day"),

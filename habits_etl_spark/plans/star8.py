@@ -120,6 +120,10 @@ def join_q2_min_cost_supplier(spark, sf_dir):
     best = cand.groupBy(F.col("p_partkey").alias("best_partkey")).agg(
         F.min("supplycost").alias("min_cost")
     )
+    # A shuffle_hash hint on `best` was measured in r14 (guide §3.1) and
+    # REJECTED: alternating solo A/B at sf0.1 showed no repeatable win
+    # (unhinted 1.48/1.55 s vs hinted 1.70/1.54 s medians) — the
+    # apparent 14% gain in the first sweep was host churn.
     out = cand.join(
         best,
         (cand["p_partkey"] == best["best_partkey"])

@@ -32,6 +32,14 @@ def get_spark(app_name: str = "habits_etl_spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Session-wide AQE SMJ->SHJ rewriting
+        # (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold) was
+        # MEASURED AND REJECTED in the r14 optimization round: it cut
+        # ext_weighted_minhash_pairs 3.6->2.4 s but slowed
+        # ext_admission_decision 2.6->3.3 s and ext_dedup_keep_policy
+        # 0.92->1.15 s (chained same-key sort-merge joins lose the sort
+        # reuse a blanket rewrite destroys). Individual joins that
+        # measurably win carry an explicit shuffle_hash hint instead.
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet timestamps without the UTC flag read as session-tz
         # TIMESTAMP, not NTZ (see sources._force_ltz_reads — the testdata
