@@ -170,17 +170,29 @@ def ext_json_flatten(spark, sf_dir):
 def ext_sessionize(spark, sf_dir):
     """Sessionization via lag + running sum of gap flags (the batch
     gaps-and-islands form; 30-minute inactivity gap). One shuffle on
-    user_id serves both windows and the final aggregate."""
+    user_id serves both windows and the final aggregate.
+
+    r14: the gap predicate used to reference ``lag(ts)`` twice and
+    Catalyst does NOT dedupe identical window expressions — the plan
+    carried two _we slots for the same lag. One named lag column now
+    feeds the predicate (plan: a single window expression)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
     is_new = F.when(
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000)
-        | F.lag("ts").over(w).isNull(),
+        (F.unix_micros("ts") - F.unix_micros(F.col("prev_ts")) > 1800 * 1_000_000)
+        | F.col("prev_ts").isNull(),
         1,
     ).otherwise(0)
-    sess = e.select("user_id", "ts", "event_id", is_new.alias("is_new")).withColumn(
-        "session_id",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    sess = (
+        e.select("user_id", "ts", "event_id", prev.alias("prev_ts"))
+        .select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     )
     return sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -296,20 +296,25 @@ _EWMA_ALPHA = 0.3
 _EWMA_K = 8  # truncated-FIR depth
 
 
-def _ewma_chains(over: str) -> tuple[str, str]:
+def _ewma_chains(ref) -> tuple[str, str]:
     """Numerator/denominator SQL chains for the truncated EWMA: a fixed-
     coefficient FIR over the last K observations, weights renormalized
     over the lags that exist. Coefficients are compile-time constants and
     the chains are left-associative `+` in lag order — identical float
-    arithmetic in both engines (the ext_char_entropy trick)."""
+    arithmetic in both engines (the ext_char_entropy trick). ``ref(j)``
+    supplies the SQL text for the j-th lag: the oracle inlines the
+    window function, the Spark plan references a pre-projected lag
+    column (r14 — Catalyst does not dedupe identical window
+    expressions, so the inline form evaluated 24 _we slots for 8
+    distinct lags; the arithmetic on the values is unchanged)."""
     num = " + ".join(
-        f"(CASE WHEN lag(sum_value, {j}) {over} IS NOT NULL THEN "
-        f"{_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j!r} * (lag(sum_value, {j}) {over}) "
+        f"(CASE WHEN {ref(j)} IS NOT NULL THEN "
+        f"{_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j!r} * ({ref(j)}) "
         f"ELSE 0.0 END)"
         for j in range(_EWMA_K)
     )
     den = " + ".join(
-        f"(CASE WHEN lag(sum_value, {j}) {over} IS NOT NULL THEN "
+        f"(CASE WHEN {ref(j)} IS NOT NULL THEN "
         f"{_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j!r} ELSE 0.0 END)"
         for j in range(_EWMA_K)
     )
@@ -317,7 +322,11 @@ def _ewma_chains(over: str) -> tuple[str, str]:
 
 
 _EWMA_OVER = "OVER (PARTITION BY user_id ORDER BY day)"
-_EWMA_NUM, _EWMA_DEN = _ewma_chains(_EWMA_OVER)
+_EWMA_NUM, _EWMA_DEN = _ewma_chains(
+    lambda j: f"lag(sum_value, {j}) {_EWMA_OVER}"
+)
+# Spark-side chains over pre-projected lag columns l0..l{K-1}
+_EWMA_NUM_COLS, _EWMA_DEN_COLS = _ewma_chains(lambda j: f"l{j}")
 
 
 @query(
@@ -348,12 +357,24 @@ def win_ewma_smooth(spark, sf_dir):
     daily = e.groupBy("user_id", day_of(F.col("ts")).alias("day")).agg(
         dsum("value").alias("sum_value")
     )
-    return daily.selectExpr(
-        "user_id",
-        "date_format(day, 'yyyy-MM-dd') AS day_s",
-        "sum_value",
-        f"round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma",
-    ).orderBy("user_id", "day_s")
+    return (
+        daily.selectExpr(
+            "user_id",
+            "day",
+            "sum_value",
+            *[
+                f"lag(sum_value, {j}) {_EWMA_OVER} AS l{j}"
+                for j in range(_EWMA_K)
+            ],
+        )
+        .selectExpr(
+            "user_id",
+            "date_format(day, 'yyyy-MM-dd') AS day_s",
+            "sum_value",
+            f"round(({_EWMA_NUM_COLS}) / ({_EWMA_DEN_COLS}), 6) AS ewma",
+        )
+        .orderBy("user_id", "day_s")
+    )
 
 
 @query(
