@@ -92,11 +92,31 @@ def sink_cdc_apply(spark, sf_dir):
         .alias("op"),
         F.col("o_totalprice").alias("new_bal"),
     )
+    # r14 (guide §2.3 narrower agg state): max_by(op, seq) carries a
+    # STRING buffer, which is immutable in UnsafeRow and forced the whole
+    # changelog collapse into a SortAggregate. The op (3 values) packs
+    # into the seq ordinal instead — seq*4 + code — so every buffer field
+    # is fixed-width and the collapse is a HashAggregate with map-side
+    # partials. seq is the unique o_orderkey (< 2^61), so the packing is
+    # collision-free and max(packed) is max_by in one bigint.
+    op_code = (
+        F.when(F.col("op") == "D", 1)
+        .when(F.col("op") == "I", 2)
+        .otherwise(3)
+    )
+    packed = F.max(F.col("seq") * 4 + op_code)
     latest = log.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_changes"),
-        F.max("seq").cast("bigint").alias("last_seq"),
-        F.max_by("op", "seq").alias("last_op"),
+        packed.alias("__packed"),
         F.max_by("new_bal", "seq").alias("last_bal"),
+    ).select(
+        "key",
+        "n_changes",
+        F.expr("__packed div 4").alias("last_seq"),  # exact bigint division
+        F.element_at(
+            F.lit(["D", "I", "U"]), F.pmod(F.col("__packed"), 4).cast("int")
+        ).alias("last_op"),
+        "last_bal",
     )
     c = t(spark, sf_dir, "customer")
     merged = c.join(latest, c.c_custkey == latest.key, "full_outer")
