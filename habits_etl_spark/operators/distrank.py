@@ -680,6 +680,16 @@ def with_global_running_agg(
         .rowsBetween(Window.unboundedPreceding, hi)
     )
     res = _probe(df, order, b)
+    # Catalyst does not CSE window expressions (the r14 sessionize/ewma
+    # lesson): the sum path below references ``local`` twice (null guard +
+    # coalesce), which would plan two identical _we slots per output
+    # column. Project each running aggregate ONCE here and build the
+    # combine from the projected column — slots drop from 2/column to 1.
+    loc_names = [f"__rloc{i}" for i in range(len(names))]
+    res = res.select(
+        "*",
+        *[fn(cols[o]).over(w_loc).alias(ln) for o, ln in zip(names, loc_names)],
+    )
     for i, o in enumerate(names):
         carries, acc = [], None
         for pid, v in zip(b.ids(), b.values(f"{_AGG}{i}")):
@@ -691,7 +701,7 @@ def with_global_running_agg(
                     acc = acc + v
                 else:
                     acc = max(acc, v)
-        local = fn(cols[o]).over(w_loc)
+        local = F.col(loc_names[i])
         carry = _pid_case(carries, agg_types[o])
         if agg == "sum":
             combined = F.when(
@@ -703,7 +713,7 @@ def with_global_running_agg(
         else:
             combined = F.greatest(local, carry)  # greatest skips nulls
         res = res.withColumn(o, combined)
-    return res.drop(_PID)
+    return res.drop(_PID, *loc_names)
 
 
 def _grouped_boundary_cells(

@@ -136,12 +136,23 @@ def ext_ivf_partition_sim(spark, sf_dir):
     reports = []
     for c in _IVF_SIM_LAYOUTS:
         assigned, cents = _ivf_pick_assign(spark, sf_dir, c, total=total)
-        # three aggregate branches (occupancy, probe scan, quality) read
-        # this relation — without the cache each one replays the
-        # assignment crossJoin+window, tripling every layout's cost
-        assigned = managed_cache(assigned, f"ivf_sim.assign{c}:{sf_dir}")
-        sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("m"))
-        occ = sizes.agg(
+        # r15 (guide §2.4, VERDICT r14 #2): the three aggregate branches
+        # (occupancy, probe scan, quality) used to each re-read the cached
+        # assignment — three corpus passes per layout. ONE
+        # groupBy(cell_id) pass now computes per-cell occupancy AND the
+        # per-cell decimal cos sum; everything downstream (occ/max,
+        # mean cos, probe scan rows) derives from this ≤ n_cells-row
+        # relation. Decimal sums are exact and associative, so
+        # sum-of-per-cell-sums ≡ the old global sum, bit-for-bit.
+        cellstats = managed_cache(
+            assigned.groupBy("cell_id").agg(
+                F.count(F.lit(1)).alias("m"),
+                F.sum(F.col("cell_cos").cast("decimal(28,12)")).alias("s"),
+            ),
+            f"ivf_sim.cellstats{c}:{sf_dir}",
+        )
+        sizes = cellstats.select("cell_id", "m")
+        occ = cellstats.agg(
             F.count(F.lit(1)).cast("bigint").alias("occupied_cells"),
             F.max("m").cast("bigint").alias("max_cell"),
         )
@@ -166,10 +177,13 @@ def ext_ivf_partition_sim(spark, sf_dir):
         scan = qp.join(F.broadcast(sizes), "cell_id").agg(
             F.sum("m").cast("bigint").alias("probe_scan_rows")
         )
-        quality = assigned.agg(
+        # mean cos from the same cellstats pass: sum(s) is the exact
+        # decimal total of cell_cos over the corpus and sum(m) the exact
+        # row count, so cast(sum(s) as double) / sum(m) is the identical
+        # double division the old assigned-wide aggregate performed.
+        quality = cellstats.agg(
             F.round(
-                F.sum(F.col("cell_cos").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
+                F.sum("s").cast("double") / F.sum("m"),
                 4,
             ).alias("mean_cos_to_centroid")
         )

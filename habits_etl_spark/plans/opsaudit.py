@@ -330,34 +330,49 @@ def ext_pca_top_component(spark, sf_dir):
     each round is ONE job: the scalar projection Xv is a join-free
     decimal-exact zip_with/aggregate fold against the round's v as an
     array LITERAL (no broadcast DataFrame, no shuffle), and X^T(Xv) is
-    a single explode + hash-agg shuffle of n·d rows into d groups.
-    Nothing materializes beyond the d-vector on the driver (k-bounded
-    collect, the k-means rule). The r14 rework cut the per-round cost
-    from two shuffle joins over the exploded relation + a driver
-    createDataFrame broadcast (~10.4 s solo warm at sf0.01) to the one
-    aggregation above."""
+    a single explode + hash-agg of the n·d terms into d groups — the
+    partial (map-side) aggregation collapses each task to ≤ d rows
+    before the exchange, so the shuffle moves (#partitions × d) values
+    at any corpus size. Nothing materializes beyond the d-vector on the
+    driver (k-bounded collect, the k-means rule). The r14 rework cut
+    the per-round cost from two shuffle joins over the exploded
+    relation + a driver createDataFrame broadcast (~10.4 s solo warm at
+    sf0.01) to the one aggregation above. r15: the per-round .orderBy
+    of the d-row result was a range exchange whose boundary-sampling
+    job cost ~25% of every iteration — the sort now happens on the
+    driver over the collected d rows (identical values, measured 0.60
+    vs 0.45 s/round solo at sf0.1); v and the centering vector are
+    single array<double> literals (F.lit(list)) rather than d scalar
+    literals (plan-size hygiene; end-to-end flat locally). A columnar
+    variant replacing the explode with d per-dimension decimal sum
+    columns was measured and REJECTED (15.4 vs 7.3 s solo at sf0.1):
+    partial aggregation already bounds the exchange to (#partitions ×
+    d) rows, so removing the explode buys only per-row CPU while
+    paying d aggregate expressions of plan+codegen work per round."""
     e = t(spark, sf_dir, "embeddings")
     emb = e.select(
         "vec_id",
         F.transform("embedding", lambda c: c.cast("double")).alias("arr"),
     )
     x = emb.select("vec_id", F.posexplode("arr").alias("dim", "val"))
-    mu_rows = (
-        x.groupBy("dim")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mu")
-        )
-        .orderBy("dim")
-        .collect()
-    )  # d-bounded collect: one double per dimension
-    mu = [r.mu for r in mu_rows]
+    # d-bounded collect (one double per dimension), sorted on the DRIVER:
+    # an .orderBy over d rows would plan a range exchange whose boundary
+    # sampling is an extra job — per round that job was ~25% of the whole
+    # iteration (measured 0.60 vs 0.45 s/round solo at sf0.1).
+    mu_rows = x.groupBy("dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    ).collect()
+    mu = [r.mu for r in sorted(mu_rows, key=lambda r: r.dim)]
+    # F.lit(list) — one array<double> literal, not d scalar literals: the
+    # centering vector is embedded in EVERY round's plan via xc_arr, and
+    # the single-literal form keeps the generated source identical.
     xc_arr = emb.select(
         "vec_id",
         F.zip_with(
-            "arr", F.array(*[F.lit(float(m)) for m in mu]), lambda xv, m: xv - m
+            "arr", F.lit([float(m) for m in mu]), lambda xv, m: xv - m
         ).alias("arr"),
     )
 
@@ -372,7 +387,7 @@ def ext_pca_top_component(spark, sf_dir):
         return F.aggregate(
             F.zip_with(
                 F.col("arr"),
-                F.array(*[F.lit(float(w)) for w in ws]),
+                F.lit([float(w) for w in ws]),
                 lambda xv, w: (xv * w).cast("decimal(28,12)"),
             ),
             F.lit(0).cast("decimal(28,12)"),
@@ -394,10 +409,10 @@ def ext_pca_top_component(spark, sf_dir):
                 .cast("double")
                 .alias("u")
             )
-            .orderBy("dim")
             .collect()
-        )  # d-bounded collect (n_dims rows), the k-means driver rule
-        u = [r.u for r in nxt]
+        )  # d-bounded collect (n_dims rows), the k-means driver rule;
+        # dim order restored on the driver (no range-exchange job, see mu)
+        u = [r.u for r in sorted(nxt, key=lambda r: r.dim)]
         nrm = sum(w * w for w in u) ** 0.5
         v = [w / nrm for w in u]
     if v[0] < 0:  # deterministic sign convention: first loading >= 0

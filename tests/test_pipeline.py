@@ -138,3 +138,49 @@ def test_ingest_through_manifest_table(spark, wh):
     # snapshot isolation across CronJob runs
     assert M.current_manifest(table)["version"] == v1 + 1
     assert {r.habit: r.value for r in pinned.collect()}["workout"] == 1.0
+
+
+def test_upsert_keyed_null_key_contract(spark):
+    """Pin the non-null-key contract of upsert_keyed (r14 rewrite to a
+    FULL OUTER join, VERDICT r14 finding #3): NULL keys never satisfy a
+    join's equality predicate, so a NULL-key row present on both sides
+    surfaces as TWO rows — the documented behavior of the join form (the
+    pre-r14 groupBy form merged them, since grouping treats NULLs as
+    equal). Callers must enforce non-null keys upstream
+    (flt_required_fields); this test makes a silent divergence at a
+    future call site visible instead of latent."""
+    from habits_etl_spark.sinks.upsert import upsert_keyed
+
+    existing = spark.createDataFrame(
+        [(None, "old", "old-note"), ("k1", "old", None)],
+        "k string, v string, notes string",
+    )
+    incoming = spark.createDataFrame(
+        [(None, "new", None), ("k1", "new", "n2")],
+        "k string, v string, notes string",
+    )
+    out = upsert_keyed(existing, incoming, ["k"], ["v"], ["notes"])
+    rows = [(r.k, r.v, r.notes) for r in out.collect()]
+    # non-null key merges: set_col takes incoming, coalesce_col takes the
+    # non-null incoming value
+    assert rows.count(("k1", "new", "n2")) == 1
+    # NULL keys do NOT merge: both sides' NULL-key rows survive separately
+    null_rows = sorted((v, n) for k, v, n in rows if k is None)
+    assert null_rows == [("new", None), ("old", "old-note")]
+    assert len(rows) == 3
+
+
+def test_upsert_keyed_duplicate_incoming_fans_out(spark):
+    """Pin the second half of the contract: the join form FANS OUT when
+    the incoming side has duplicate keys (the groupBy form collapsed
+    them) — so callers that cannot guarantee uniqueness must run
+    dedup_batch first, as the docstring requires."""
+    from habits_etl_spark.sinks.upsert import upsert_keyed
+
+    existing = spark.createDataFrame([("k1", "old", "keep")], "k string, v string, notes string")
+    incoming = spark.createDataFrame(
+        [("k1", "a", None), ("k1", "b", None)], "k string, v string, notes string"
+    )
+    out = upsert_keyed(existing, incoming, ["k"], ["v"], ["notes"])
+    rows = sorted((r.k, r.v, r.notes) for r in out.collect())
+    assert rows == [("k1", "a", "keep"), ("k1", "b", "keep")]
