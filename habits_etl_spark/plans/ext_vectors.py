@@ -792,6 +792,16 @@ def _ivf_pick_assign(spark, sf_dir, n_cells, total=None):
         lambda acc, x: acc + x,
     )
     sim_to_centroid = dot_vc / (F.col("nrm") * F.col("c_nrm"))
+    # r15 MEASURED AND REJECTED: replacing this crossJoin+window argmax
+    # with a per-row fold over an array<struct> literal of the k cells
+    # (zero exchanges — the "ideal" 100 TB shape) was 1.5-2.2x SLOWER at
+    # both sf0.1 and sf1 (ext_ann_ivf_probe sf1 warm 3.9 -> 8.5 s,
+    # ext_ivf_partition_sim 11.6 -> 15.4 s, alternating solo A/B):
+    # Catalyst evaluates higher-order-function lambdas interpreted,
+    # per element, while the crossJoin+window path is whole-stage
+    # codegen'd end to end — the removed exchange of n rows never buys
+    # back the interpreted k x d inner loop. Guide §1.1's gotcha clause,
+    # verbatim. Do not re-try without a codegen'd argmax primitive.
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cell_id"))
     assigned = (
         prepped.crossJoin(F.broadcast(centroids))
