@@ -475,11 +475,13 @@ def main():
         except Exception:
             pass
 
+    warm_t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(_warm, parallel_names))
     for name in serial_names:
         _warm(name)
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle_parts)
+    warmup_sec = round(time.perf_counter() - warm_t0, 3)
 
     # The host is a shared VM with bursty CPU steal: a single stolen run
     # can look like a 15x regression (BENCH_r03's win_analytic recorded
@@ -863,6 +865,7 @@ def main():
             "bloom_ab": bloom_ab,
             "curation": curation,
             "curation_repetitions": curation_reps,
+            "warmup_sec": warmup_sec,
             "probe_baseline_sec": PROBE_BASELINE_SEC,
             "probe_observed_sec": probe_observed,
             "probe_samples_pre": cal_pre_samples,
