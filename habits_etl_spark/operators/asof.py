@@ -30,7 +30,12 @@ def asof_join(
     """For each left row, attach the payload of the latest right row with
     right_ts <= left_ts within the same key. Right side should be unique
     per (keys, right_ts); pass ``tie_col`` to break intra-instant ties
-    deterministically (highest wins).
+    deterministically (highest wins). ``tie_col`` must be NON-NULL on
+    the right side: under the folded ordering below a NULL tie sorts
+    LAST within its instant (asc_nulls_last), so the running last()
+    would make a NULL-tie row WIN — the reverse of the pre-r14
+    row_number(desc) form, where NULLs lost (ADVICE r14). The sole
+    in-repo caller (join_asof) ties on non-null event_id.
 
     Tie handling (r14 optimization, guide §2.4): the old form pre-deduped
     the right side with a row_number window on (keys, right_ts) — a whole

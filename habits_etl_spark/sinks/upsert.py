@@ -71,6 +71,12 @@ def upsert_keyed(
     the unique-keys contract above the two forms are row-identical
     (oracle-verified: the DuckDB twin of sink_upsert_events is itself a
     FULL OUTER JOIN).
+
+    The shuffle_hash hint presumes ``incoming`` is a BOUNDED batch
+    (ADVICE r14): a caller merging two corpus-scale relations loses the
+    sort-based fallback and risks build-side memory pressure — route
+    such merges through a plain join, or dedup/shrink the incoming side
+    first as every current call site does.
     """
     keep_old_cols = keep_old_cols or []
     val_cols = set_cols + coalesce_cols + keep_old_cols
